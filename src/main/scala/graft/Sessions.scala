@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build the engine's SparkSession so Verify, Bench, and the
+  * test suites agree on the semantics-critical knobs.
+  *
+  * These settings are what we would ship on a real 1000-executor cluster
+  * too (per-job `--conf`), except shuffle.partitions, which scales with
+  * the cluster (rule of thumb: 2-3× total cores, or AQE-coalesced from a
+  * high initial value).
+  */
+object Sessions {
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
+      // timestamp type, so read as BIGINT and convert in Tables.load.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive parquet timestamps (isAdjustedToUTC=false) → TIMESTAMP_NTZ,
+      // the DuckDB-comparable representation.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * All queries take the scale-factor directory as a parameter so the same
+  * plan runs at sf0.001 (smoke), sf0.01 (correctness), sf0.1 (bench) and —
+  * unchanged — against a 100 TB date-partitioned production layout: the
+  * scan is a plain parquet read whose filters and column pruning Catalyst
+  * pushes into the file source.
+  *
+  * Timestamp policy: every timestamp is normalized to TIMESTAMP_NTZ (naive
+  * wall-clock, session pinned UTC) so outputs are bit-comparable with the
+  * DuckDB oracle's naive TIMESTAMP. `events.ts` is stored as parquet
+  * TIMESTAMP(NANOS), which Spark only reads via
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (set in [[Sessions]]); the
+  * loader converts the nanos BIGINT to microsecond TIMESTAMP_NTZ with
+  * integer `div` (a double division would lose precision above 2^53 ns).
+  */
+object Tables {
+
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case TimestampType => col(f.name).cast(TimestampNTZType).as(f.name)
+        case _             => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val withTs =
+      if (name == "events" && raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+      else raw
+    normalizeTs(withTs)
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's DuckDB correctness compare.
+
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [query ...]
+
+Reads each <out_dir>/<name> parquet (written by graft.Verify), runs the
+matching SQL from <out_dir>/oracle_sql.json in DuckDB with the sf tables
+registered as views, and compares row count, column names, and values
+(rows sorted by all columns, column order normalized by name).
+"""
+import json, sys, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamp-ish columns to ns, naive
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def cmp_vals(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
+            return (a is None or math.isnan(a)) and (b is None or (isinstance(b, float) and math.isnan(b)))
+        return a == b  # exact — the driver hash-compares, so we demand exact too
+    return a == b
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            got = norm(pd.read_parquet(f"{out_dir}/{name}"))
+            exp = norm(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: load/exec error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if list(got.columns) != list(exp.columns):
+            problems.append(f"cols spark={list(got.columns)} duck={list(exp.columns)}")
+        elif len(got) != len(exp):
+            problems.append(f"rows spark={len(got)} duck={len(exp)}")
+        else:
+            for c in got.columns:
+                ga, ea = got[c].tolist(), exp[c].tolist()
+                bad = [(i, ga[i], ea[i]) for i in range(len(ga)) if not cmp_vals(ga[i], ea[i])]
+                if bad:
+                    problems.append(f"col {c}: {len(bad)} diffs, first {bad[:3]}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
