@@ -12,7 +12,9 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
-    (ops.Candles.queries, ops.Candles.oracles)
+    (ops.Candles.queries, ops.Candles.oracles),
+    (ops.Parse.queries, ops.Parse.oracles),
+    (ops.Maps.queries, ops.Maps.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

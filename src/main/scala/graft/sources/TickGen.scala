@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic synthetic tick-message generator.
+  *
+  * Maps each `events` row to one wire-format tick JSON message with the
+  * exact nested shape the full tick schema declares
+  * (graft.schema.Schemas.tick; reference: data_processor.py:20-63), so the
+  * parse operators can be exercised — and oracle-verified — without a live
+  * WebSocket/Kafka ingress (reference ingress: data_streamer.py:83-106 is
+  * out of engine scope, SURVEY.md §2.A5).
+  *
+  * Every derived field is a pure IEEE-754/integer function of the source
+  * row, so a DuckDB oracle can recompute the expected post-parse values
+  * directly from `events` — the JSON round trip must be value-exact.
+  * All generation is columnar (`to_json(struct(...))`): codegen'd,
+  * no UDFs, fully distributed.
+  */
+object TickGen {
+
+  /** Field derivations shared between the generator and oracle SQL.
+    * instrument := event_type, ltp := value, ltq := props.k,
+    * ltt/currentTs := epoch-millis(ts) as string. */
+  private def k: Column = get_json_object(col("props"), "$.k").cast(IntegerType)
+  private def lttMs: Column = unix_millis(col("ts").cast(TimestampType))
+
+  private def quote(bp: Column, ap: Column, q: Column): Column = struct(
+    q.cast(StringType).as("bidQ"), bp.as("bidP"),
+    q.cast(StringType).as("askQ"), ap.as("askP"))
+
+  /** events(event_id, ts, user_id, event_type, value, props) →
+    * (event_id, ts, event_type, value, k, json_str). */
+  def ticksFromEvents(events: DataFrame): DataFrame = {
+    val v = col("value")
+    val msg = struct(
+      lit("live_feed").as("type"),
+      map(
+        col("event_type"),
+        struct(
+          struct(
+            struct(
+              struct(v.as("ltp"), lttMs.cast(StringType).as("ltt"),
+                     k.cast(StringType).as("ltq"), (v * 0.5).as("cp")).as("ltpc"),
+              struct(array(
+                quote(v * 0.999, v * 1.001, k),
+                quote(v * 0.998, v * 1.002, k + lit(1))).as("bidAskQuote")).as("marketLevel"),
+              struct().as("optionGreeks"),
+              struct(array(struct(
+                lit("I1").as("interval"), v.as("open"), (v * 1.01).as("high"),
+                (v * 0.99).as("low"), (v * 1.005).as("close"),
+                (k * 10).cast(StringType).as("vol"),
+                lttMs.cast(StringType).as("ts"))).as("ohlc")).as("marketOHLC"),
+              (v * 1.0005).as("atp"),
+              (k * 100).cast(StringType).as("vtt"),
+              (k + col("user_id")).cast(DoubleType).as("tbq"),
+              k.cast(DoubleType).as("tsq")
+            ).as("marketFF"),
+            lit("full_d30").as("requestMode")
+          ).as("fullFeed")
+        )
+      ).as("feeds"),
+      lttMs.cast(StringType).as("currentTs"))
+
+    events.select(col("event_id"), col("ts"), col("event_type"), col("value"),
+                  k.as("k"), to_json(msg).as("json_str"))
+  }
+
+  /** Flat candle-shaped JSON per event row (13 columns of
+    * graft.schema.Schemas.candle; reference wire format:
+    * candle_to_hdfs.py:11-25). */
+  def candleJsonFromEvents(events: DataFrame): DataFrame = {
+    val v = col("value")
+    val ws = date_trunc("minute", col("ts")).cast(TimestampNTZType)
+    val msg = struct(
+      col("event_type").as("instrument"),
+      ws.as("window_start"),
+      (ws + expr("INTERVAL 1 MINUTE")).as("window_end"),
+      v.as("open"), (v * 1.01).as("high"), (v * 0.99).as("low"), (v * 1.005).as("close"),
+      k.as("buy_volume"), pmod(k, lit(5)).as("sell_volume"),
+      (k + pmod(k, lit(5))).as("total_volume"), (k - pmod(k, lit(5))).as("delta"),
+      (k + col("user_id")).cast(DoubleType).as("tbq"), k.cast(DoubleType).as("tsq"))
+    events.select(col("event_id"), to_json(msg).as("json_str"))
+  }
+}

@@ -19,9 +19,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize timestamp-ish columns to ns, naive
+    import datetime
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], datetime.date):
+            df[c] = pd.to_datetime(df[c])
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
