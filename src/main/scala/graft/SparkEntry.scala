@@ -14,7 +14,11 @@ object SparkEntry {
                             Map[String, String])] = Seq(
     (ops.Candles.queries, ops.Candles.oracles),
     (ops.Parse.queries, ops.Parse.oracles),
-    (ops.Maps.queries, ops.Maps.oracles)
+    (ops.Maps.queries, ops.Maps.oracles),
+    (ops.Arrays.queries, ops.Arrays.oracles),
+    (ops.OrderFlow.queries, ops.OrderFlow.oracles),
+    (ops.Scalars.queries, ops.Scalars.oracles),
+    (ops.Rollups.queries, ops.Rollups.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

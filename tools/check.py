@@ -25,10 +25,22 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], datetime.date):
             df[c] = pd.to_datetime(df[c])
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    import numpy as np
+    sortable = [c for c in df.columns
+                if not (len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)))]
+    if sortable:
+        df = df.sort_values(by=sortable)
+    return df.reset_index(drop=True)
 
 
 def cmp_vals(a, b) -> bool:
+    import numpy as np
+    if isinstance(a, (list, np.ndarray)) or isinstance(b, (list, np.ndarray)):
+        la = list(a) if a is not None else None
+        lb = list(b) if b is not None else None
+        if la is None or lb is None or len(la) != len(lb):
+            return la == lb
+        return all(cmp_vals(x, y) for x, y in zip(la, lb))
     if isinstance(a, float) or isinstance(b, float):
         if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
             return (a is None or math.isnan(a)) and (b is None or (isinstance(b, float) and math.isnan(b)))
