@@ -18,7 +18,8 @@ object SparkEntry {
     (ops.Arrays.queries, ops.Arrays.oracles),
     (ops.OrderFlow.queries, ops.OrderFlow.oracles),
     (ops.Scalars.queries, ops.Scalars.oracles),
-    (ops.Rollups.queries, ops.Rollups.oracles)
+    (ops.Rollups.queries, ops.Rollups.oracles),
+    (ops.Export.queries, ops.Export.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -36,16 +36,27 @@ object Arrays {
     StructField("bidP", DoubleType), StructField("askP", DoubleType)))
 
   /** C13: transform(bidAskQuote, x -> x.bidP) — array-of-struct to
-    * array-of-double projection (reference: data_processor.py:125-126). */
+    * array-of-double projection (reference: data_processor.py:125-126).
+    *
+    * The transformed arrays are flattened to scalar rows with posexplode
+    * (one row per book level; empty books contribute none) because the
+    * correctness gate hash-compares cell values and cannot sort/hash raw
+    * array columns. The array semantics are still what is under test: the
+    * per-position values can only be right if `transform` produced the
+    * right arrays in the right order. */
   def hofTransform(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("q", quotes)
+      .withColumn("bid_prices", transform(col("q"), x => x.getField("bidP")))
+      .withColumn("ask_prices", transform(col("q"), x => x.getField("askP")))
+      .select(col("event_id"), size(col("q")).as("depth"),
+              posexplode(arrays_zip(col("bid_prices"), col("ask_prices"))))
       .select(
-        col("event_id"),
-        transform(col("q"), x => x.getField("bidP")).as("bid_prices"),
-        transform(col("q"), x => x.getField("askP")).as("ask_prices"),
-        size(col("q")).as("depth"))
-      .orderBy(col("event_id"))
+        col("event_id"), col("pos"),
+        col("col.bid_prices").as("bid_price"),
+        col("col.ask_prices").as("ask_price"),
+        col("depth"))
+      .orderBy(col("event_id"), col("pos"))
 
   /** C14: aggregate folds with the reference's sentinel seeds, plus the
     * guarded array_max/array_min variants (reference:
@@ -73,13 +84,16 @@ object Arrays {
 
   val oracles: Map[String, String] = Map(
     "hof_transform" ->
-      """SELECT event_id,
-        |  CASE WHEN event_type = 'error' THEN []::DOUBLE[]
-        |       ELSE [value * CAST(0.999 AS DOUBLE), value * CAST(0.998 AS DOUBLE)] END AS bid_prices,
-        |  CASE WHEN event_type = 'error' THEN []::DOUBLE[]
-        |       ELSE [value * CAST(1.001 AS DOUBLE), value * CAST(1.002 AS DOUBLE)] END AS ask_prices,
-        |  CASE WHEN event_type = 'error' THEN 0 ELSE 2 END AS depth
-        |FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id, 0 AS pos,
+        |  value * CAST(0.999 AS DOUBLE) AS bid_price,
+        |  value * CAST(1.001 AS DOUBLE) AS ask_price,
+        |  2 AS depth
+        |FROM events WHERE event_type <> 'error'
+        |UNION ALL
+        |SELECT event_id, 1,
+        |  value * CAST(0.998 AS DOUBLE), value * CAST(1.002 AS DOUBLE), 2
+        |FROM events WHERE event_type <> 'error'
+        |ORDER BY event_id, pos""".stripMargin,
     "hof_fold_best" ->
       """SELECT event_id,
         |  CASE WHEN event_type = 'error' THEN -1.7976931348623157e308

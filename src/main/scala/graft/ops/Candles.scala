@@ -30,11 +30,23 @@ import graft.Tables
 object Candles {
 
   /** Collision-free event-time ordering key: epoch-ms * 1e6 + id.
-    * Works for ids < 1e6 and epoch-ms < ~9.2e12 (year 2262 in BIGINT).
-    * Mirrors DuckDB `epoch_ms(ts) * 1000000 + id` exactly (both floor).
+    * Works for ids in [0, 1e6) and epoch-ms < ~9.2e12 (year 2262 in
+    * BIGINT). Mirrors DuckDB `epoch_ms(ts) * 1000000 + id` exactly (both
+    * floor).
+    *
+    * The id-range precondition is ENFORCED, not assumed: an id outside
+    * [0, 1e6) would spill into the neighboring millisecond bucket and two
+    * rows could silently share a key — reintroducing nondeterministic
+    * open/close under partition-merge order at exactly the scale where
+    * the merge order is arbitrary. raise_error fails the query instead.
     */
-  def orderKey(ts: Column, id: Column): Column =
-    unix_millis(ts.cast(TimestampType)) * lit(1000000L) + id
+  def orderKey(ts: Column, id: Column): Column = {
+    val guarded = when(id.between(0L, 999999L), id).otherwise(
+      raise_error(concat(
+        lit("orderKey tiebreaker id out of [0, 1e6): "), id.cast(StringType),
+        lit(" — widen the key (see graft.ops.Candles.orderKey)"))))
+    unix_millis(ts.cast(TimestampType)) * lit(1000000L) + guarded
+  }
 
   /** Generic tumbling OHLC: group rows into `windowDur` buckets of `ts`
     * per `keys`, emitting open/high/low/close/volume/n_trades.

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** B5: CSV batch export — `coalesce(1).write.csv(header=True)`
+  * (reference: README.md:402).
+  *
+  * `coalesce(1)` is intentional ONLY for small end-user exports (that is
+  * the reference's use too); at production scale exports go through
+  * [[csv]] which keeps the input parallelism.
+  */
+object Export {
+
+  /** Parallel CSV export — the scale path. */
+  def csv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Single-file CSV export for human-sized results (reference form). */
+  def csvSingleFile(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Gate-visible query: export events(event_id, event_type, value) to a
+    * scratch CSV with a header, read it back with an explicit schema, and
+    * return the rows — green only if the header and every value survive
+    * the round trip bit-exactly (Spark writes doubles in shortest
+    * round-trippable form). */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_csv_export").toString
+    csvSingleFile(
+      Tables.events(spark, dir).select("event_id", "event_type", "value"),
+      out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.read.schema(schema).option("header", "true").csv(out)
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "csv_export" -> csvRoundtrip _)
+
+  val oracles: Map[String, String] = Map(
+    "csv_export" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id")
+}

@@ -41,7 +41,7 @@ object OrderFlow {
       .withColumn("ltp", col("value"))
       .withColumn("ltq", k)
       .withColumn("best_bid", col("value") - lit(2.0))
-      .withColumn("best_ask", col("value") + lit(1.0) + pmod(k, lit(3)).cast(DoubleType))
+      .withColumn("best_ask", col("value") + lit(1.0) + (k % lit(3)).cast(DoubleType))
     classify(df)
       .select("event_id", "ltp", "ltq", "buy_volume", "sell_volume", "delta")
       .orderBy(col("event_id"))
@@ -54,7 +54,11 @@ object OrderFlow {
     * sentinel folds (C14) → classify (C15/C16) → tumbling 1-min candle agg
     * (E2-E8). Reference: data_processor.py:65-165. */
   def orderflowCandles1m(spark: SparkSession, dir: String): DataFrame = {
-    val ticks = TickGen.ticksFromEvents(Tables.events(spark, dir))
+    // Single-file scan → repartition so the JSON serialize+parse chain
+    // runs on every core, not one straggler task (see Parse.parallelEvents).
+    val ticks = TickGen.ticksFromEvents(
+      Tables.events(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism))
     val parsed = ticks
       .select(col("event_id"),
               from_json(col("json_str").cast(StringType), Schemas.tick).as("data"))

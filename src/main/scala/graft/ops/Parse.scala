@@ -27,8 +27,17 @@ object Parse {
     * CAST (C1) → from_json full 6-deep schema (C2) → struct expansion →
     * explode feeds map (C6) → dotted-path projection (C5) → string→int
     * cast (C9). */
+  /** events.parquet is a single file → one input split; without an
+    * explicit repartition the whole serialize+parse chain would run on one
+    * core (one straggler task on a real cluster). Round-robin repartition
+    * to the session's parallelism puts the per-row chain on every core;
+    * safe here because everything downstream is per-row or keyed. */
+  private def parallelEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   def tickParseFull(spark: SparkSession, dir: String): DataFrame = {
-    val ticks = TickGen.ticksFromEvents(Tables.events(spark, dir))
+    val ticks = TickGen.ticksFromEvents(parallelEvents(spark, dir))
     val parsed = ticks
       .select(col("event_id"),
               from_json(col("json_str").cast(StringType), Schemas.tick).as("data"))
@@ -58,7 +67,7 @@ object Parse {
     * to_timestamp((ltt/1000) CAST LONG) (C11 — deliberately coarser than
     * C10's ms precision); to_date for partitioning (C12). */
   def tickParsePartial(spark: SparkSession, dir: String): DataFrame = {
-    val ticks = TickGen.ticksFromEvents(Tables.events(spark, dir))
+    val ticks = TickGen.ticksFromEvents(parallelEvents(spark, dir))
     ticks
       .select(col("event_id"),
               from_json(col("json_str"), Schemas.tickLtt).as("json_data"))
@@ -76,7 +85,7 @@ object Parse {
   /** Flat candle parse (reference: candle_to_hdfs.py:45-47): 13 typed
     * columns out of flat JSON (C4), including TIMESTAMP round trips. */
   def tickParseFlat(spark: SparkSession, dir: String): DataFrame = {
-    val js = TickGen.candleJsonFromEvents(Tables.events(spark, dir))
+    val js = TickGen.candleJsonFromEvents(parallelEvents(spark, dir))
     js.select(col("event_id"), from_json(col("json_str"), Schemas.candle).as("c"))
       .select(col("event_id"), col("c.*"))
       .orderBy(col("event_id"))

@@ -25,8 +25,8 @@ object Rollups {
   def tail100Stats(spark: SparkSession, dir: String): DataFrame = {
     val tail = Tables.events(spark, dir)
       .orderBy(col("ts").desc, col("event_id").desc).limit(100)
-    val buy  = when(pmod(k, lit(2)) === 0, k).otherwise(lit(0))
-    val sell = when(pmod(k, lit(2)) =!= 0, k).otherwise(lit(0))
+    val buy  = when((k % lit(2)) === 0, k).otherwise(lit(0))
+    val sell = when((k % lit(2)) =!= 0, k).otherwise(lit(0))
     tail
       .select(col("event_id"), col("value"), buy.as("buy_v"), sell.as("sell_v"))
       .agg(
@@ -45,8 +45,8 @@ object Rollups {
   /** E11: per-candle dominance/sign classification
     * (reference: data_plotter.py:159-163,178). */
   def dominance(spark: SparkSession, dir: String): DataFrame = {
-    val buy  = when(pmod(k, lit(2)) === 0, k).otherwise(lit(0))
-    val sell = when(pmod(k, lit(2)) =!= 0, k).otherwise(lit(0))
+    val buy  = when((k % lit(2)) === 0, k).otherwise(lit(0))
+    val sell = when((k % lit(2)) =!= 0, k).otherwise(lit(0))
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(sum(buy).as("buy_volume"), sum(sell).as("sell_volume"))

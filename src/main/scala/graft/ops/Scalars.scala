@@ -65,8 +65,8 @@ object Scalars {
   /** D1: IS NOT NULL conjunction filter (reference: data_processor.py:115).
     * Nulls are derived (k%7==0 → NULL) so the filter actually drops rows. */
   def notnullFilter(spark: SparkSession, dir: String): DataFrame = {
-    val ltq = when(pmod(k, lit(7)) === 0, lit(null)).otherwise(k)
-    val ltp = when(pmod(col("user_id"), lit(5)) === 0, lit(null))
+    val ltq = when((k % lit(7)) === 0, lit(null)).otherwise(k)
+    val ltp = when((col("user_id") % lit(5)) === 0, lit(null))
       .otherwise(col("value"))
     Tables.events(spark, dir)
       .select(col("event_id"), ltq.as("ltq"), ltp.as("ltp"), col("ts"))
@@ -88,16 +88,31 @@ object Scalars {
   }
 
   /** A4: batch parquet scan with a time-range filter + narrow projection —
-    * the read-back surface (reference: README.md:386-405). The filter and
-    * 2-column ReadSchema must appear as PushedFilters in the physical
-    * plan; at 100 TB with a date-partitioned layout this same predicate
-    * becomes partition pruning. */
-  def scanPruned(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .filter(col("ts") >= lit("2024-01-15").cast(TimestampNTZType) &&
-              col("ts") < lit("2024-01-16").cast(TimestampNTZType))
-      .select(col("event_id"), col("value"))
-      .orderBy(col("event_id"))
+    * the read-back surface (reference: README.md:386-405).
+    *
+    * The predicate is applied to the RAW stored column (epoch-nanos BIGINT
+    * when the file carries TIMESTAMP(NANOS)), NOT to the
+    * timestamp-converted expression Tables.events derives — a filter on a
+    * derived expression cannot reach the file source, which at 100 TB
+    * means a full-table scan. With the raw-column filter the physical plan
+    * shows PushedFilters + a 3-column ReadSchema (asserted by PlanSpec);
+    * on a date-partitioned production layout the same predicate becomes
+    * partition pruning. */
+  def scanPruned(spark: SparkSession, dir: String): DataFrame = {
+    val utc = java.time.ZoneOffset.UTC
+    val lo  = java.time.LocalDate.of(2024, 1, 15).atStartOfDay(utc).toInstant
+    val hi  = java.time.LocalDate.of(2024, 1, 16).atStartOfDay(utc).toInstant
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val filtered = raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) surfaced as epoch-nanos BIGINT
+        raw.filter(col("ts") >= lit(lo.getEpochSecond * 1000000000L) &&
+                   col("ts") <  lit(hi.getEpochSecond * 1000000000L))
+      case _ =>
+        raw.filter(col("ts") >= lit(java.sql.Timestamp.from(lo)) &&
+                   col("ts") <  lit(java.sql.Timestamp.from(hi)))
+    }
+    filtered.select(col("event_id"), col("value")).orderBy(col("event_id"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cast_str_int"   -> castStrInt _,

@@ -79,8 +79,8 @@ object TickGen {
       ws.as("window_start"),
       (ws + expr("INTERVAL 1 MINUTE")).as("window_end"),
       v.as("open"), (v * 1.01).as("high"), (v * 0.99).as("low"), (v * 1.005).as("close"),
-      k.as("buy_volume"), pmod(k, lit(5)).as("sell_volume"),
-      (k + pmod(k, lit(5))).as("total_volume"), (k - pmod(k, lit(5))).as("delta"),
+      k.as("buy_volume"), (k % lit(5)).as("sell_volume"),
+      (k + (k % lit(5))).as("total_volume"), (k - (k % lit(5))).as("delta"),
       (k + col("user_id")).cast(DoubleType).as("tbq"), k.cast(DoubleType).as("tsq"))
     events.select(col("event_id"), to_json(msg).as("json_str"))
   }
