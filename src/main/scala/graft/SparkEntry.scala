@@ -19,7 +19,8 @@ object SparkEntry {
     (ops.OrderFlow.queries, ops.OrderFlow.oracles),
     (ops.Scalars.queries, ops.Scalars.oracles),
     (ops.Rollups.queries, ops.Rollups.oracles),
-    (ops.Export.queries, ops.Export.oracles)
+    (ops.Export.queries, ops.Export.oracles),
+    (ext.Text.queries, ext.Text.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

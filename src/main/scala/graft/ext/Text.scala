@@ -1,0 +1,155 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Text analysis over the `documents` table — the training-data-pipeline
+  * surface (BASELINE.json north_star; no reference-repo counterpart: the
+  * reference's only text handling is JSON codec work, SURVEY.md §2.C).
+  *
+  * Every operator is per-row Catalyst expressions (split / HOFs / regexp) —
+  * no UDFs, no shuffle, whole-stage codegen'd, so throughput scales
+  * linearly with input splits at 100 TB.
+  *
+  * Tokenization convention: documents.text is single-space-separated
+  * lowercase words, so `split(text, ' ')` is exact; a production corpus
+  * would swap in the regexp tokenizer from [[tokenCount]].
+  */
+object Text {
+
+  private val Stopwords  = Seq("the", "a", "of", "and", "to", "in")
+  /** Marker sets for the lang-id heuristic (en vs non-en function words). */
+  private val EnMarkers  = Seq("the", "a", "of", "and")
+  private val DeMarkers  = Seq("der", "die", "das", "und")
+
+  private def toks: Column = split(col("text"), " ")
+
+  private def countIn(toksCol: Column, words: Seq[String]): Column =
+    size(filter(toksCol, t => t.isin(words: _*)))
+
+  /** Quality scoring: length / token / stopword / distinct-ratio stats and
+    * a banded quality score — the usual first-pass corpus filter. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val wc = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        wc.cast(LongType).as("word_count"),
+        size(array_distinct(toks)).cast(LongType).as("distinct_words"),
+        (sumLen.cast(DoubleType) / wc).as("avg_word_len"),
+        countIn(toks, Stopwords).cast(LongType).as("stopword_count"),
+        (countIn(toks, Stopwords).cast(DoubleType) / wc).as("stopword_ratio"),
+        (size(array_distinct(toks)).cast(DoubleType) / wc).as("ttr"))
+      .withColumn("quality_score",
+        when(col("word_count") >= 40 && col("ttr") >= 0.3, lit(1.0))
+          .otherwise(when(col("word_count") >= 15, lit(0.5))
+          .otherwise(lit(0.0))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic: function-word marker counts per language
+    * family, argmax with a deterministic tie rule. (On this synthetic
+    * corpus the vocabulary carries no language signal — the mechanics,
+    * not the accuracy, are what the gate verifies.) */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        countIn(toks, EnMarkers).cast(LongType).as("score_en"),
+        countIn(toks, DeMarkers).cast(LongType).as("score_de"))
+      .withColumn("predicted_lang",
+        when(col("score_en") >= col("score_de"), lit("en")).otherwise(lit("de")))
+      .withColumn("is_match", (col("predicted_lang") === col("lang")).cast(IntegerType))
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace tokens plus a BPE-ish regexp pass
+    * (letter runs / digit runs / single other chars — the pre-tokenizer
+    * split most BPE vocabularies assume). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+             lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+          .cast(LongType).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprinting: min-hash over character 8-gram shingles
+    * (the columnar form of a rolling-hash fingerprint) plus a whole-text
+    * digest. md5 is used because the DuckDB oracle must reproduce the
+    * value bit-for-bit; swap for xxhash64 where the fingerprint never
+    * leaves Spark. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val n = greatest(length(col("text")) - 7, lit(1))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("text_md5"),
+        array_min(transform(sequence(lit(1), n),
+                            i => md5(col("text").substr(i, lit(8)))))
+          .as("shingle_fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"       -> textStats _,
+    "text_lang_id"     -> langId _,
+    "text_token_count" -> tokenCount _,
+    "text_fingerprint" -> fingerprint _)
+
+  private def sqlList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH t AS (
+         |  SELECT *, string_split(text, ' ') AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(toks) AS BIGINT) AS word_count,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_words,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         |      / len(toks) AS avg_word_len,
+         |    CAST(len(list_filter(toks, t -> list_contains(${sqlList(Stopwords)}, t))) AS BIGINT)
+         |      AS stopword_count,
+         |    CAST(len(list_filter(toks, t -> list_contains(${sqlList(Stopwords)}, t))) AS DOUBLE)
+         |      / len(toks) AS stopword_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+         |  FROM t)
+         |SELECT *,
+         |  CASE WHEN word_count >= 40 AND ttr >= 0.3 THEN 1.0
+         |       WHEN word_count >= 15 THEN 0.5 ELSE 0.0 END AS quality_score
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> list_contains(${sqlList(EnMarkers)}, t))) AS BIGINT) AS score_en,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> list_contains(${sqlList(DeMarkers)}, t))) AS BIGINT) AS score_de
+         |  FROM documents)
+         |SELECT *,
+         |  CASE WHEN score_en >= score_de THEN 'en' ELSE 'de' END AS predicted_lang,
+         |  CAST(CASE WHEN score_en >= score_de THEN 'en' ELSE 'de' END = lang
+         |       AS INTEGER) AS is_match
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        |       AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |                          i -> md5(substr(text, CAST(i AS INTEGER), 8))))
+        |    AS shingle_fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
