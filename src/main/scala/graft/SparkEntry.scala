@@ -20,7 +20,8 @@ object SparkEntry {
     (ops.Scalars.queries, ops.Scalars.oracles),
     (ops.Rollups.queries, ops.Rollups.oracles),
     (ops.Export.queries, ops.Export.oracles),
-    (ext.Text.queries, ext.Text.oracles)
+    (ext.Text.queries, ext.Text.oracles),
+    (ext.Dedup.queries, ext.Dedup.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
