@@ -21,7 +21,8 @@ object SparkEntry {
     (ops.Rollups.queries, ops.Rollups.oracles),
     (ops.Export.queries, ops.Export.oracles),
     (ext.Text.queries, ext.Text.oracles),
-    (ext.Dedup.queries, ext.Dedup.oracles)
+    (ext.Dedup.queries, ext.Dedup.oracles),
+    (ext.Similarity.queries, ext.Similarity.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

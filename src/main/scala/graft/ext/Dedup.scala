@@ -123,18 +123,13 @@ object Dedup {
     * (≈ p99 of the within-label cosine distribution on this data). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-              transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, p) => s + p)
+      .select(col("vec_id"), col("label"), Vectors.asDouble(col("embedding")).as("v"))
     val a = vecs.select(col("vec_id"), col("label"), col("v"))
     val b = vecs.select(col("vec_id").as("nn_id"), col("label").as("label_b"),
                         col("v").as("w"))
     val pairs = a.join(b,
         col("label") === col("label_b") && col("vec_id") =!= col("nn_id"))
-      .withColumn("cosine",
-        dot(col("v"), col("w")) /
-          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("w"), col("w")))))
+      .withColumn("cosine", Vectors.cosine(col("v"), col("w")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nn_id"))

@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table —
+  * training-data-pipeline surface (BASELINE.json north_star).
+  *
+  * Three queries covering the two halves of a production ANN stack:
+  *
+  *  - `knn_brute`: exact top-k — the BROADCAST side is the (small) query
+  *    set, the candidate corpus streams through executors once. At 100 TB
+  *    the corpus is the big side and never shuffles; per-query state is a
+  *    k-row heap (window top-k per partition, merged by the final rank
+  *    filter). This is the recall baseline every ANN variant is measured
+  *    against.
+  *  - `knn_ivf`: the scale path — probe ONLY the query's IVF cell (the
+  *    `label` column is the precomputed coarse-quantizer assignment, as
+  *    at ingest time in a real pipeline). The join is keyed on the cell
+  *    id, so the plan touches 1/n_cells of the corpus per query instead
+  *    of all of it; recall < 1 is the documented tradeoff.
+  *  - `knn_ivf_centroids`: the build step — per-cell centroids. Values
+  *    are fixed-point-quantized (floor to 1e-6) and summed as BIGINT so
+  *    the centroid is independent of partition merge order (a raw DOUBLE
+  *    avg is not associative and cannot be hash-verified).
+  */
+object Similarity {
+
+  private val NumQueries = 10
+  private val TopK       = 3
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), Vectors.asDouble(col("embedding")).as("v"))
+
+  private def topK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Exact brute-force cosine top-k: broadcast the query set, stream the
+    * corpus. */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cand = all.select(col("vec_id").as("nn_id"), col("v").as("w"))
+    topK(cand.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("w"))))
+  }
+
+  /** IVF probe: same queries, but candidates come only from the query's
+    * own cell — the label-keyed join IS the index. */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("cell"), col("v").as("qv"))
+    val cand = all.select(col("vec_id").as("nn_id"), col("label").as("cell_c"),
+                          col("v").as("w"))
+    topK(cand.join(broadcast(q),
+        col("cell_c") === col("cell") && col("nn_id") =!= col("query_id"))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("w"))))
+  }
+
+  /** IVF build: per-cell centroid, one row per (cell, dimension).
+    * Fixed-point quantization (floor x*1e6 → BIGINT) makes the sum exact
+    * and partition-order-independent; the final division back to DOUBLE
+    * is a fixed expression, identical in both engines. */
+  def knnIvfCentroids(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("label").as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(floor(col("x") * 1e6).cast(LongType)).as("qsum"),
+           count(lit(1)).as("n"))
+      .select(col("cell"), col("dim"),
+              (col("qsum").cast(DoubleType) / 1e6 / col("n")).as("centroid"),
+              col("n"))
+      .orderBy(col("cell"), col("dim"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_brute"         -> knnBrute _,
+    "knn_ivf"           -> knnIvf _,
+    "knn_ivf_centroids" -> knnIvfCentroids _)
+
+  private val cosineSql =
+    """list_sum(list_transform(list_zip(q.qv, c.w),
+      |      z -> struct_extract(z, 1) * struct_extract(z, 2)))
+      |      / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(c.w, x -> x * x))))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "knn_brute" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < $NumQueries),
+         |c AS (SELECT vec_id AS nn_id, v AS w FROM v),
+         |s AS (
+         |  SELECT q.query_id, c.nn_id, $cosineSql AS cosine
+         |  FROM c CROSS JOIN q WHERE c.nn_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cosine DESC, nn_id) AS rank FROM s)
+         |SELECT query_id, rank, nn_id, cosine FROM r
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "knn_ivf" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS cell, v AS qv
+         |      FROM v WHERE vec_id < $NumQueries),
+         |c AS (SELECT vec_id AS nn_id, label AS cell_c, v AS w FROM v),
+         |s AS (
+         |  SELECT q.query_id, c.nn_id, $cosineSql AS cosine
+         |  FROM c JOIN q ON c.cell_c = q.cell WHERE c.nn_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cosine DESC, nn_id) AS rank FROM s)
+         |SELECT query_id, rank, nn_id, cosine FROM r
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "knn_ivf_centroids" ->
+      """WITH d AS (
+        |  SELECT label AS cell, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |SELECT cell, dim,
+        |  CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*)
+        |    AS centroid,
+        |  count(*) AS n
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
