@@ -22,7 +22,8 @@ object SparkEntry {
     (ops.Export.queries, ops.Export.oracles),
     (ext.Text.queries, ext.Text.oracles),
     (ext.Dedup.queries, ext.Dedup.oracles),
-    (ext.Similarity.queries, ext.Similarity.oracles)
+    (ext.Similarity.queries, ext.Similarity.oracles),
+    (ext.Multimodal.queries, ext.Multimodal.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

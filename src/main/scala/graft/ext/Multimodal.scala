@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal column handling — the training-data-pipeline surface for
+  * image/audio/video payloads (BASELINE.json north_star).
+  *
+  * The design: media is an opaque BINARY column plus a typed metadata
+  * struct (format, width, height, n_frames), the layout a 100 TB corpus
+  * actually uses (bytes in parquet/object store, metadata queryable
+  * without touching the bytes — column pruning means a metadata-only
+  * query never reads a single payload byte).
+  *
+  * DECODE IS A STUB: this container has no image/audio codecs, so the
+  * "decoder" is a deterministic function of the payload bytes
+  * ([[fakeLuma]]), clearly marked below. In production it would be a
+  * `mapPartitions` (or Python `mapInPandas`) batch decode feeding the
+  * same output schema — everything around the stub (payload synthesis,
+  * binary column plumbing, metadata schema, per-frame explode shape,
+  * partition-parallel layout) is real and gate-verified.
+  *
+  * Payloads are synthesized from `documents.text` bytes so the DuckDB
+  * oracle can reproduce every value (encode → BLOB on its side).
+  */
+object Multimodal {
+
+  /** documents → (doc_id, payload BINARY, format, width, height,
+    * n_frames) — the standing multimodal table shape. */
+  private def media(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+                 (col("doc_id") % 3 + 1).cast(IntegerType)).as("format"),
+      ((col("n_chars") % 32 + 1) * 16).as("width"),
+      ((col("n_chars") % 24 + 1) * 16).as("height"),
+      (col("n_chars") % 30 + 2).as("n_frames"))
+
+  /** ==== THE DECODE STUB ====
+    * Stands in for codec output (e.g. mean luma of a decoded image):
+    * a deterministic projection of the payload digest. Swap for a real
+    * decoder inside mapPartitions without touching the query shape. */
+  private def fakeLuma(payload: Column): Column =
+    (conv(substring(md5(payload), 1, 4), 16, 10).cast(IntegerType) % 256)
+      .as("decoded_mean_luma")
+
+  /** Feature extraction: byte length, content digest, container header
+    * bytes (hex), decode-stub feature — plus the metadata carried along.
+    * A real pipeline runs this shape once at ingest and stores the
+    * features columnar next to the payload. */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .select(
+        col("doc_id"), col("format"), col("width"), col("height"),
+        octet_length(col("payload")).cast(LongType).as("byte_len"),
+        md5(col("payload")).as("digest"),
+        substring(hex(col("payload")), 1, 8).as("header_hex"),
+        fakeLuma(col("payload")))
+      .orderBy(col("doc_id"))
+
+  /** Resize: pure metadata transform — new dimensions at target width
+    * 64 preserving aspect ratio (integer floor, like a real thumbnailer
+    * pass); the payload column is untouched and therefore never read. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        lit(64).as("new_width"),
+        expr("(height * 64) DIV width").as("new_height"),
+        (col("width").cast(DoubleType) / col("height")).as("aspect"))
+      .orderBy(col("doc_id"))
+
+  /** Frame sampling: every 4th frame index per "video", one output row
+    * per sampled frame with a per-frame signature (decode-stub again).
+    * The explode multiplies rows inside the scan stage — no shuffle. */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .select(col("doc_id"), col("n_frames"),
+              explode(sequence(lit(0), col("n_frames") - 1, lit(4)))
+                .as("frame_idx"))
+      .select(
+        col("doc_id"), col("n_frames"), col("frame_idx"),
+        md5(concat(col("doc_id").cast(StringType), lit(":"),
+                   col("frame_idx").cast(StringType))).as("frame_sig"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_features" -> mmFeatures _,
+    "mm_resize"   -> mmResize _,
+    "mm_frames"   -> mmFrames _)
+
+  private val mediaSql =
+    """(SELECT doc_id, encode(text) AS payload,
+      |  ['png', 'jpeg', 'wav'][CAST(doc_id % 3 + 1 AS INTEGER)] AS format,
+      |  (n_chars % 32 + 1) * 16 AS width,
+      |  (n_chars % 24 + 1) * 16 AS height,
+      |  n_chars % 30 + 2 AS n_frames,
+      |  text
+      |FROM documents) m""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "mm_features" ->
+      s"""SELECT doc_id, format, width, height,
+         |  CAST(octet_length(payload) AS BIGINT) AS byte_len,
+         |  md5(text) AS digest,
+         |  substr(hex(payload), 1, 8) AS header_hex,
+         |  ('0x' || substr(md5(text), 1, 4))::INTEGER % 256 AS decoded_mean_luma
+         |FROM $mediaSql ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      s"""SELECT doc_id, width, height, 64 AS new_width,
+         |  (height * 64) // width AS new_height,
+         |  CAST(width AS DOUBLE) / height AS aspect
+         |FROM $mediaSql ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      s"""SELECT doc_id, n_frames, unnest(range(0, n_frames, 4)) AS frame_idx,
+         |  md5(doc_id || ':' || unnest(range(0, n_frames, 4))) AS frame_sig
+         |FROM $mediaSql ORDER BY doc_id, frame_idx""".stripMargin)
+}
