@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards — the "ExplainSpec" SURVEY §5 calls
+  * for. A silently-unpushed filter or a global sort where a top-k heap
+  * should be is invisible to the value-comparing gate but fatal at
+  * 100 TB; these tests pin the plan shape itself. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.sparkPlan.toString // pre-AQE physical plan
+
+  test("scan_pruned pushes the ts range filter into the parquet scan") {
+    val plan = planOf(ops.Scalars.scanPruned(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+           s"filter not pushed:\n$plan")
+    // narrow projection: only the 3 needed columns reach the reader
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,ts:bigint,value:double>"),
+           s"scan reads more than it needs:\n$plan")
+  }
+
+  test("top-k by recency plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(ops.Rollups.topkRecent(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("candle aggregation shuffles exactly once (partial + final HashAggregate)") {
+    // executedPlan: exchanges are only inserted by EnsureRequirements
+    val plan = ops.Candles.candles1m(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 hash exchange:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan) // partial+final
+  }
+
+  test("brute-force knn broadcasts the query side, not the corpus") {
+    val plan = planOf(ext.Similarity.knnBrute(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+           plan)
+  }
+
+  test("LSH candidate generation joins within buckets — no cartesian product") {
+    val plan = planOf(ext.Dedup.dedupMinhashLsh(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
