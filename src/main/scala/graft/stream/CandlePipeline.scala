@@ -1,0 +1,88 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.OrderFlow
+import graft.schema.Schemas
+
+/** The reference's core streaming pipeline (§3.1 of SURVEY.md), wired for
+  * Structured Streaming: tick JSON → parse → explode feeds → orderflow
+  * classification → watermark (E1) → tumbling-window candle aggregation
+  * (E2-E8) → append-mode emission (E9).
+  *
+  * Reference: data_processor.py:65-183. Every stage is a declarative
+  * expression, so the SAME function body runs batch or streaming — the
+  * batch path is what the correctness gate verifies
+  * (graft.ops.OrderFlow.orderflowCandles1m is the event_id-keyed batch
+  * twin); the streaming path adds only watermark + state semantics, which
+  * StreamingSpec covers with MemoryStream.
+  *
+  * Scale: stateless per-row chain until the single hash Exchange of the
+  * windowed groupBy; state per (window, instrument) group is bounded by
+  * the watermark (state for a window is evicted once the watermark passes
+  * its end — E9).
+  *
+  * Ordering note: the wire format carries no row id, so open/close use
+  * `min_by`/`max_by` on the epoch-ms `ltt` — deterministic up to
+  * within-millisecond ties, which is the strongest guarantee the
+  * reference's own data model allows (its `first`/`last` are
+  * arrival-order and weaker, data_processor.py:148,151).
+  */
+object CandlePipeline {
+
+  /** Parse + project + classify: C1-C16 over a `json_str` column. */
+  def parseAndClassify(ticks: DataFrame): DataFrame = {
+    val parsed = ticks
+      .select(from_json(col("json_str"), Schemas.tick).as("data"))
+      .select(explode(col("data.feeds")).as(Seq("instrument", "feed")))
+      .select(
+        col("instrument"),
+        col("feed.fullFeed.marketFF.ltpc.ltp").as("ltp"),
+        col("feed.fullFeed.marketFF.ltpc.ltq").cast(IntegerType).as("ltq"),
+        col("feed.fullFeed.marketFF.ltpc.ltt").cast(LongType).as("ltt_long"),
+        col("feed.fullFeed.marketFF.marketLevel.bidAskQuote").as("quotes"),
+        col("feed.fullFeed.marketFF.tbq").as("tbq"),
+        col("feed.fullFeed.marketFF.tsq").as("tsq"))
+      .withColumn("event_time", timestamp_millis(col("ltt_long"))) // C10
+      .filter(col("ltq").isNotNull && col("ltp").isNotNull &&
+              col("event_time").isNotNull) // D1
+      .withColumn("bid_prices", transform(col("quotes"), _.getField("bidP")))
+      .withColumn("ask_prices", transform(col("quotes"), _.getField("askP")))
+      .withColumn("best_bid",
+        aggregate(col("bid_prices"), lit(-1.7976931348623157e308),
+                  (acc, x) => when(acc > x, acc).otherwise(x)))
+      .withColumn("best_ask",
+        aggregate(col("ask_prices"), lit(1.7976931348623157e308),
+                  (acc, x) => when(acc < x, acc).otherwise(x)))
+    OrderFlow.classify(parsed)
+  }
+
+  /** E1-E9: watermarked tumbling-window candles. With append output mode
+    * a candle is emitted exactly once — after the watermark passes its
+    * window end — and its state is then evicted. */
+  def candles(ticks: DataFrame,
+              windowDur: String = "1 minute",
+              watermark: String = "5 minutes"): DataFrame =
+    parseAndClassify(ticks)
+      .withWatermark("event_time", watermark) // E1
+      .groupBy(window(col("event_time"), windowDur), col("instrument")) // E2
+      .agg(
+        min_by(col("ltp"), col("ltt_long")).as("open"),    // E3 (deterministic)
+        max(col("ltp")).as("high"),                        // E4
+        min(col("ltp")).as("low"),
+        max_by(col("ltp"), col("ltt_long")).as("close"),   // E5
+        sum(col("buy_volume")).as("buy_volume"),           // E6
+        sum(col("sell_volume")).as("sell_volume"),
+        (sum(col("buy_volume")) + sum(col("sell_volume"))).as("total_volume"), // E7
+        sum(col("delta")).as("delta"),
+        max_by(col("tbq"), col("ltt_long")).as("tbq"),
+        max_by(col("tsq"), col("ltt_long")).as("tsq"))
+      .select( // E8: flatten the window struct
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("instrument"), col("open"), col("high"), col("low"), col("close"),
+        col("buy_volume"), col("sell_volume"), col("total_volume"),
+        col("delta"), col("tbq"), col("tsq"))
+}
