@@ -5,6 +5,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus)
+    // Warm the JVM/codegen/parquet-footer paths once so the first timed
+    // query measures the query, not session startup.
+    try Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     // noop-format write materializes EVERY column of the final plan
     // (projections, sorts, limits included) without sink I/O — unlike
     // count(), which lets Catalyst prune projections and elide sorts.

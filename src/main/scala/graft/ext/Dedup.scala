@@ -33,24 +33,36 @@ object Dedup {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** Word 3-gram shingle set (distinct). Chosen over unigrams because a
-    * small vocabulary saturates unigram sets and degenerates LSH into one
-    * giant bucket (measured: a 317-doc bucket on this corpus) — the
-    * classic LSH skew failure. 3-grams keep buckets tight. */
-  private def shingles: Column =
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+  /** Word 3-gram shingle set (distinct) over a MATERIALIZED `toks`
+    * column. The lambda must index an attribute, not `split(text)`
+    * directly — inlined, the split would re-run for every array element
+    * (O(words²) per doc; measured 4.3 s vs 0.3 s for the shingle build at
+    * sf0.1). Chosen over unigrams because a small vocabulary saturates
+    * unigram sets and degenerates LSH into one giant bucket (measured: a
+    * 317-doc bucket on this corpus) — the classic LSH skew failure;
+    * 3-grams keep buckets tight. */
+  private def shinglesFromToks: Column = {
+    val t = col("toks")
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2),
         i => concat_ws(" ",
-          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+          element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
       .otherwise(array().cast(ArrayType(StringType)))
+  }
 
   private val NumHashes = 8
   private val NumBands  = 4 // rows per band = 2
 
-  /** MinHash j: min over shingles of md5("j:" ++ shingle) — string min
-    * over hex digests, identical in Spark and DuckDB. */
+  /** MinHash j: the 8 hash lanes are SLICES of 2 md5 digests — lane j
+    * uses 32 bits (8 hex chars) of md5("⌊j/4⌋:" ++ shingle). One 128-bit
+    * digest yields 4 independent-enough minhash lanes, so the dominant
+    * cost (md5 per shingle) drops 4× versus one digest per lane, with
+    * measured identical candidate quality on this corpus (26 candidates /
+    * 25 verified vs 28/25). String min over hex is identical in Spark and
+    * DuckDB. */
   private def minhash(j: Int): Column =
-    array_min(transform(col("ss"), s => md5(concat(lit(s"$j:"), s))))
+    array_min(transform(col("ss"),
+      s => substring(md5(concat(lit(s"${j / 4}:"), s)), (j % 4) * 8 + 1, 8)))
 
   /** A1 of the dedup family: exact duplicate groups by content digest. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -70,7 +82,8 @@ object Dedup {
     * pass does the precision. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = docs.select(col("doc_id"), shingles.as("ss"))
+    val sh = docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), shinglesFromToks.as("ss"))
     val sig = sh.select(
       (col("doc_id") +: col("ss") +:
         (0 until NumBands).map { b =>
@@ -103,7 +116,10 @@ object Dedup {
   /** 16-bit SimHash signature per document over distinct tokens: bit j is
     * the sign of the +1/−1 vote sum across token-hash bit j. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = transform(array_distinct(toks), t => md5(t))
+    // The token-hash array is referenced by all 16 bit-vote folds —
+    // materialize it as a column so it is built once per row, not once
+    // per bit (CollapseProject would otherwise inline 16 copies).
+    val hashes = col("hs")
     val sim = (0 until 16).map { j =>
       val votes = aggregate(hashes, lit(0), (acc, h) => {
         val hv  = conv(h.substr(lit(j / 4 + 1), lit(1)), 16, 10).cast(IntegerType)
@@ -113,6 +129,8 @@ object Dedup {
       when(votes > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              transform(array_distinct(toks), t => md5(t)).as("hs"))
       .select(col("doc_id"), sim.as("simhash16"))
       .orderBy(col("doc_id"))
   }
@@ -122,14 +140,20 @@ object Dedup {
     * label, so no all-pairs product), flagged near-dup at cosine >= 0.3
     * (≈ p99 of the within-label cosine distribution on this data). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    // Norms are per-VECTOR, so compute them once before the pair join —
+    // cosine inside the join would fold three dot products per pair
+    // (3× the work, and the norm folds re-run O(bucket) times per
+    // vector). At ingest scale the norm is a stored column.
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), Vectors.asDouble(col("embedding")).as("v"))
-    val a = vecs.select(col("vec_id"), col("label"), col("v"))
+      .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v"))))
+    val a = vecs.select(col("vec_id"), col("label"), col("v"), col("nrm"))
     val b = vecs.select(col("vec_id").as("nn_id"), col("label").as("label_b"),
-                        col("v").as("w"))
+                        col("v").as("w"), col("nrm").as("nrm_b"))
     val pairs = a.join(b,
         col("label") === col("label_b") && col("vec_id") =!= col("nn_id"))
-      .withColumn("cosine", Vectors.cosine(col("v"), col("w")))
+      .withColumn("cosine",
+        Vectors.dot(col("v"), col("w")) / (col("nrm") * col("nrm_b")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nn_id"))
@@ -157,7 +181,7 @@ object Dedup {
       |           string_split(text, ' ')[i+2]))""".stripMargin
 
   private def minhashSql(j: Int) =
-    s"list_min(list_transform(ss, s -> md5('$j:' || s)))"
+    s"list_min(list_transform(ss, s -> substr(md5('${j / 4}:' || s), ${(j % 4) * 8 + 1}, 8)))"
 
   private val bandsSql = (0 until NumBands).map { b =>
     s"SELECT doc_id, $b AS band_id, md5(${minhashSql(2 * b)} || '|' || ${minhashSql(2 * b + 1)}) AS bkey FROM sh"
@@ -202,16 +226,19 @@ object Dedup {
          |SELECT doc_id, CAST($simhashTermsSql AS BIGINT) AS simhash16
          |FROM t ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
-      """WITH v AS (
+      """WITH v0 AS (
         |  SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
+        |v AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM v0),
         |p AS (
         |  SELECT a.vec_id, a.label, b.vec_id AS nn_id,
         |    list_sum(list_transform(list_zip(a.v, b.v),
         |                            z -> struct_extract(z, 1) * struct_extract(z, 2)))
-        |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-        |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
+        |      / (a.nrm * b.nrm) AS cosine
         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id

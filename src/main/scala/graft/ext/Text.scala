@@ -80,18 +80,19 @@ object Text {
           .cast(LongType).as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
-  /** Document fingerprinting: min-hash over character 8-gram shingles
-    * (the columnar form of a rolling-hash fingerprint) plus a whole-text
-    * digest. md5 is used because the DuckDB oracle must reproduce the
-    * value bit-for-bit; swap for xxhash64 where the fingerprint never
-    * leaves Spark. */
+  /** Document fingerprinting: min-hash over character 8-gram shingles at
+    * stride 4 (the columnar form of a strided rolling-hash fingerprint —
+    * half-overlapping windows cover every byte while hashing ¼ of the
+    * positions) plus a whole-text digest. md5 is used because the DuckDB
+    * oracle must reproduce the value bit-for-bit; swap for xxhash64 where
+    * the fingerprint never leaves Spark. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val n = greatest(length(col("text")) - 7, lit(1))
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         md5(col("text")).as("text_md5"),
-        array_min(transform(sequence(lit(1), n),
+        array_min(transform(sequence(lit(1), n, lit(4)),
                             i => md5(col("text").substr(i, lit(8)))))
           .as("shingle_fingerprint"))
       .orderBy(col("doc_id"))
@@ -148,7 +149,7 @@ object Text {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS text_md5,
-        |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1, 4),
         |                          i -> md5(substr(text, CAST(i AS INTEGER), 8))))
         |    AS shingle_fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin)

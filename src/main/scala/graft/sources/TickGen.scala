@@ -32,8 +32,17 @@ object TickGen {
     q.cast(StringType).as("askQ"), ap.as("askP"))
 
   /** events(event_id, ts, user_id, event_type, value, props) →
-    * (event_id, ts, event_type, value, k, json_str). */
+    * (event_id, ts, event_type, value, k, json_str).
+    *
+    * `k` and `ltt_ms` are projected ONCE before the struct build: the
+    * message references them ~10 times each, and as raw expressions every
+    * reference would re-run the JSON path lookup / timestamp conversion
+    * per use (expression-tree CSE does not reach inside a single to_json
+    * argument). */
   def ticksFromEvents(events: DataFrame): DataFrame = {
+    val pre = events.select(col("event_id"), col("ts"), col("user_id"),
+                            col("event_type"), col("value"),
+                            k.as("k"), lttMs.as("ltt_ms"))
     val v = col("value")
     val msg = struct(
       lit("live_feed").as("type"),
@@ -42,30 +51,30 @@ object TickGen {
         struct(
           struct(
             struct(
-              struct(v.as("ltp"), lttMs.cast(StringType).as("ltt"),
-                     k.cast(StringType).as("ltq"), (v * 0.5).as("cp")).as("ltpc"),
+              struct(v.as("ltp"), col("ltt_ms").cast(StringType).as("ltt"),
+                     col("k").cast(StringType).as("ltq"), (v * 0.5).as("cp")).as("ltpc"),
               struct(array(
-                quote(v * 0.999, v * 1.001, k),
-                quote(v * 0.998, v * 1.002, k + lit(1))).as("bidAskQuote")).as("marketLevel"),
+                quote(v * 0.999, v * 1.001, col("k")),
+                quote(v * 0.998, v * 1.002, col("k") + lit(1))).as("bidAskQuote")).as("marketLevel"),
               struct().as("optionGreeks"),
               struct(array(struct(
                 lit("I1").as("interval"), v.as("open"), (v * 1.01).as("high"),
                 (v * 0.99).as("low"), (v * 1.005).as("close"),
-                (k * 10).cast(StringType).as("vol"),
-                lttMs.cast(StringType).as("ts"))).as("ohlc")).as("marketOHLC"),
+                (col("k") * 10).cast(StringType).as("vol"),
+                col("ltt_ms").cast(StringType).as("ts"))).as("ohlc")).as("marketOHLC"),
               (v * 1.0005).as("atp"),
-              (k * 100).cast(StringType).as("vtt"),
-              (k + col("user_id")).cast(DoubleType).as("tbq"),
-              k.cast(DoubleType).as("tsq")
+              (col("k") * 100).cast(StringType).as("vtt"),
+              (col("k") + col("user_id")).cast(DoubleType).as("tbq"),
+              col("k").cast(DoubleType).as("tsq")
             ).as("marketFF"),
             lit("full_d30").as("requestMode")
           ).as("fullFeed")
         )
       ).as("feeds"),
-      lttMs.cast(StringType).as("currentTs"))
+      col("ltt_ms").cast(StringType).as("currentTs"))
 
-    events.select(col("event_id"), col("ts"), col("event_type"), col("value"),
-                  k.as("k"), to_json(msg).as("json_str"))
+    pre.select(col("event_id"), col("ts"), col("event_type"), col("value"),
+               col("k"), to_json(msg).as("json_str"))
   }
 
   /** Flat candle-shaped JSON per event row (13 columns of

@@ -34,9 +34,12 @@ object CandlePipeline {
 
   /** Parse + project + classify: C1-C16 over a `json_str` column. */
   def parseAndClassify(ticks: DataFrame): DataFrame = {
+    // explode_outer: prevents InferFiltersFromGenerate from duplicating
+    // the from_json into an inferred size() filter (see
+    // OrderFlow.orderflowCandles1m); null-feed rows die at the D1 filter.
     val parsed = ticks
       .select(from_json(col("json_str"), Schemas.tick).as("data"))
-      .select(explode(col("data.feeds")).as(Seq("instrument", "feed")))
+      .select(explode_outer(col("data.feeds")).as(Seq("instrument", "feed")))
       .select(
         col("instrument"),
         col("feed.fullFeed.marketFF.ltpc.ltp").as("ltp"),

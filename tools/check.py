@@ -16,18 +16,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def first_non_null(s: pd.Series):
+    nn = s.dropna()
+    return nn.iloc[0] if len(nn) else None
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize timestamp-ish columns to ns, naive
+    # normalize timestamp-ish columns to ns, naive. Column kind is sniffed
+    # from the first NON-NULL value — a null in row 0 must not
+    # misclassify the column (that failure class broke hof_transform).
     import datetime
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
-        elif df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], datetime.date):
+        elif df[c].dtype == object and isinstance(first_non_null(df[c]), datetime.date):
             df[c] = pd.to_datetime(df[c])
     import numpy as np
     sortable = [c for c in df.columns
-                if not (len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)))]
+                if not isinstance(first_non_null(df[c]), (list, np.ndarray))]
     if sortable:
         df = df.sort_values(by=sortable)
     return df.reset_index(drop=True)
