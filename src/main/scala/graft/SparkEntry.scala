@@ -20,6 +20,7 @@ object SparkEntry {
     (ops.Scalars.queries, ops.Scalars.oracles),
     (ops.Rollups.queries, ops.Rollups.oracles),
     (ops.Export.queries, ops.Export.oracles),
+    (ops.Joins.queries, ops.Joins.oracles),
     (ext.Text.queries, ext.Text.oracles),
     (ext.Dedup.queries, ext.Dedup.oracles),
     (ext.Similarity.queries, ext.Similarity.oracles),

@@ -41,6 +41,22 @@ class PlanSpec extends AnyFunSuite {
            plan)
   }
 
+  test("star join: dims broadcast, fact-fact shuffle-joined") {
+    // At test SF orders fits under autoBroadcastJoinThreshold and Spark
+    // (correctly) broadcasts it too; disable auto-broadcast to assert the
+    // at-scale plan: only the EXPLICIT broadcast() dims build hash sides,
+    // the fact-fact join shuffles.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = planOf(ops.Joins.starRevenue(spark, sfDir))
+      assert("BroadcastHashJoin".r.findAllIn(plan).size === 3, plan) // c, n, r
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+             s"fact-fact join must shuffle, not broadcast:\n$plan")
+    } finally spark.conf.set(key, old)
+  }
+
   test("LSH candidate generation joins within buckets — no cartesian product") {
     val plan = planOf(ext.Dedup.dedupMinhashLsh(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)
