@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Analytic window functions — the engine-side form of the dashboard's
+  * rolling-tail statistics (SURVEY §2.E10: the reference computes them
+  * client-side over a deque, data_plotter.py:274-295; here they are
+  * first-class distributed operators).
+  *
+  * Scale posture: one hash Exchange on the partition key, then a
+  * per-partition sort — state is a single frame buffer per partition, no
+  * driver involvement. The rolling sum/avg accumulate in DECIMAL so the
+  * result does not depend on the engine's frame-update strategy
+  * (incremental slide vs recompute differ in float rounding; DECIMAL is
+  * exact under both).
+  */
+object Windows {
+
+  /** Trailing 10-row rolling stats per series, event-time ordered with
+    * the id tiebreak. */
+  def rollingStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-9, 0)
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        max(col("value")).over(w).as("rolling_max"),
+        min(col("value")).over(w).as("rolling_min"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("rolling_sum"),
+        count(lit(1)).over(w).as("rolling_n"))
+      .withColumn("rolling_avg", col("rolling_sum") / col("rolling_n"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Group-wise top-n: the 3 highest-value events per series via
+    * row_number over a fully-deterministic order. */
+  def topnPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+              row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_stats"  -> rollingStats _,
+    "topn_per_group" -> topnPerGroup _)
+
+  val oracles: Map[String, String] = Map(
+    "rolling_stats" ->
+      """SELECT event_id, event_type, value,
+        |  max(value) OVER w AS rolling_max,
+        |  min(value) OVER w AS rolling_min,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_sum,
+        |  count(*) OVER w AS rolling_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS rolling_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "topn_per_group" ->
+      """SELECT event_type, event_id, value, rnk FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin)
+}
