@@ -1,11 +1,11 @@
 package graft.stream
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.OrderFlow
-import graft.schema.Schemas
+import graft.schema.{Candle, Schemas}
 
 /** The reference's core streaming pipeline (§3.1 of SURVEY.md), wired for
   * Structured Streaming: tick JSON → parse → explode feeds → orderflow
@@ -88,4 +88,26 @@ object CandlePipeline {
         col("instrument"), col("open"), col("high"), col("low"), col("close"),
         col("buy_volume"), col("sell_volume"), col("total_volume"),
         col("delta"), col("tbq"), col("tsq"))
+
+  /** Typed module boundary (SURVEY §1.4): the same stream as
+    * Dataset[Candle], giving downstream consumers compile-time column
+    * safety. Casts are the narrowing the case class declares (sums come
+    * back as BIGINT, window bounds as the session-UTC wall clock). */
+  def candlesTyped(ticks: DataFrame,
+                   windowDur: String = "1 minute",
+                   watermark: String = "5 minutes"): Dataset[Candle] = {
+    val df = candles(ticks, windowDur, watermark)
+    import df.sparkSession.implicits._
+    df.select(
+        col("instrument"),
+        col("window_start").cast(TimestampNTZType).as("window_start"),
+        col("window_end").cast(TimestampNTZType).as("window_end"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("buy_volume").cast(IntegerType).as("buy_volume"),
+        col("sell_volume").cast(IntegerType).as("sell_volume"),
+        col("total_volume").cast(IntegerType).as("total_volume"),
+        col("delta").cast(IntegerType).as("delta"),
+        col("tbq"), col("tsq"))
+      .as[Candle]
+  }
 }

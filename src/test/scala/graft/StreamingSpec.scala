@@ -102,6 +102,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(tick("subscribe") === "upstox_ticks")
   }
 
+  test("typed Dataset[Candle] boundary round-trips the candle schema") {
+    val input = MemoryStream[String]
+    val typed = CandlePipeline.candlesTyped(
+      input.toDF().select(col("value").as("json_str")))
+    val query = typed.writeStream
+      .format("memory").queryName("candles_typed")
+      .outputMode("append")
+      .option("checkpointLocation",
+              Files.createTempDirectory("graft_typed_ckpt").toString)
+      .start()
+    try {
+      input.addData(tickJson("T1", T0 + 1000, 10.0, 2, 9.0, 11.0))
+      input.addData(tickJson("T1", T0 + 420000, 50.0, 1, 49.0, 51.0))
+      query.processAllAvailable()
+      val cs = spark.table("candles_typed").as[graft.schema.Candle].collect()
+      assert(cs.length === 1)
+      assert(cs(0).instrument === "T1")
+      assert(cs(0).open === 10.0 && cs(0).total_volume === 2)
+      assert(cs(0).window_start.toString === "2024-01-15T09:00")
+    } finally query.stop()
+  }
+
   test("rate-source tick generator produces parseable wire JSON") {
     // rateTicks is a stream; validate the same generator columns in batch
     val df = CandlePipeline.parseAndClassify(
