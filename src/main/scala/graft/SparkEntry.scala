@@ -28,9 +28,12 @@ object SparkEntry {
     (ext.Multimodal.queries, ext.Multimodal.oracles)
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full §3.1 chain: wire JSON → parse → explode → classify →
+    * windowed orderflow candles — the engine's core capability in one
+    * plan. */
   def entry(spark: SparkSession): DataFrame =
-    ops.Candles.candles1m(spark, "/root/testdata/sf0.001")
+    ops.OrderFlow.orderflowCandles1m(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -80,15 +80,29 @@ object Dedup {
     * keep >= 0.5. Measured on sf0.01: 28 candidates from 124,750 possible
     * pairs, 25 verified — the banded join does the pruning, the Jaccard
     * pass does the precision. */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sh = docs.select(col("doc_id"), toks.as("toks"))
+  /** Shingle sets per doc — shared by the signature build and the
+    * Jaccard verify. */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), shinglesFromToks.as("ss"))
-    val sig = sh.select(
-      (col("doc_id") +: col("ss") +:
+
+  /** The LSH BUILD step: per-doc banded signature (doc_id, b0..b3). In
+    * production this table is computed once at ingest and persisted —
+    * the probe side (pair generation) then never touches the texts. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(spark, dir).select(
+      (col("doc_id") +:
         (0 until NumBands).map { b =>
           md5(concat(minhash(2 * b), lit("|"), minhash(2 * b + 1))).as(s"b$b")
         }): _*)
+
+  private def minhashSigQuery(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(spark, dir).orderBy(col("doc_id"))
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh  = shingleSets(spark, dir)
+    val sig = minhashSignatures(spark, dir)
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*))
         .as(Seq("band_id", "bkey")))
@@ -167,6 +181,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"       -> dedupExact _,
+    "dedup_minhash_sig" -> minhashSigQuery _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash"     -> dedupSimhash _,
     "dedup_embedding"   -> dedupEmbedding _)
@@ -200,6 +215,17 @@ object Dedup {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_minhash_sig" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(string_split(text, ' ')) >= 3
+         |         THEN $shingleSql ELSE [] END AS ss
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${(0 until NumBands).map(b =>
+              s"md5(${minhashSql(2 * b)} || '|' || ${minhashSql(2 * b + 1)}) AS b$b")
+              .mkString(",\n  ")}
+         |FROM sh ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH sh AS (
          |  SELECT doc_id,
