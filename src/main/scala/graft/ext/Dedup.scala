@@ -23,8 +23,10 @@ import graft.Tables
   *                hex digits are used so the DuckDB oracle reproduces the
   *                value bit-for-bit).
   *  - embedding:  cosine near-dup where candidate generation is the label
-  *                bucket (an IVF-style partition) — again join-within-
-  *                bucket, never all-pairs.
+  *                bucket (an IVF-style partition) sub-divided by
+  *                sorted-neighborhood projection blocks — per-vector
+  *                candidates are BOUNDED (≤ 3·BlockW − 1), so even a
+  *                popular cell never degenerates to an all-pairs join.
   *
   * Everything is built from codegen'd built-ins (HOFs, md5, joins,
   * window); no UDFs, no collect.
@@ -59,10 +61,17 @@ object Dedup {
     * cost (md5 per shingle) drops 4× versus one digest per lane, with
     * measured identical candidate quality on this corpus (26 candidates /
     * 25 verified vs 28/25). String min over hex is identical in Spark and
-    * DuckDB. */
-  private def minhash(j: Int): Column =
-    array_min(transform(col("ss"),
-      s => substring(md5(concat(lit(s"${j / 4}:"), s)), (j % 4) * 8 + 1, 8)))
+    * DuckDB.
+    *
+    * The slicing only pays if the digest arrays are MATERIALIZED columns
+    * (`hs0`/`hs1`): a lane written as `transform(ss, s => substring(md5(
+    * …), …))` re-hashes every shingle per lane — 8 md5 passes instead of
+    * 2 (the duplicated-expression trap; CollapseProject keeps multiply-
+    * referenced non-cheap aliases un-inlined, so the column form is
+    * computed once). */
+  private def lane(j: Int): Column =
+    array_min(transform(col(if (j < 4) "hs0" else "hs1"),
+      h => substring(h, (j % 4) * 8 + 1, 8)))
 
   /** A1 of the dedup family: exact duplicate groups by content digest. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -81,9 +90,15 @@ object Dedup {
     * pairs, 25 verified — the banded join does the pruning, the Jaccard
     * pass does the precision. */
   /** Shingle sets per doc — shared by the signature build and the
-    * Jaccard verify. */
+    * Jaccard verify. The repartition spreads the per-doc tokenize +
+    * shingle + (downstream) md5 work across all cores: the documents
+    * table arrives as few parquet splits (ONE at test SF), and without it
+    * every CPU-heavy per-doc stage in this module runs on a single core
+    * (same fix as Parse.scala's tick_parse_full). The shuffle moves each
+    * text once — strictly cheaper than serializing the hash work. */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), shinglesFromToks.as("ss"))
 
@@ -91,21 +106,46 @@ object Dedup {
     * production this table is computed once at ingest and persisted —
     * the probe side (pair generation) then never touches the texts. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    shingleSets(spark, dir).select(
-      (col("doc_id") +:
-        (0 until NumBands).map { b =>
-          md5(concat(minhash(2 * b), lit("|"), minhash(2 * b + 1))).as(s"b$b")
-        }): _*)
+    signaturesFrom(shingleSets(spark, dir))
+
+  private def signaturesFrom(sh: DataFrame): DataFrame =
+    sh.withColumn("hs0", transform(col("ss"), s => md5(concat(lit("0:"), s))))
+      .withColumn("hs1", transform(col("ss"), s => md5(concat(lit("1:"), s))))
+      .select(
+        (col("doc_id") +:
+          (0 until NumBands).map { b =>
+            md5(concat(lane(2 * b), lit("|"), lane(2 * b + 1))).as(s"b$b")
+          }): _*)
 
   private def minhashSigQuery(spark: SparkSession, dir: String): DataFrame =
     minhashSignatures(spark, dir).orderBy(col("doc_id"))
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh  = shingleSets(spark, dir)
-    val sig = minhashSignatures(spark, dir)
-    val bands = sig.select(col("doc_id"),
-      posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*))
-        .as(Seq("band_id", "bkey")))
+    // The shingle-set frame has THREE consumers in this plan: the
+    // signature build and the x/y sides of the Jaccard verify. Spark
+    // re-executes a shared subplan once per reference, so without the
+    // persist the corpus is tokenized+shingled+md5'd three times — it was
+    // the single most expensive query in BENCH_r04 (5.3 s) purely from
+    // that recompute. Persisting makes it one pass (2.0 s measured),
+    // which is also the production economics: `minhashSignatures` is the
+    // persisted ingest artifact, and the probe reads it — never the
+    // texts — until the final per-candidate verify.
+    val sh = shingleSets(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bands are BOTH sides of the candidate self-join — persist them too,
+    // or each side re-runs the md5 signature pass over the cached
+    // shingles. ~(docs × NumBands) narrow rows: tiny. The single eager
+    // count() (a) fills BOTH caches exactly once — lazily-populated
+    // caches whose consumer stages get scheduled concurrently compute the
+    // same partitions repeatedly (observed as BlockManager "already
+    // exists; not re-adding" races) — and (b) leaves the final action
+    // nothing but cache reads plus the candidate join itself.
+    val bands = signaturesFrom(sh)
+      .select(col("doc_id"),
+        posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*))
+          .as(Seq("band_id", "bkey")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bands.count()
     val left  = bands.select(col("doc_id").as("doc_a"),
                              col("band_id"), col("bkey"))
     val right = bands.select(col("doc_id").as("doc_b"),
@@ -116,7 +156,14 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
     val x = sh.select(col("doc_id").as("xid"), col("ss").as("xss"))
     val y = sh.select(col("doc_id").as("yid"), col("ss").as("yss"))
-    cand
+    // broadcast(cand): candidates after banding are O(near-dups) — tiny —
+    // while sh carries every doc's shingle array. Left to statistics the
+    // planner builds the hash side from SH (collecting + broadcasting the
+    // whole shingle corpus, the exact thing the LSH design avoids
+    // shipping); pinning the build side makes the verify two cache-read
+    // streams against a kilobyte-scale hash table.
+    val candB = broadcast(cand)
+    candB
       .join(x, col("doc_a") === col("xid"))
       .join(y, col("doc_b") === col("yid"))
       .withColumn("jaccard",
@@ -149,23 +196,53 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Embedding-cosine near-dup: each vector's nearest neighbor WITHIN its
-    * label bucket (IVF-style candidate generation — the join is keyed on
-    * label, so no all-pairs product), flagged near-dup at cosine >= 0.3
-    * (≈ p99 of the within-label cosine distribution on this data). */
+  /** Sorted-neighborhood block width for [[dedupEmbedding]]: each vector
+    * is compared against at most 3·W − 1 candidates (its own projection
+    * block plus both adjacent blocks), so the pair join is O(n·W) — NOT
+    * O(Σ|cell|²), which would blow up quadratically inside any popular
+    * cell at corpus scale. */
+  private val BlockW = 32
+
+  /** Embedding-cosine near-dup with BOUNDED candidate generation.
+    *
+    * Candidate stage: within each label cell (the IVF-style coarse
+    * quantizer), vectors are ranked by a deterministic 1-D projection
+    * (fixed-point sum of components — exact BIGINT, partition-order
+    * independent) and cut into blocks of [[BlockW]]; each vector is
+    * compared only against its own and the two adjacent blocks — the
+    * classic sorted-neighborhood blocking bound. The join stays EQUI-keyed
+    * on (label, block) by exploding each probe row into its 3 block keys,
+    * so the plan never enumerates a cell cross-product (a BETWEEN range
+    * predicate would degrade to label-join + filter = O(cell²) again).
+    *
+    * Recall tradeoff (documented, by design): the reported neighbor is the
+    * nearest within the ≤ 3·W − 1 blocked candidates, not the cell-exact
+    * nearest — vectors whose true neighbor sits > W ranks away in
+    * projection order may report a farther one. That is the standard
+    * ANN-dedup contract; widen [[BlockW]] (or add a second projection
+    * pass) to trade cost for recall. Near-dup flag at cosine >= 0.3
+    * (≈ p99 of the within-label cosine distribution on this data).
+    */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    // Norms are per-VECTOR, so compute them once before the pair join —
-    // cosine inside the join would fold three dot products per pair
-    // (3× the work, and the norm folds re-run O(bucket) times per
-    // vector). At ingest scale the norm is a stored column.
+    // Norms/projections are per-VECTOR, so compute them once before the
+    // pair join — at ingest scale both are stored columns.
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), Vectors.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v"))))
-    val a = vecs.select(col("vec_id"), col("label"), col("v"), col("nrm"))
-    val b = vecs.select(col("vec_id").as("nn_id"), col("label").as("label_b"),
-                        col("v").as("w"), col("nrm").as("nrm_b"))
-    val pairs = a.join(b,
-        col("label") === col("label_b") && col("vec_id") =!= col("nn_id"))
+      .withColumn("proj", // exact fixed-point sum → same rank in any engine
+        aggregate(col("v"), lit(0L), (s, x) => s + floor(x * 1e6).cast(LongType)))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("proj"), col("vec_id"))
+    val blocked = vecs
+      .withColumn("blk", floor((row_number().over(rankW) - 1) / BlockW))
+    val probes = blocked
+      .withColumn("bkey", explode(array(col("blk") - 1, col("blk"), col("blk") + 1)))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("bkey"))
+    val cands = blocked.select(col("vec_id").as("nn_id"), col("label").as("label_b"),
+                               col("v").as("w"), col("nrm").as("nrm_b"), col("blk"))
+    val pairs = probes.join(cands,
+        col("label") === col("label_b") && col("bkey") === col("blk") &&
+        col("vec_id") =!= col("nn_id"))
       .withColumn("cosine",
         Vectors.dot(col("v"), col("w")) / (col("nrm") * col("nrm_b")))
     val w = org.apache.spark.sql.expressions.Window
@@ -252,25 +329,34 @@ object Dedup {
          |SELECT doc_id, CAST($simhashTermsSql AS BIGINT) AS simhash16
          |FROM t ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
-      """WITH v0 AS (
-        |  SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |v AS (
-        |  SELECT vec_id, label, v,
-        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-        |  FROM v0),
-        |p AS (
-        |  SELECT a.vec_id, a.label, b.vec_id AS nn_id,
-        |    list_sum(list_transform(list_zip(a.v, b.v),
-        |                            z -> struct_extract(z, 1) * struct_extract(z, 2)))
-        |      / (a.nrm * b.nrm) AS cosine
-        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                               ORDER BY cosine DESC, nn_id) AS rn
-        |  FROM p)
-        |SELECT vec_id, label, nn_id, cosine,
-        |  CAST(cosine >= 0.3 AS INTEGER) AS is_near_dup
-        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+      s"""WITH v0 AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |v AS (
+         |  SELECT vec_id, label, v,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+         |    list_sum(list_transform(v, x -> CAST(floor(x * 1e6) AS BIGINT))) AS proj
+         |  FROM v0),
+         |b AS (
+         |  SELECT *, CAST(floor((row_number() OVER (PARTITION BY label
+         |              ORDER BY proj, vec_id) - 1) / $BlockW) AS BIGINT) AS blk
+         |  FROM v),
+         |e AS (
+         |  SELECT b.*, b.blk + d.d AS bkey
+         |  FROM b CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d),
+         |p AS (
+         |  SELECT a.vec_id, a.label, c.vec_id AS nn_id,
+         |    list_sum(list_transform(list_zip(a.v, c.v),
+         |                            z -> struct_extract(z, 1) * struct_extract(z, 2)))
+         |      / (a.nrm * c.nrm) AS cosine
+         |  FROM e a JOIN b c ON a.label = c.label AND a.bkey = c.blk
+         |                   AND a.vec_id <> c.vec_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cosine DESC, nn_id) AS rn
+         |  FROM p)
+         |SELECT vec_id, label, nn_id, cosine,
+         |  CAST(cosine >= 0.3 AS INTEGER) AS is_near_dup
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
 }
