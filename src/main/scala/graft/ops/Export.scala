@@ -29,8 +29,16 @@ object Export {
     * the round trip bit-exactly (Spark writes doubles in shortest
     * round-trippable form). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_csv_export").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_csv_export")
+    // scratch data: reap on JVM exit so repeated gate/bench runs don't
+    // accumulate temp dirs (deepest-first so files go before their dirs)
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val out = outDir.toString
     csvSingleFile(
       Tables.events(spark, dir).select("event_id", "event_type", "value"),
       out)

@@ -39,6 +39,34 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** [[rollingStats]] over a HIGH-CARDINALITY series key.
+    *
+    * Every other per-series operator in the fixture is keyed on
+    * `event_type` — 5 distinct values, so on a 32-core box (let alone a
+    * 1000-executor cluster) the exchange leaves all but 5 partitions
+    * empty and the window work serializes on 5 cores. Real corpora key
+    * these ops on the instrument (thousands of series); this query runs
+    * the same trailing frame on the composed (event_type × user_id) key —
+    * ~750 series at sf0.01, ~7500 at sf0.1 — so the bench row and the
+    * PlanSpec assertion actually exercise the partitioning regime the
+    * engine claims. `concat` (not concat_ws) so a null component nulls
+    * the key exactly like SQL `||`. */
+  def rollingStatsHc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("series_key"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-9, 0)
+    Tables.events(spark, dir)
+      .withColumn("series_key",
+        concat(col("event_type"), lit("-"), col("user_id").cast(StringType)))
+      .select(
+        col("event_id"), col("series_key"), col("value"),
+        max(col("value")).over(w).as("rolling_max"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("rolling_sum"),
+        count(lit(1)).over(w).as("rolling_n"))
+      .orderBy(col("event_id"))
+  }
+
   /** Group-wise top-n: the 3 highest-value events per series via
     * row_number over a fully-deterministic order. */
   def topnPerGroup(spark: SparkSession, dir: String): DataFrame = {
@@ -52,8 +80,9 @@ object Windows {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rolling_stats"  -> rollingStats _,
-    "topn_per_group" -> topnPerGroup _)
+    "rolling_stats"    -> rollingStats _,
+    "rolling_stats_hc" -> rollingStatsHc _,
+    "topn_per_group"   -> topnPerGroup _)
 
   val oracles: Map[String, String] = Map(
     "rolling_stats" ->
@@ -66,6 +95,17 @@ object Windows {
         |    / count(*) OVER w AS rolling_avg
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "rolling_stats_hc" ->
+      """SELECT event_id,
+        |  event_type || '-' || CAST(user_id AS VARCHAR) AS series_key, value,
+        |  max(value) OVER w AS rolling_max,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_sum,
+        |  count(*) OVER w AS rolling_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type || '-' || CAST(user_id AS VARCHAR)
+        |             ORDER BY ts, event_id
         |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "topn_per_group" ->

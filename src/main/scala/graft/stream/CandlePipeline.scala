@@ -24,11 +24,18 @@ import graft.schema.{Candle, Schemas}
   * the watermark (state for a window is evicted once the watermark passes
   * its end — E9).
   *
-  * Ordering note: the wire format carries no row id, so open/close use
-  * `min_by`/`max_by` on the epoch-ms `ltt` — deterministic up to
-  * within-millisecond ties, which is the strongest guarantee the
-  * reference's own data model allows (its `first`/`last` are
-  * arrival-order and weaker, data_processor.py:148,151).
+  * Ordering note — WEAKER tie-break than the batch twin, by necessity:
+  * the batch pipeline orders open/close by the collision-free
+  * `Candles.orderKey` (epoch-ms × 1e6 + row id), but the wire format
+  * here carries NO row id (SURVEY §1.2 — the tick schema has only the
+  * epoch-ms `ltt`), so open/close use `min_by`/`max_by` on `ltt` alone:
+  * deterministic up to within-millisecond ties, the strongest guarantee
+  * the reference's own data model allows (its `first`/`last` are
+  * arrival-order and weaker still, data_processor.py:148,151). Ticks in
+  * the same millisecond at the same price are indistinguishable on the
+  * wire, so the residual nondeterminism is bounded and inherent; a
+  * producer-assigned sequence number is the upgrade path if a stronger
+  * guarantee is ever required.
   */
 object CandlePipeline {
 

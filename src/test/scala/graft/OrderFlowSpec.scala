@@ -30,20 +30,8 @@ class OrderFlowSpec extends AnyFunSuite {
     assert(classify(Seq((99.1, 5, 99.0, 101.0))) === Array((0, 5, -5)))
   }
 
-  test("conservation: buy + sell = ltq and delta = buy - sell, exactly one side fills") {
-    val rnd = new scala.util.Random(42)
-    val cases = Seq.fill(200) {
-      val mid  = 50 + rnd.nextDouble() * 100
-      val half = 0.5 + rnd.nextDouble() * 5
-      val ltp  = mid + (rnd.nextDouble() - 0.5) * 3 * half
-      (ltp, rnd.nextInt(1000) + 1, mid - half, mid + half)
-    }
-    val out = classify(cases)
-    out.zip(cases).foreach { case ((buy, sell, delta), (_, ltq, _, _)) =>
-      assert(buy + sell === ltq)
-      assert(delta === buy - sell)
-      assert(buy === 0 || sell === 0)
-      assert(buy > 0 || sell > 0)
-    }
-  }
+  // The conservation law (buy + sell = ltq, delta = buy − sell, exactly
+  // one side fills) is property-tested over GENERATED inputs in
+  // OrderFlowProps (ScalaCheck), which replaced this spec's hand-rolled
+  // Random loop; the fixed cases above pin the two boundary rules.
 }

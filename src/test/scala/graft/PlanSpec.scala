@@ -57,6 +57,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("high-cardinality rolling window partitions on the composed series key") {
+    val df = ops.Windows.rollingStatsHc(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the window's exchange must hash on series_key — hundreds-to-
+    // thousands of partitionable series, not event_type's 5
+    assert(plan.contains("Exchange hashpartitioning(series_key"),
+           s"window not partitioned on the composed key:\n$plan")
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    // 75 series at the sf0.001 test fixture (5 types × 15 users) — 15×
+    // event_type's cardinality; 750 at the sf0.01 gate, 7500 at the
+    // sf0.1 bench.
+    val nSeries = df.agg(countDistinct(col("series_key"))).collect()(0).getLong(0)
+    assert(nSeries >= 50,
+           s"fixture must exercise high key cardinality, got $nSeries series")
+  }
+
   test("LSH candidate generation joins within buckets — no cartesian product") {
     val plan = planOf(ext.Dedup.dedupMinhashLsh(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)
