@@ -120,6 +120,35 @@ object Dedup {
   private def minhashSigQuery(spark: SparkSession, dir: String): DataFrame =
     minhashSignatures(spark, dir).orderBy(col("doc_id"))
 
+  /** (doc_id, band_id, bkey) rows from a signature table. */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*))
+        .as(Seq("band_id", "bkey")))
+
+  /** Distinct (doc_a, doc_b) candidate pairs from banded bucket keys:
+    * the self-join is EQUI-keyed on (band_id, bkey), so pair count is
+    * Σ bucket² over tight per-band buckets — never the corpus
+    * cross-product. */
+  private def pairsFromBands(bands: DataFrame): DataFrame = {
+    val left  = bands.select(col("doc_id").as("doc_a"),
+                             col("band_id"), col("bkey"))
+    val right = bands.select(col("doc_id").as("doc_b"),
+                             col("band_id").as("band_id_r"), col("bkey").as("bkey_r"))
+    left.join(right,
+        col("band_id") === col("band_id_r") && col("bkey") === col("bkey_r") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** The LSH PROBE against the persisted ingest artifact: candidate pairs
+    * from a stored [[minhashSignatures]] table ALONE — the production
+    * path, where pair generation runs over the (tiny) signature table and
+    * never touches document texts. Verified equivalent to the
+    * text-derived probe in DedupArtifactSpec via a parquet round trip. */
+  def lshCandidates(sig: DataFrame): DataFrame =
+    pairsFromBands(bandsOf(sig)).orderBy(col("doc_a"), col("doc_b"))
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // The shingle-set frame has THREE consumers in this plan: the
     // signature build and the x/y sides of the Jaccard verify. Spark
@@ -140,20 +169,10 @@ object Dedup {
     // same partitions repeatedly (observed as BlockManager "already
     // exists; not re-adding" races) — and (b) leaves the final action
     // nothing but cache reads plus the candidate join itself.
-    val bands = signaturesFrom(sh)
-      .select(col("doc_id"),
-        posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*))
-          .as(Seq("band_id", "bkey")))
+    val bands = bandsOf(signaturesFrom(sh))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.count()
-    val left  = bands.select(col("doc_id").as("doc_a"),
-                             col("band_id"), col("bkey"))
-    val right = bands.select(col("doc_id").as("doc_b"),
-                             col("band_id").as("band_id_r"), col("bkey").as("bkey_r"))
-    val cand = left.join(right,
-        col("band_id") === col("band_id_r") && col("bkey") === col("bkey_r") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = pairsFromBands(bands)
     val x = sh.select(col("doc_id").as("xid"), col("ss").as("xss"))
     val y = sh.select(col("doc_id").as("yid"), col("ss").as("yss"))
     // broadcast(cand): candidates after banding are O(near-dups) — tiny —

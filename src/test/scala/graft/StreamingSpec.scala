@@ -94,6 +94,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.agg(sum(col("close"))).collect()(0).getDouble(0) === 303.0)
   }
 
+  test("console sink (B4) starts and drains a micro-batch") {
+    val input = MemoryStream[String]
+    val query = Sinks.consoleSink(
+        input.toDF().select(col("value").as("json_str")), numRows = 5)
+      .option("checkpointLocation",
+              Files.createTempDirectory("graft_console_ckpt").toString)
+      .start()
+    try {
+      input.addData(tickJson("C1", T0, 1.0, 1, 0.9, 1.1))
+      query.processAllAvailable()
+      assert(query.isActive)
+      assert(query.lastProgress.numInputRows === 1)
+    } finally query.stop()
+  }
+
   test("kafka source options preserve the reference's offset asymmetry") {
     val tick = Sources.kafkaTickOptions("broker:9092", "upstox_ticks")
     val arch = Sources.kafkaArchivalOptions("broker:9092", "upstox_ticks")
