@@ -5,10 +5,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus)
-    // Warm the JVM/codegen/parquet-footer paths once so the first timed
-    // query measures the query, not session startup.
-    try Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+    // Warm the JVM/codegen/parquet-footer/page-cache paths for EVERY
+    // input table once, so the first timed query touching a table
+    // measures the query, not session startup or cold file I/O (first
+    // touch of a parquet file was worth whole seconds of noise on shared
+    // storage).
+    for (t <- Seq("events", "lineitem", "orders", "customer", "supplier",
+                  "part", "nation", "region", "documents", "embeddings"))
+      try Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $t: $e") }
     // noop-format write materializes EVERY column of the final plan
     // (projections, sorts, limits included) without sink I/O — unlike
     // count(), which lets Catalyst prune projections and elide sorts.

@@ -193,6 +193,44 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Distinct character 3-gram set — the edit-robust granularity for
+    * [[dedupNgramJaccard]] (word shingles miss single-character edits
+    * inside words; char 3-grams catch them). */
+  private def charGrams(c: Column): Column =
+    when(length(c) >= 3,
+      array_distinct(transform(sequence(lit(1), length(c) - 2),
+        i => c.substr(i, lit(3)))))
+      .otherwise(array(c))
+
+  /** N-gram Jaccard near-dup scoring: the word-shingle banded LSH
+    * generates the candidate pairs (same bounded bucket-join shape as
+    * [[dedupMinhashLsh]] — never all-pairs), and each candidate is scored
+    * by exact CHARACTER-3-gram Jaccard. Emits every candidate with its
+    * score, unthresholded: the two granularities disagree precisely on
+    * edited-inside-word near-dups, and surfacing the score lets the
+    * pipeline pick its own cut. One cached pass computes word shingles
+    * and char grams together. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), toks.as("toks"), col("text"))
+      .select(col("doc_id"), shinglesFromToks.as("ss"), charGrams(col("text")).as("cg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandsOf(signaturesFrom(base))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bands.count() // fills both caches once — see dedupMinhashLsh
+    val cand = pairsFromBands(bands)
+    val x = base.select(col("doc_id").as("xid"), col("cg").as("xcg"))
+    val y = base.select(col("doc_id").as("yid"), col("cg").as("ycg"))
+    broadcast(cand)
+      .join(x, col("doc_a") === col("xid"))
+      .join(y, col("doc_b") === col("yid"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("xcg"), col("ycg"))).cast(DoubleType) /
+          size(array_union(col("xcg"), col("ycg")))).as("ngram_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** 16-bit SimHash signature per document over distinct tokens: bit j is
     * the sign of the +1/−1 vote sum across token-hash bit j. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -276,11 +314,12 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_exact"       -> dedupExact _,
-    "dedup_minhash_sig" -> minhashSigQuery _,
-    "dedup_minhash_lsh" -> dedupMinhashLsh _,
-    "dedup_simhash"     -> dedupSimhash _,
-    "dedup_embedding"   -> dedupEmbedding _)
+    "dedup_exact"         -> dedupExact _,
+    "dedup_minhash_sig"   -> minhashSigQuery _,
+    "dedup_minhash_lsh"   -> dedupMinhashLsh _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_simhash"       -> dedupSimhash _,
+    "dedup_embedding"     -> dedupEmbedding _)
 
   // ---- oracles ----
 
@@ -339,6 +378,26 @@ object Dedup {
          |FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
          |WHERE CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)
          |    / len(list_distinct(x.ss || y.ss)) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(string_split(text, ' ')) >= 3
+         |         THEN $shingleSql ELSE [] END AS ss,
+         |    CASE WHEN len(text) >= 3
+         |         THEN list_distinct(list_transform(range(1, len(text) - 1),
+         |                                           i -> substr(text, i, 3)))
+         |         ELSE [text] END AS cg
+         |  FROM documents),
+         |bands AS ($bandsSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(x.cg, y.cg)) AS DOUBLE)
+         |    / len(list_distinct(x.cg || y.cg)) AS ngram_jaccard
+         |FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH t AS (

@@ -1,0 +1,71 @@
+package graft.stream
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.schema.Candle
+
+/** The dashboard's bounded rolling tail as a DISTRIBUTED stateful
+  * streaming operator (SURVEY §2.E10 / §1.1: the reference keeps
+  * `deque(maxlen=100)` of candles per instrument CLIENT-side and
+  * recomputes stats on every update, data_plotter.py:15,274–295 — a
+  * single-process consumer that cannot scale past one machine's Kafka
+  * read).
+  *
+  * Here the same semantics run inside the engine via
+  * `KeyValueGroupedDataset.flatMapGroupsWithState`: state is the last
+  * [[RollingTail.MaxTail]] closes per instrument — explicitly BOUNDED, so
+  * per-key state bytes are O(MaxTail) regardless of stream length — and
+  * each micro-batch emits one refreshed stat row per updated instrument
+  * (Update mode, exactly the dashboard's "recompute on update" contract).
+  *
+  * Scale posture: state lives in the state store, partitioned by
+  * instrument hash — thousands of instruments spread over executors; no
+  * driver involvement, no unbounded growth, checkpoint-recoverable like
+  * any stateful query.
+  *
+  * Ordering: rows are folded in window_start order within a micro-batch;
+  * across batches arrival order governs (the candle stream from the
+  * processor is watermark-finalized, hence near-ordered). The batch twin
+  * with total-order semantics is ops/Rollups.tail100Stats.
+  */
+object RollingTail {
+
+  val MaxTail = 100
+
+  /** Bounded per-instrument state: closes of the last [[MaxTail]]
+    * candles, oldest first. */
+  case class TailState(closes: List[Double])
+
+  case class TailStats(
+      instrument: String,
+      as_of: java.time.LocalDateTime, // window_start of the newest candle folded
+      n: Int,
+      avg_close: Double, min_close: Double, max_close: Double)
+
+  /** candles → per-instrument rolling-tail stats, one row per instrument
+    * per micro-batch that touched it. Works on batch Datasets too (Spark
+    * runs the same function with a single all-rows "batch"). */
+  def stats(candles: Dataset[Candle]): Dataset[TailStats] = {
+    import candles.sparkSession.implicits._
+    candles
+      .groupByKey(_.instrument)
+      .flatMapGroupsWithState[TailState, TailStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (instrument, rows, state: GroupState[TailState]) =>
+          val incoming = rows.toSeq
+            .sortWith((a, b) => a.window_start.isBefore(b.window_start))
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            val prior = state.getOption.map(_.closes).getOrElse(Nil)
+            val tail  = (prior ++ incoming.map(_.close)).takeRight(MaxTail)
+            state.update(TailState(tail))
+            Iterator.single(TailStats(
+              instrument,
+              incoming.last.window_start,
+              tail.length,
+              tail.sum / tail.length, tail.min, tail.max))
+          }
+      }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schema.Candle
+import graft.stream.RollingTail
+
+/** Custom-state streaming semantics (flatMapGroupsWithState) that DuckDB
+  * cannot oracle: the bounded rolling tail accumulates ACROSS
+  * micro-batches per instrument, stays capped at MaxTail, and emits one
+  * refreshed stat row per touched instrument per batch. */
+class RollingTailSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+  private implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val T0 = LocalDateTime.of(2024, 1, 15, 9, 0)
+
+  private def candle(instr: String, minute: Int, close: Double): Candle =
+    Candle(instr, T0.plusMinutes(minute.toLong), T0.plusMinutes(minute + 1L),
+           close, close, close, close, 1, 0, 1, 1, 0.0, 0.0)
+
+  test("tail state accumulates across batches per instrument and stays bounded") {
+    val input = MemoryStream[Candle]
+    val query = RollingTail.stats(input.toDS()).writeStream
+      .format("memory").queryName("rolling_tail").outputMode("update")
+      .option("checkpointLocation",
+              Files.createTempDirectory("graft_tail_ckpt").toString)
+      .start()
+    try {
+      // batch 1: out-of-order within the batch → folded by window_start
+      input.addData(candle("A", 1, 10.0), candle("A", 0, 30.0), candle("B", 0, 5.0))
+      query.processAllAvailable()
+      val b1 = spark.table("rolling_tail").as[RollingTail.TailStats]
+        .collect().map(s => s.instrument -> s).toMap
+      assert(b1("A").n === 2)
+      assert(b1("A").avg_close === 20.0)     // (30 + 10) / 2
+      assert(b1("A").as_of === T0.plusMinutes(1)) // newest by window_start
+      assert(b1("B").n === 1 && b1("B").min_close === 5.0)
+
+      // batch 2: state carries over — A's tail is now 3 closes
+      input.addData(candle("A", 2, 50.0))
+      query.processAllAvailable()
+      val b2 = spark.table("rolling_tail").as[RollingTail.TailStats].collect()
+        .filter(_.instrument == "A").maxBy(_.n)
+      assert(b2.n === 3)
+      assert(b2.avg_close === 30.0)          // (30 + 10 + 50) / 3
+      assert(b2.max_close === 50.0 && b2.min_close === 10.0)
+
+      // batch 3: 150 more candles → tail must cap at MaxTail, evicting
+      // the oldest (closes 30, 10, 50 all fall out; survivors are the
+      // last 100 of 1000+i)
+      input.addData((0 until 150).map(i => candle("A", 3 + i, 1000.0 + i)): _*)
+      query.processAllAvailable()
+      val b3 = spark.table("rolling_tail").as[RollingTail.TailStats].collect()
+        .filter(_.instrument == "A").maxBy(_.as_of.toString)
+      assert(b3.n === RollingTail.MaxTail)
+      assert(b3.min_close === 1050.0)        // 150 - 100 = oldest survivor
+      assert(b3.max_close === 1149.0)
+    } finally query.stop()
+  }
+}
