@@ -211,17 +211,20 @@ object Dedup {
     * pipeline pick its own cut. One cached pass computes word shingles
     * and char grams together. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), toks.as("toks"), col("text"))
-      .select(col("doc_id"), shinglesFromToks.as("ss"), charGrams(col("text")).as("cg"))
+    // Only BANDS are persisted: the shingle chain has a single consumer
+    // here (the signature build inside bands), so caching it buys
+    // nothing, and caching the char-gram arrays costs more (columnar
+    // encode of ~|text| strings per doc) than the two cheap md5-free
+    // recomputes on the x/y verify streams.
+    val bands = bandsOf(signaturesFrom(shingleSets(spark, dir)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = bandsOf(signaturesFrom(base))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bands.count() // fills both caches once — see dedupMinhashLsh
+    bands.count() // one pass fills the cache — see dedupMinhashLsh
     val cand = pairsFromBands(bands)
-    val x = base.select(col("doc_id").as("xid"), col("cg").as("xcg"))
-    val y = base.select(col("doc_id").as("yid"), col("cg").as("ycg"))
+    val cgDocs = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), charGrams(col("text")).as("cg"))
+    val x = cgDocs.select(col("doc_id").as("xid"), col("cg").as("xcg"))
+    val y = cgDocs.select(col("doc_id").as("yid"), col("cg").as("ycg"))
     broadcast(cand)
       .join(x, col("doc_a") === col("xid"))
       .join(y, col("doc_b") === col("yid"))

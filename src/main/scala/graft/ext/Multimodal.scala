@@ -30,7 +30,7 @@ object Multimodal {
 
   /** documents → (doc_id, payload BINARY, format, width, height,
     * n_frames) — the standing multimodal table shape. */
-  private def media(spark: SparkSession, dir: String): DataFrame =
+  def media(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
       encode(col("text"), "utf-8").as("payload"),
@@ -87,6 +87,52 @@ object Multimodal {
         md5(concat(col("doc_id").cast(StringType), lit(":"),
                    col("frame_idx").cast(StringType))).as("frame_sig"))
       .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** One media row as the partition-decode path sees it. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], format: String,
+                      width: Long, height: Long, n_frames: Long)
+  case class DecodedMedia(doc_id: Long, decoded_mean_luma: Int)
+
+  /** ==== THE DECODE SWAP PATH, EXECUTABLE ====
+    *
+    * Partition-batched decode: `decoder` runs ONCE per executor
+    * partition over an iterator of media rows — exactly the seam where a
+    * real codec plugs in (JNI/FFI library handle opened once per
+    * partition, or a Python worker via `mapInPandas` in PySpark — same
+    * batch-iterator contract). The engine-side plumbing this proves:
+    * binary rows reach the decoder batched and partition-parallel, no
+    * per-row setup cost, output is a typed Dataset that joins back on
+    * doc_id.
+    *
+    * The default decoder is the SAME deterministic fake as [[fakeLuma]]
+    * (no codecs exist in this container), so MultimodalSpec can assert
+    * the mapPartitions path and the codegen'd expression path agree
+    * bit-for-bit — swapping in a real codec changes only the lambda. */
+  def decodePartitions(media: DataFrame,
+      decoder: Iterator[MediaRow] => Iterator[DecodedMedia] = defaultDecoder)
+      : org.apache.spark.sql.Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("payload"),
+              col("format"), col("width").cast(LongType).as("width"),
+              col("height").cast(LongType).as("height"),
+              col("n_frames").cast(LongType).as("n_frames"))
+      .as[MediaRow]
+      .mapPartitions(decoder)
+  }
+
+  /** Deterministic stand-in decoder: md5(payload) first 4 hex digits
+    * mod 256 — the exact value [[fakeLuma]] computes in SQL. */
+  def defaultDecoder(rows: Iterator[MediaRow]): Iterator[DecodedMedia] = {
+    // one "codec handle" per partition, reused across the batch — the
+    // cost model a real decoder needs
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.map { r =>
+      md.reset()
+      val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+      DecodedMedia(r.doc_id, Integer.parseInt(hex.take(4), 16) % 256)
+    }
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures _,
