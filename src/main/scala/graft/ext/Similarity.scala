@@ -87,10 +87,33 @@ object Similarity {
               col("n"))
       .orderBy(col("cell"), col("dim"))
 
+  /** Scalar quantization — the storage-compression companion of the ANN
+    * stack: per-dimension global [lo, hi] over the corpus, then each
+    * value becomes an int8-range code floor((x−lo)/(hi−lo)·255). Two
+    * passes, both scale-flat: the stats aggregate produces ONE ROW PER
+    * DIMENSION (64 here — map-side partial sums, broadcast back), and
+    * the coding pass is per-row with the broadcast stats; nothing grows
+    * with corpus size except the linear scan. Constant-dimension guard:
+    * hi = lo → code 0. */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+              posexplode(Vectors.asDouble(col("embedding"))).as(Seq("dim", "x")))
+    val stats = d.groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    d.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 255))
+          .cast(IntegerType).as("code"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute"         -> knnBrute _,
     "knn_ivf"           -> knnIvf _,
-    "knn_ivf_centroids" -> knnIvfCentroids _)
+    "knn_ivf_centroids" -> knnIvfCentroids _,
+    "emb_quantize"      -> embQuantize _)
 
   private val cosineSql =
     """list_sum(list_transform(list_zip(q.qv, c.w),
@@ -128,6 +151,16 @@ object Similarity {
          |                ORDER BY cosine DESC, nn_id) AS rank FROM s)
          |SELECT query_id, rank, nn_id, cosine FROM r
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "emb_quantize" ->
+      """WITH d AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |s AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM d GROUP BY 1)
+        |SELECT vec_id, d.dim,
+        |  CAST(CASE WHEN hi = lo THEN 0
+        |            ELSE floor((x - lo) / (hi - lo) * 255) END AS INTEGER) AS code
+        |FROM d JOIN s ON d.dim = s.dim ORDER BY vec_id, d.dim""".stripMargin,
     "knn_ivf_centroids" ->
       """WITH d AS (
         |  SELECT label AS cell, generate_subscripts(embedding, 1) - 1 AS dim,
