@@ -193,14 +193,24 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Distinct character 3-gram set — the edit-robust granularity for
+  /** Distinct character 3-gram set over a MATERIALIZED `chars` column
+    * (split(text, "")) — the edit-robust granularity for
     * [[dedupNgramJaccard]] (word shingles miss single-character edits
-    * inside words; char 3-grams catch them). */
-  private def charGrams(c: Column): Column =
-    when(length(c) >= 3,
-      array_distinct(transform(sequence(lit(1), length(c) - 2),
-        i => c.substr(i, lit(3)))))
-      .otherwise(array(c))
+    * inside words; char 3-grams catch them).
+    *
+    * Same O(n²) trap as [[shinglesFromToks]], one level down: written as
+    * `substr(text, i, 3)` the gram build is quadratic per doc, because
+    * substr on a STRING has to scan to the i-th char's UTF-8 byte offset
+    * every call (measured 3.1 s for the pass alone at sf0.1 vs 0.4 s in
+    * this form); element_at on the char array is O(1). */
+  private def charGramsFromChars: Column = {
+    val ch = col("chars")
+    when(size(ch) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ch) - 2),
+        i => concat(element_at(ch, i), element_at(ch, i + 1),
+                    element_at(ch, i + 2)))))
+      .otherwise(array(concat_ws("", ch)))
+  }
 
   /** N-gram Jaccard near-dup scoring: the word-shingle banded LSH
     * generates the candidate pairs (same bounded bucket-join shape as
@@ -219,10 +229,23 @@ object Dedup {
     val bands = bandsOf(signaturesFrom(shingleSets(spark, dir)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.count() // one pass fills the cache — see dedupMinhashLsh
+    // cand has THREE consumers below (the broadcast + each side's doc
+    // prune) — persist the handful of pairs or the band self-join runs
+    // three times.
     val cand = pairsFromBands(bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    // Verify cost is O(CANDIDATES), not O(corpus): prune documents to
+    // the docs that appear in some candidate pair BEFORE building char
+    // grams — the broadcast semi-join costs one column of ids, and the
+    // gram build then touches dozens of texts instead of all of them.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
     val cgDocs = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), charGrams(col("text")).as("cg"))
+      .join(broadcast(candDocs), "doc_id")
+      .select(col("doc_id"), split(col("text"), "").as("chars"))
+      .select(col("doc_id"), charGramsFromChars.as("cg"))
     val x = cgDocs.select(col("doc_id").as("xid"), col("cg").as("xcg"))
     val y = cgDocs.select(col("doc_id").as("yid"), col("cg").as("ycg"))
     broadcast(cand)
