@@ -273,6 +273,7 @@ object Dedup {
       when(votes > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // 16 bit-vote folds per doc off a single split
       .select(col("doc_id"),
               transform(array_distinct(toks), t => md5(t)).as("hs"))
       .select(col("doc_id"), sim.as("simhash16"))
