@@ -229,19 +229,19 @@ object Dedup {
     val bands = bandsOf(signaturesFrom(shingleSets(spark, dir)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.count() // one pass fills the cache — see dedupMinhashLsh
-    // cand has THREE consumers below (the broadcast + each side's doc
-    // prune) — persist the handful of pairs or the band self-join runs
-    // three times.
     val cand = pairsFromBands(bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cand.count()
     // Verify cost is O(CANDIDATES), not O(corpus): prune documents to
-    // the docs that appear in some candidate pair BEFORE building char
-    // grams — the broadcast semi-join costs one column of ids, and the
-    // gram build then touches dozens of texts instead of all of them.
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id")))
-      .distinct()
+    // the docs that can appear in some candidate pair BEFORE building
+    // char grams. A doc is pair-eligible iff one of its buckets holds
+    // ≥ 2 docs — computable straight off the cached bands with one
+    // aggregate, cheaper than deriving it from `cand` (which would make
+    // the band self-join a three-consumer subplan needing its own
+    // persist+materialize round).
+    val candDocs = bands
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band_id"), col("bkey"))))
+      .filter(col("bucket_n") > 1)
+      .select(col("doc_id")).distinct()
     val cgDocs = Tables.documents(spark, dir)
       .join(broadcast(candDocs), "doc_id")
       .select(col("doc_id"), split(col("text"), "").as("chars"))

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ArrayDot
+
+/** The native ArrayDot expression must be a drop-in for the
+  * `aggregate(zip_with(a,b,_*_), 0d, _+_)` fold it replaced: bit-equal
+  * values (same left-to-right rounding), same null/mismatch propagation,
+  * in BOTH the codegen and interpreted paths — the oracle parity of
+  * three gate queries rides on this. */
+class FunctionsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def foldDot = aggregate(
+    zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (s, p) => s + p)
+
+  private val cases = Seq(
+    (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),               // plain
+    (Seq(0.1, 0.2, 0.3, 0.7), Seq(1e-3, 2e7, -3.3, 0.0)),   // rounding-sensitive
+    (Seq.empty[Double], Seq.empty[Double]),                 // empty → 0.0
+    (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),                    // length mismatch → null
+    (Seq.tabulate(64)(i => math.sin(i.toDouble)),           // embedding-shaped
+     Seq.tabulate(64)(i => math.cos(i.toDouble) * 1e3)))
+
+  test("ArrayDot equals the HOF fold bit-for-bit, including null/mismatch cases") {
+    val df = cases.toDF("a", "b")
+      .select(ArrayDot(col("a"), col("b")).as("fused"), foldDot.as("fold"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+               java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.toString)
+    }
+  }
+
+  test("null elements and null arrays propagate to null") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1.0d, cast(null as double)), array(1.0d, 2.0d)),
+        |  (cast(null as array<double>), array(1.0d))
+        |AS t(a, b)""".stripMargin)
+      .select(ArrayDot(col("a"), col("b")).as("fused"), foldDot.as("fold"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1), r.toString)
+    }
+  }
+
+  test("interpreted path (codegen off) agrees with codegen") {
+    val key = "spark.sql.codegen.wholeStage"
+    val old = spark.conf.get(key)
+    val viaCodegen = cases.toDF("a", "b")
+      .select(ArrayDot(col("a"), col("b"))).collect().map(_.toString)
+    try {
+      spark.conf.set(key, "false")
+      val interpreted = cases.toDF("a", "b")
+        .select(ArrayDot(col("a"), col("b"))).collect().map(_.toString)
+      assert(interpreted === viaCodegen)
+    } finally spark.conf.set(key, old)
+  }
+
+  test("knn hot path uses the fused expression, not zip_with") {
+    val plan = ext.Similarity.knnBrute(spark, TestSpark.sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("array_dot"), plan)
+    assert(!plan.toLowerCase.contains("zip_with"), plan)
+  }
+}
