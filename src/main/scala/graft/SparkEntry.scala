@@ -23,6 +23,7 @@ object SparkEntry {
     (ops.Joins.queries, ops.Joins.oracles),
     (ops.Windows.queries, ops.Windows.oracles),
     (ext.Text.queries, ext.Text.oracles),
+    (ext.Corpus.queries, ext.Corpus.oracles),
     (ext.Dedup.queries, ext.Dedup.oracles),
     (ext.Similarity.queries, ext.Similarity.oracles),
     (ext.Multimodal.queries, ext.Multimodal.oracles)

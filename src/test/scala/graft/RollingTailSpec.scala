@@ -63,4 +63,35 @@ class RollingTailSpec extends AnyFunSuite {
       assert(b3.max_close === 1149.0)
     } finally query.stop()
   }
+
+  test("tail state survives a checkpointed restart") {
+    val input = MemoryStream[Candle]
+    val ckpt = Files.createTempDirectory("graft_tail_recover_ckpt").toString
+    // the memory sink cannot recover from a checkpoint; foreachBatch can
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[RollingTail.TailStats]()
+    def start() = RollingTail.stats(input.toDS()).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[RollingTail.TailStats], _: Long) =>
+        batch.collect().foreach(results.add)
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      input.addData(candle("R", 0, 10.0), candle("R", 1, 20.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start() // same checkpoint → state store restores
+    try {
+      input.addData(candle("R", 2, 60.0))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val s = results.asScala.filter(_.instrument == "R").maxBy(_.n)
+      assert(s.n === 3, "restored state must include pre-restart closes")
+      assert(s.avg_close === 30.0) // (10 + 20 + 60) / 3
+      assert(s.min_close === 10.0 && s.max_close === 60.0)
+    } finally q2.stop()
+  }
 }
