@@ -73,6 +73,22 @@ class PlanSpec extends AnyFunSuite {
            s"fixture must exercise high key cardinality, got $nSeries series")
   }
 
+  test("corpus_clean composes dedup + quality gate behind ONE digest shuffle") {
+    val plan = ext.Corpus.corpusClean(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the dedup window is the only hash exchange; the quality stats are
+    // per-row expressions above it (the final orderBy adds a range
+    // exchange, which is not a hash repartition)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("emb_quantize broadcasts the per-dimension stats, never shuffles the corpus onto them") {
+    val plan = planOf(ext.Similarity.embQuantize(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+           s"stats join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle onto stats:\n$plan")
+  }
+
   test("LSH candidate generation joins within buckets — no cartesian product") {
     val plan = planOf(ext.Dedup.dedupMinhashLsh(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)
