@@ -185,9 +185,11 @@ object Dedup {
     candB
       .join(x, col("doc_a") === col("xid"))
       .join(y, col("doc_b") === col("yid"))
+      // fused set-overlap — no materialized intersect/union arrays per
+      // pair (graft.functions.JaccardSim; value-identical to the
+      // composed built-ins, pinned in FunctionsSpec)
       .withColumn("jaccard",
-        size(array_intersect(col("xss"), col("yss"))).cast(DoubleType) /
-          size(array_union(col("xss"), col("yss"))))
+        graft.functions.JaccardSim(col("xss"), col("yss")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -252,13 +254,22 @@ object Dedup {
       .join(x, col("doc_a") === col("xid"))
       .join(y, col("doc_b") === col("yid"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("xcg"), col("ycg"))).cast(DoubleType) /
-          size(array_union(col("xcg"), col("ycg")))).as("ngram_jaccard"))
+        graft.functions.JaccardSim(col("xcg"), col("ycg")).as("ngram_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 16-bit SimHash signature per document over distinct tokens: bit j is
-    * the sign of the +1/−1 vote sum across token-hash bit j. */
+    * the sign of the +1/−1 vote sum across token-hash bit j.
+    *
+    * Signature-only by design: Hamming-banded PAIRING over this corpus is
+    * measured useless — the synthetic small-vocabulary texts make
+    * signatures informationally saturated (16-bit: 84k banded candidates
+    * for 500 docs; even 32-bit: 63k — i.e. no pruning), so a pairs query
+    * would demonstrate a degenerate join, not the method. Production
+    * banding math, for a real corpus with a 64-bit signature: 4 × 16-bit
+    * bands → candidates are same-band 16-bit collisions (~n²/65 536 per
+    * band), verified by `bit_count(sig_a ^ sig_b) <= k` — the same
+    * banded-bucket join shape [[dedupMinhashLsh]] executes. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     // The token-hash array is referenced by all 16 bit-vote folds —
     // materialize it as a column so it is built once per row, not once

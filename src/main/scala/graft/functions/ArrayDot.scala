@@ -92,13 +92,17 @@ object ArrayDot {
   * private Spark API. SQL users get `array_dot(a, b)` too. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("array_dot"),
-      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2,
-                s"array_dot expects 2 arguments, got ${children.length}")
-        ArrayDot(children(0), children(1))
-      }))
+    def binary(name: String, cls: Class[_],
+               build: (Expression, Expression) => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+                  s"$name expects 2 arguments, got ${children.length}")
+          build(children(0), children(1))
+        }))
+    binary("array_dot", classOf[ArrayDot], ArrayDot(_, _))
+    binary("jaccard_sim", classOf[JaccardSim], JaccardSim(_, _))
   }
 }

@@ -61,6 +61,33 @@ class FunctionsSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("JaccardSim equals the composed intersect/union form, both eval paths") {
+    val jcases = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("b", "b", "a")),      // duplicates collapse
+      (Seq("x"), Seq("y")),                          // disjoint → 0.0
+      (Seq("q", "r"), Seq("q", "r")),                // identical → 1.0
+      (Seq.empty[String], Seq("z")))                 // empty side
+    def composed = size(array_intersect(col("a"), col("b"))).cast("double") /
+      size(array_union(col("a"), col("b")))
+    val df = jcases.toDF("a", "b")
+      .select(graft.functions.JaccardSim(col("a"), col("b")).as("fused"),
+              composed.as("comp"))
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+             java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.toString)
+    }
+    val key = "spark.sql.codegen.wholeStage"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val interp = jcases.toDF("a", "b")
+        .select(graft.functions.JaccardSim(col("a"), col("b"))).collect().map(_.getDouble(0))
+      val gen = df.collect().map(_.getDouble(0))
+      assert(interp.toSeq === gen.toSeq)
+    } finally spark.conf.set(key, old)
+  }
+
   test("knn hot path uses the fused expression, not zip_with") {
     val plan = ext.Similarity.knnBrute(spark, TestSpark.sfDir)
       .queryExecution.optimizedPlan.toString
