@@ -94,6 +94,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.agg(sum(col("close"))).collect()(0).getDouble(0) === 303.0)
   }
 
+  test("streaming candle state handles 1000 instruments in one query") {
+    // the per-(window, instrument) state regime real instrument-keyed
+    // data has — not the 1-3 instruments of the semantic tests
+    val input = MemoryStream[String]
+    val candles = CandlePipeline.candles(
+      input.toDF().select(col("value").as("json_str")))
+    val query = candles.writeStream
+      .format("memory").queryName("candles_hc").outputMode("append")
+      .option("checkpointLocation",
+              Files.createTempDirectory("graft_hc_ckpt").toString)
+      .start()
+    try {
+      val ticks = (0 until 1000).flatMap { i =>
+        Seq(tickJson(s"I$i", T0 + 1000 + i, 100.0 + i, 2, 99.0, 101.0),
+            tickJson(s"I$i", T0 + 30000 + i, 200.0 + i, 3, 199.0, 201.0))
+      }
+      input.addData(ticks: _*)
+      input.addData(tickJson("MOVER", T0 + 420000, 1.0, 1, 0.9, 1.1))
+      query.processAllAvailable()
+      val rows = spark.table("candles_hc").collect()
+      assert(rows.length === 1000, s"expected one candle per instrument")
+      val i7 = rows.find(_.getAs[String]("instrument") == "I7").get
+      assert(i7.getAs[Double]("open") === 107.0)
+      assert(i7.getAs[Double]("close") === 207.0)
+      assert(i7.getAs[Long]("total_volume") === 5)
+    } finally query.stop()
+  }
+
   test("console sink (B4) starts and drains a micro-batch") {
     val input = MemoryStream[String]
     val query = Sinks.consoleSink(
