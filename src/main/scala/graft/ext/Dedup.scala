@@ -10,7 +10,8 @@ import graft.Tables
   * pipeline surface (BASELINE.json north_star; the reference has no dedup,
   * SURVEY.md §2.G).
   *
-  * Four strategies, each with the 100 TB-safe shape:
+  * Five strategies (plus the streaming twin, stream/IngestDedup), each
+  * with the 100 TB-safe shape:
   *
   *  - exact:      one hash-partitioned groupBy on md5(text) — shuffled
   *                bytes are O(distinct digests), never the texts.
@@ -18,6 +19,9 @@ import graft.Tables
   *                pairs come only from same-(band, key) buckets; the plan
   *                never builds the all-pairs cross product, which is the
   *                difference between O(n²) and O(n · bucket) at scale.
+  *  - n-gram Jaccard: the LSH candidates scored by exact character-
+  *                3-gram overlap — pair generation shared with MinHash,
+  *                verify pruned to candidate docs only.
   *  - SimHash:    64-entry-vocabulary-friendly 16-bit signature per doc
   *                (production would widen to 64 bits with xxhash64; md5
   *                hex digits are used so the DuckDB oracle reproduces the
@@ -28,8 +32,10 @@ import graft.Tables
   *                candidates are BOUNDED (≤ 3·BlockW − 1), so even a
   *                popular cell never degenerates to an all-pairs join.
   *
-  * Everything is built from codegen'd built-ins (HOFs, md5, joins,
-  * window); no UDFs, no collect.
+  * Everything is codegen'd — built-ins (HOFs, md5, joins, window) plus
+  * the engine's native expressions (graft.functions.JaccardSim for the
+  * verify stages); no UDFs, no collect. The only driver-side actions are
+  * the eager cache materializations documented at their persist sites.
   */
 object Dedup {
 
@@ -155,10 +161,11 @@ object Dedup {
     // re-executes a shared subplan once per reference, so without the
     // persist the corpus is tokenized+shingled+md5'd three times — it was
     // the single most expensive query in BENCH_r04 (5.3 s) purely from
-    // that recompute. Persisting makes it one pass (2.0 s measured),
-    // which is also the production economics: `minhashSignatures` is the
-    // persisted ingest artifact, and the probe reads it — never the
-    // texts — until the final per-candidate verify.
+    // that recompute; persisted, the texts are read once (~2.5 s at
+    // sf0.1, roughly half of it fixed codegen cost). This is also the
+    // production economics: `minhashSignatures` is the persisted ingest
+    // artifact, and the probe reads it — never the texts — until the
+    // final per-candidate verify.
     val sh = shingleSets(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Bands are BOTH sides of the candidate self-join — persist them too,
