@@ -79,8 +79,17 @@ object TickGen {
 
   /** Flat candle-shaped JSON per event row (13 columns of
     * graft.schema.Schemas.candle; reference wire format:
-    * candle_to_hdfs.py:11-25). */
+    * candle_to_hdfs.py:11-25).
+    *
+    * `k` is projected ONCE before the struct build, same as
+    * [[ticksFromEvents]]: the message references it seven times, and as a
+    * raw expression each reference re-runs the get_json_object path
+    * lookup per row (CSE does not reach inside a single to_json
+    * argument). */
   def candleJsonFromEvents(events: DataFrame): DataFrame = {
+    val pre = events.select(col("event_id"), col("ts"), col("user_id"),
+                            col("event_type"), col("value"), k.as("k"))
+    val kk = col("k")
     val v = col("value")
     val ws = date_trunc("minute", col("ts")).cast(TimestampNTZType)
     val msg = struct(
@@ -88,9 +97,9 @@ object TickGen {
       ws.as("window_start"),
       (ws + expr("INTERVAL 1 MINUTE")).as("window_end"),
       v.as("open"), (v * 1.01).as("high"), (v * 0.99).as("low"), (v * 1.005).as("close"),
-      k.as("buy_volume"), (k % lit(5)).as("sell_volume"),
-      (k + (k % lit(5))).as("total_volume"), (k - (k % lit(5))).as("delta"),
-      (k + col("user_id")).cast(DoubleType).as("tbq"), k.cast(DoubleType).as("tsq"))
-    events.select(col("event_id"), to_json(msg).as("json_str"))
+      kk.as("buy_volume"), (kk % lit(5)).as("sell_volume"),
+      (kk + (kk % lit(5))).as("total_volume"), (kk - (kk % lit(5))).as("delta"),
+      (kk + col("user_id")).cast(DoubleType).as("tbq"), kk.cast(DoubleType).as("tsq"))
+    pre.select(col("event_id"), to_json(msg).as("json_str"))
   }
 }
