@@ -39,9 +39,10 @@ object OrderFlow {
     val k = get_json_object(col("props"), "$.k").cast(IntegerType)
     val df = Tables.events(spark, dir)
       .withColumn("ltp", col("value"))
-      .withColumn("ltq", k)
+      .withColumn("ltq", k) // single parse; best_ask reuses the attribute
       .withColumn("best_bid", col("value") - lit(2.0))
-      .withColumn("best_ask", col("value") + lit(1.0) + (k % lit(3)).cast(DoubleType))
+      .withColumn("best_ask",
+        col("value") + lit(1.0) + (col("ltq") % lit(3)).cast(DoubleType))
     classify(df)
       .select("event_id", "ltp", "ltq", "buy_volume", "sell_volume", "delta")
       .orderBy(col("event_id"))

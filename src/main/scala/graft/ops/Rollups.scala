@@ -45,9 +45,13 @@ object Rollups {
   /** E11: per-candle dominance/sign classification
     * (reference: data_plotter.py:159-163,178). */
   def dominance(spark: SparkSession, dir: String): DataFrame = {
-    val buy  = when((k % lit(2)) === 0, k).otherwise(lit(0))
-    val sell = when((k % lit(2)) =!= 0, k).otherwise(lit(0))
+    // k is referenced 4× below — materialize the JSON path lookup once
+    // per row (CollapseProject keeps multi-referenced non-cheap aliases)
+    val kk   = col("kk")
+    val buy  = when((kk % lit(2)) === 0, kk).otherwise(lit(0))
+    val sell = when((kk % lit(2)) =!= 0, kk).otherwise(lit(0))
     Tables.events(spark, dir)
+      .withColumn("kk", k)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(sum(buy).as("buy_volume"), sum(sell).as("sell_volume"))
       .select(

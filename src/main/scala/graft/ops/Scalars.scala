@@ -19,10 +19,13 @@ object Scalars {
 
   /** C9: string→int cast, both directions (reference: data_processor.py:112). */
   def castStrInt(spark: SparkSession, dir: String): DataFrame =
+    // the common subexpression is the parse+cast chain — materialize it
+    // once per row instead of once per referencing column
     Tables.events(spark, dir)
+      .withColumn("ltq_str", k.cast(StringType))
       .select(col("event_id"),
-              k.cast(StringType).as("ltq_str"),
-              k.cast(StringType).cast(IntegerType).as("ltq"),
+              col("ltq_str"),
+              col("ltq_str").cast(IntegerType).as("ltq"),
               col("user_id").cast(StringType).as("user_str"))
       .orderBy(col("event_id"))
 
@@ -65,10 +68,12 @@ object Scalars {
   /** D1: IS NOT NULL conjunction filter (reference: data_processor.py:115).
     * Nulls are derived (k%7==0 → NULL) so the filter actually drops rows. */
   def notnullFilter(spark: SparkSession, dir: String): DataFrame = {
-    val ltq = when((k % lit(7)) === 0, lit(null)).otherwise(k)
+    val kk  = col("kk")
+    val ltq = when((kk % lit(7)) === 0, lit(null)).otherwise(kk)
     val ltp = when((col("user_id") % lit(5)) === 0, lit(null))
       .otherwise(col("value"))
     Tables.events(spark, dir)
+      .withColumn("kk", k) // parse once; ltq references it twice
       .select(col("event_id"), ltq.as("ltq"), ltp.as("ltp"), col("ts"))
       .filter(col("ltq").isNotNull && col("ltp").isNotNull && col("ts").isNotNull)
       .select("event_id", "ltq", "ltp")
