@@ -54,9 +54,14 @@ object JaccardSim {
   /** Column-API entry point (needs [[GraftExtensions]] on the session). */
   def apply(a: Column, b: Column): Column = call_function("jaccard_sim", a, b)
 
-  /** |distinct(a) ∩ distinct(b)| / |distinct(a) ∪ distinct(b)| as double
-    * division (0/0 → NaN, matching the composed built-in form). Called
-    * from generated code — must stay public and static-shaped. */
+  /** |distinct(a) ∩ distinct(b)| / |distinct(a) ∪ distinct(b)| as Java
+    * double division. Deliberate deviation on the empty∪empty corner:
+    * this returns NaN where the composed `size(...)/size(...)` form
+    * under ANSI mode (Spark 4 default) THROWS DIVIDE_BY_ZERO — a total
+    * function beats a runtime error for a similarity measure (the
+    * engine's shingle/gram pipelines never produce the corner anyway:
+    * empty-set docs get null band keys and never become candidates).
+    * Called from generated code — must stay public and static-shaped. */
   def compute(a: ArrayData, b: ArrayData): Double = {
     val sa = new java.util.HashSet[UTF8String]()
     var i = 0
