@@ -43,8 +43,45 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Stratified subsample: a deterministic per-stratum quota (50 docs per
+    * `lang`), "randomized" by ranking on the md5 of the id — a seedable,
+    * engine-independent shuffle both Spark and DuckDB reproduce exactly,
+    * unlike rand(). One hash exchange on the stratum key; the quota
+    * filter is a rank predicate, so only quota rows survive the window —
+    * the standard class-balancing step before training. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic train/validation/test assignment by content-stable
+    * hash: bucket = first 4 md5 hex digits of the id mod 100 → 80/10/10.
+    * Hash-based (not rand()) so the split is REPRODUCIBLE and stable
+    * under corpus growth — a doc keeps its split forever, the property
+    * leakage audits depend on. Pure per-row expression: no shuffle at
+    * all until the ORDER BY. */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+      .cast(IntegerType) % 100
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train"))
+          .otherwise(when(col("bucket") < 90, lit("validation"))
+          .otherwise(lit("test"))))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_clean" -> corpusClean _)
+    "corpus_clean"      -> corpusClean _,
+    "sample_stratified" -> stratifiedSample _,
+    "train_test_split"  -> trainTestSplit _)
 
   val oracles: Map[String, String] = Map(
     "corpus_clean" ->
@@ -67,5 +104,23 @@ object Corpus {
         |    CASE WHEN word_count >= 40 AND ttr >= 0.3 THEN 1.0
         |         WHEN word_count >= 15 THEN 0.5 ELSE 0.0 END AS quality_score
         |  FROM s)
-        |SELECT * FROM q WHERE quality_score >= 0.5 ORDER BY doc_id""".stripMargin)
+        |SELECT * FROM q WHERE quality_score >= 0.5 ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+    "train_test_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100
+        |      AS bucket
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)
 }
