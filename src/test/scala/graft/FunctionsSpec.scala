@@ -88,6 +88,24 @@ class FunctionsSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("generated code actually compiles — no silent interpreted fallback") {
+    // janino failure normally falls back to interpreted execution and a
+    // test would still pass; forbidding the fallback makes a codegen bug
+    // in doGenCode / the static helper call a hard failure here
+    val key = "spark.sql.codegen.fallback"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val row = cases.take(2).toDF("a", "b")
+        .select(ArrayDot(col("a"), col("b")).as("d"),
+                graft.functions.JaccardSim(
+                  split(col("a").cast("string"), ","),
+                  split(col("b").cast("string"), ",")).as("j"))
+        .collect()
+      assert(row.length === 2)
+    } finally spark.conf.set(key, old)
+  }
+
   test("knn hot path uses the fused expression, not zip_with") {
     val plan = ext.Similarity.knnBrute(spark, TestSpark.sfDir)
       .queryExecution.optimizedPlan.toString
