@@ -10,6 +10,10 @@ object Verify {
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Caches are internal to a query (the dedup family persists its
+      // shingle/band frames) — release them between queries so the gate
+      // run's storage memory stays flat over 50+ queries.
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

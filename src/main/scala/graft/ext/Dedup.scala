@@ -79,6 +79,29 @@ object Dedup {
     array_min(transform(col(if (j < 4) "hs0" else "hs1"),
       h => substring(h, (j % 4) * 8 + 1, 8)))
 
+  /** Driver-safety ceiling for broadcasting candidate frames: above this
+    * many rows the build side stays DISTRIBUTED (shuffled hash join) —
+    * candidate counts after banding are Σ bucket², and one skewed bucket
+    * on a duplicate-heavy corpus can push that past the 8 GB broadcast /
+    * driver-memory hard cap. 4M (doc_a, doc_b) rows ≈ 64 MB payload:
+    * comfortably broadcastable, far below the cap. */
+  private val MaxBroadcastRows = 4L * 1000 * 1000
+
+  /** Pin `df` as the hash-join BUILD side without unconditionally
+    * collecting it to the driver. Candidate frames are usually tiny
+    * (O(near-dups)) — left to size statistics the planner would build the
+    * hash side from the shingle corpus instead, collecting exactly what
+    * the LSH design avoids shipping. But "usually tiny" is not a driver-
+    * safety proof, so: count it (cheap — the frame is persisted, and its
+    * consumers reuse the cached partitions), broadcast only under
+    * [[MaxBroadcastRows]], and otherwise fall back to a SHUFFLE_HASH hint
+    * — both sides shuffle on the join key, the hash table is still built
+    * from `df`, and nothing ever lands on the driver. */
+  private def pinBuildSide(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (p.count() <= MaxBroadcastRows) broadcast(p) else p.hint("shuffle_hash")
+  }
+
   /** A1 of the dedup family: exact duplicate groups by content digest. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -182,13 +205,15 @@ object Dedup {
     val cand = pairsFromBands(bands)
     val x = sh.select(col("doc_id").as("xid"), col("ss").as("xss"))
     val y = sh.select(col("doc_id").as("yid"), col("ss").as("yss"))
-    // broadcast(cand): candidates after banding are O(near-dups) — tiny —
-    // while sh carries every doc's shingle array. Left to statistics the
-    // planner builds the hash side from SH (collecting + broadcasting the
-    // whole shingle corpus, the exact thing the LSH design avoids
-    // shipping); pinning the build side makes the verify two cache-read
-    // streams against a kilobyte-scale hash table.
-    val candB = broadcast(cand)
+    // Pin cand as the build side: candidates after banding are usually
+    // O(near-dups) — tiny — while sh carries every doc's shingle array.
+    // Left to statistics the planner builds the hash side from SH
+    // (collecting + broadcasting the whole shingle corpus, the exact
+    // thing the LSH design avoids shipping). pinBuildSide broadcasts only
+    // under a hard row ceiling and degrades to a distributed shuffle-hash
+    // join above it — a skewed bucket on a duplicate-heavy corpus can
+    // make Σ bucket² big enough to kill the driver if broadcast blindly.
+    val candB = pinBuildSide(cand)
     candB
       .join(x, col("doc_a") === col("xid"))
       .join(y, col("doc_b") === col("yid"))
@@ -252,12 +277,13 @@ object Dedup {
       .filter(col("bucket_n") > 1)
       .select(col("doc_id")).distinct()
     val cgDocs = Tables.documents(spark, dir)
-      .join(broadcast(candDocs), "doc_id")
+      .join(pinBuildSide(candDocs), "doc_id")
       .select(col("doc_id"), split(col("text"), "").as("chars"))
       .select(col("doc_id"), charGramsFromChars.as("cg"))
     val x = cgDocs.select(col("doc_id").as("xid"), col("cg").as("xcg"))
     val y = cgDocs.select(col("doc_id").as("yid"), col("cg").as("ycg"))
-    broadcast(cand)
+    // Same driver-safety shape as dedupMinhashLsh's verify join.
+    pinBuildSide(cand)
       .join(x, col("doc_a") === col("xid"))
       .join(y, col("doc_b") === col("yid"))
       .select(col("doc_a"), col("doc_b"),

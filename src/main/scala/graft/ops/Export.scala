@@ -15,6 +15,26 @@ import graft.Tables
   */
 object Export {
 
+  /** Temp dirs awaiting reap. ONE static shutdown hook drains the queue —
+    * a hook per [[csvRoundtrip]] call would retain a Thread per
+    * invocation for the JVM's life in a long-lived bench/gate session. */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val reapHook: Unit = {
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      scratchDirs.iterator().asScala.foreach { dir =>
+        // deepest-first so files go before their dirs; Using closes the
+        // underlying directory-stream handle
+        scala.util.Using(java.nio.file.Files.walk(dir)) { s =>
+          s.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    }
+    ()
+  }
+
   /** Parallel CSV export — the scale path. */
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
@@ -30,14 +50,8 @@ object Export {
     * round-trippable form). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val outDir = java.nio.file.Files.createTempDirectory("graft_csv_export")
-    // scratch data: reap on JVM exit so repeated gate/bench runs don't
-    // accumulate temp dirs (deepest-first so files go before their dirs)
-    sys.addShutdownHook {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(outDir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    reapHook          // register the single reaper (idempotent via lazy)
+    scratchDirs.add(outDir)
     val out = outDir.toString
     csvSingleFile(
       Tables.events(spark, dir).select("event_id", "event_type", "value"),

@@ -48,17 +48,30 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
-  test("interpreted path (codegen off) agrees with codegen") {
-    val key = "spark.sql.codegen.wholeStage"
-    val old = spark.conf.get(key)
+  /** Run `body` with expression codegen fully disabled: wholeStage=false
+    * alone still compiles projections via UnsafeProjection codegen, so
+    * nullSafeEval would never run — factoryMode=NO_CODEGEN forces the
+    * interpreted `eval` path (org.apache.spark.sql.internal.SQLConf
+    * .CODEGEN_FACTORY_MODE). */
+  private def interpretedOnly[A](body: => A): A = {
+    val keys = Seq("spark.sql.codegen.wholeStage" -> "false",
+                   "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    val olds = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { keys.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("interpreted path (NO_CODEGEN) agrees with codegen") {
     val viaCodegen = cases.toDF("a", "b")
       .select(ArrayDot(col("a"), col("b"))).collect().map(_.toString)
-    try {
-      spark.conf.set(key, "false")
-      val interpreted = cases.toDF("a", "b")
+    val interpreted = interpretedOnly {
+      cases.toDF("a", "b")
         .select(ArrayDot(col("a"), col("b"))).collect().map(_.toString)
-      assert(interpreted === viaCodegen)
-    } finally spark.conf.set(key, old)
+    }
+    assert(interpreted === viaCodegen)
   }
 
   test("JaccardSim equals the composed intersect/union form, both eval paths") {
@@ -77,15 +90,12 @@ class FunctionsSpec extends AnyFunSuite {
       assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
              java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.toString)
     }
-    val key = "spark.sql.codegen.wholeStage"
-    val old = spark.conf.get(key)
-    try {
-      spark.conf.set(key, "false")
-      val interp = jcases.toDF("a", "b")
+    val interp = interpretedOnly {
+      jcases.toDF("a", "b")
         .select(graft.functions.JaccardSim(col("a"), col("b"))).collect().map(_.getDouble(0))
-      val gen = df.collect().map(_.getDouble(0))
-      assert(interp.toSeq === gen.toSeq)
-    } finally spark.conf.set(key, old)
+    }
+    val gen = df.collect().map(_.getDouble(0))
+    assert(interp.toSeq === gen.toSeq)
   }
 
   test("generated code actually compiles — no silent interpreted fallback") {
