@@ -324,6 +324,107 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---- SimHash PAIRING (the production 64-bit banded Hamming join) ----
+
+  /** Hamming radius for [[dedupSimhashPairs]]' verify: a one-token edit
+    * on a ~23-distinct-token doc flips each of the 64 bits with p ≈ 0.08
+    * (a bit flips only when its ±1 vote sum sits within one vote of zero)
+    * → expected Hamming ≈ 5 for true near-dups, vs ≈ 32 (sd ≈ 4) for
+    * independent docs — 10 separates the populations by > 5σ. */
+  private val SimPairHammingMax = 10
+
+  /** Twin doc_ids live above this offset so they never collide with real
+    * doc_ids (documents.doc_id is dense from 0). */
+  private val TwinIdOffset = 1000000L
+
+  /** 64-bit SimHash near-dup PAIRS via the 4×16-bit banded Hamming join —
+    * the production pairing [[dedupSimhash]]'s scaladoc documents, now
+    * executed. The raw corpus can't demo it (its tiny shared vocabulary
+    * saturates signatures — 500 docs → 63k banded candidates even at 32
+    * bits, i.e. zero pruning), so the query derives a DIVERSIFIED twin
+    * corpus deterministically from `documents`:
+    *
+    *  - every token is re-salted by the doc's content digest
+    *    (md5(md5(text) ‖ ":" ‖ token)) — distinct texts get disjoint
+    *    vocabularies, so unrelated signatures are uniform random and the
+    *    banded join actually prunes;
+    *  - each doc with ≥ 5 distinct tokens gets a planted NEAR-DUP twin
+    *    (doc_id + [[TwinIdOffset]]) whose token set drops the
+    *    lexicographic-max token — a one-edit neighbor the pairing must
+    *    recover. (Max-token removal, not "last token": array_distinct /
+    *    list_distinct order is engine-specific, and every downstream step
+    *    is deliberately ORDER-INDEPENDENT — vote sums commute — so the
+    *    DuckDB oracle reproduces signatures bit-for-bit.)
+    *
+    * Signature build: one fold per md5-hex position (16, not 64 — each
+    * fold packs its digit's FOUR bit-counts into one INT, 8 bits each;
+    * safe while distinct-token count ≤ 255, enforced by filter) — the
+    * per-token work is 16 substr+conv ops instead of 64, the dominant
+    * cost at corpus scale. Bit j is set iff 2·count_j > n (⇔ the ±1 vote
+    * sum is positive — same rule as [[dedupSimhash]]). Bit 63's weight is
+    * Long.MinValue, so the signature occupies the full signed BIGINT in
+    * both engines.
+    *
+    * Pairing: explode the signature into 4 16-bit band keys
+    * ((sig >> 16b) & 0xFFFF — arithmetic shift then mask is engine-
+    * agnostic), equi-join within (band, key) buckets via the shared
+    * [[pairsFromBands]] (never a cross product), then verify candidates
+    * with `bit_count(sig_a ^ sig_b) <= k`. Candidate count at 64 bits is
+    * ~n²/2^16 per band for the unrelated mass plus the true near-dups —
+    * the same bounded-bucket economics as [[dedupMinhashLsh]]. */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // hash folds off a single parquet split
+      .select(col("doc_id"), md5(col("text")).as("salt"),
+              array_distinct(toks).as("dt"))
+      .filter(size(col("dt")) <= 255) // packed 8-bit counts stay exact
+    val twins = base.filter(size(col("dt")) >= 5)
+      .select((col("doc_id") + TwinIdOffset).as("doc_id"), col("salt"),
+              array_remove(col("dt"), array_max(col("dt"))).as("dt"))
+    val corpus = base.select(col("doc_id"), col("salt"), col("dt"))
+      .unionByName(twins)
+      .select(col("doc_id"),
+        transform(col("dt"), t => md5(concat(col("salt"), lit(":"), t))).as("hs"))
+    // cnt_p MUST be materialized columns: referenced 4× each by the sig
+    // terms, inlined they'd re-run the fold per bit (the duplicated-
+    // expression trap — see lane()).
+    def packedCounts(p: Int): Column = aggregate(col("hs"), lit(0), (acc, h) => {
+      val d = conv(h.substr(lit(p + 1), lit(1)), 16, 10).cast(IntegerType)
+      acc + shiftright(d, 3).bitwiseAND(lit(1)) * lit(1 << 24) +
+            shiftright(d, 2).bitwiseAND(lit(1)) * lit(1 << 16) +
+            shiftright(d, 1).bitwiseAND(lit(1)) * lit(1 << 8) +
+            d.bitwiseAND(lit(1))
+    })
+    val counted = corpus.select(
+      (col("doc_id") +: size(col("hs")).as("n") +:
+        (0 until 16).map(p => packedCounts(p).as(s"cnt$p"))): _*)
+    val sig = (0 until 64).map { j =>
+      val cnt = shiftright(col(s"cnt${j / 4}"), 8 * (3 - j % 4))
+        .bitwiseAND(lit(255))
+      when(cnt * 2 > col("n"),
+        lit(if (j == 63) Long.MinValue else 1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // sigs is BOTH band-join sides AND both verify sides — persist like
+    // the LSH bands (harnesses clearCache between queries).
+    val sigs = counted.select(col("doc_id"), sig.as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // one pass fills the cache — see dedupMinhashLsh
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), 16 * b).bitwiseAND(lit(65535L))): _*))
+        .as(Seq("band_id", "bkey")))
+    val x = sigs.select(col("doc_id").as("xid"), col("sig").as("sig_a"))
+    val y = sigs.select(col("doc_id").as("yid"), col("sig").as("sig_b"))
+    pinBuildSide(pairsFromBands(bands))
+      .join(x, col("doc_a") === col("xid"))
+      .join(y, col("doc_b") === col("yid"))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(IntegerType))
+      .filter(col("hamming") <= SimPairHammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Sorted-neighborhood block width for [[dedupEmbedding]]: each vector
     * is compared against at most 3·W − 1 candidates (its own projection
     * block plus both adjacent blocks), so the pair join is O(n·W) — NOT
@@ -390,6 +491,7 @@ object Dedup {
     "dedup_minhash_lsh"   -> dedupMinhashLsh _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_simhash"       -> dedupSimhash _,
+    "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_embedding"     -> dedupEmbedding _)
 
   // ---- oracles ----
@@ -414,6 +516,19 @@ object Dedup {
     s"""CASE WHEN list_sum(list_transform(hs,
        |  h -> (((strpos('0123456789abcdef', substr(h, $pos, 1)) - 1 >> $sh) & 1) * 2 - 1))) > 0
        |  THEN ${1L << j} ELSE 0 END""".stripMargin
+  }.mkString(" + ")
+
+  /** 64-bit widening of [[simhashTermsSql]] for the pairing oracle: bit j
+    * set iff 2·(count of 1s) > n — identical to the vote-sum-positive
+    * rule; bit 63's weight spelled `(-MAX - 1)` so the literal parses as
+    * BIGINT. */
+  private val simhash64TermsSql = (0 until 64).map { j =>
+    val pos = j / 4 + 1
+    val sh  = 3 - j % 4
+    val w   = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+    s"""CASE WHEN 2 * list_sum(list_transform(hs,
+       |  h -> ((strpos('0123456789abcdef', substr(h, $pos, 1)) - 1 >> $sh) & 1))) > n
+       |  THEN $w ELSE 0 END""".stripMargin
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
@@ -477,6 +592,36 @@ object Dedup {
          |  FROM documents)
          |SELECT doc_id, CAST($simhashTermsSql AS BIGINT) AS simhash16
          |FROM t ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, md5(text) AS salt,
+         |         list_distinct(string_split(text, ' ')) AS dt
+         |  FROM documents
+         |  WHERE len(list_distinct(string_split(text, ' '))) <= 255),
+         |corpus AS (
+         |  SELECT doc_id, salt, dt FROM base
+         |  UNION ALL
+         |  SELECT doc_id + $TwinIdOffset, salt,
+         |         list_filter(dt, t -> t <> list_aggregate(dt, 'max'))
+         |  FROM base WHERE len(dt) >= 5),
+         |h AS (
+         |  SELECT doc_id, len(dt) AS n,
+         |         list_transform(dt, t -> md5(salt || ':' || t)) AS hs
+         |  FROM corpus),
+         |s AS (
+         |  SELECT doc_id, CAST($simhash64TermsSql AS BIGINT) AS sig FROM h),
+         |b AS (
+         |  SELECT doc_id, band_id, (sig >> (16 * band_id)) & 65535 AS bkey
+         |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM b a JOIN b c ON a.band_id = c.band_id AND a.bkey = c.bkey
+         |                    AND a.doc_id < c.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+         |FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b
+         |WHERE bit_count(xor(x.sig, y.sig)) <= $SimPairHammingMax
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
       s"""WITH v0 AS (
          |  SELECT vec_id, label,
