@@ -10,6 +10,7 @@ object Bench {
     // repeats is the standard steady-state estimator; the max−min spread
     // is emitted alongside so a noisy number is VISIBLY noisy.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    require(repeats >= 1, s"SPARK_GRAFT_BENCH_REPEATS must be >= 1, got $repeats")
     val spark = Sessions.local(cpus)
     // Warm the JVM/codegen/parquet-footer/page-cache paths for EVERY
     // input table once, so the first timed query touching a table
@@ -23,8 +24,13 @@ object Bench {
     // noop-format write materializes EVERY column of the final plan
     // (projections, sorts, limits included) without sink I/O — unlike
     // count(), which lets Catalyst prune projections and elide sorts.
+    // A failed repeat must NOT contribute its fast-fail duration to the
+    // min — an erroring query would masquerade as a speedup. Failures go
+    // to an `errors` field instead; a query whose every repeat failed
+    // reports no timing at all.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to repeats).map { _ =>
+      val times = (1 to repeats).flatMap { _ =>
         // Caches are INTERNAL to a query (the dedup family persists its
         // shingle/band frames): release them before every timed run so
         // (a) each repeat measures the same cold-cache work, and (b) a
@@ -32,18 +38,32 @@ object Bench {
         // accumulating never-unpersisted frames across 50+ queries.
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: $e")
+          failed(name) = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          None
+        }
       }
       name -> times
     }
-    def jmap(f: Seq[Double] => Double): String = results
+    val timed = results.filter(_._2.nonEmpty)
+    def jmap(f: Seq[Double] => Double): String = timed
       .map { case (k, ts) => s"\"" + k + "\":" + f(ts) }.mkString("{", ",", "}")
     val qs = jmap(_.min)
     val spread = jmap(ts => ts.max - ts.min)
-    val total = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"spread":$spread}""")
+    val total = timed.map(_._2.min).sum
+    val errs = failed.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"spread":$spread,"errors":$errs}"""
+    println(json)
+    // stdout tails get truncated (BENCH_r06 lost its per-query mins that
+    // way) — the file copy is the loss-proof artifact.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] write BENCH_LAST.json: $e") }
     spark.stop()
   }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.schema.Candle
+import graft.stream.{CandlePipeline, RollingTail, Sources}
+
+/** Streaming throughput micro-bench — the engine-side number next to
+  * BASELINE.md's operational row (the reference sustains ~50 msg/s with
+  * 1–2 s micro-batches, /root/reference/README.md:544-547).
+  *
+  * Method: drive each stateful pipeline from the built-in `rate` source
+  * at a rate chosen to EXCEED capacity, so batches backlog and
+  * `processedRowsPerSecond` converges to the pipeline's true sustained
+  * throughput (an under-capacity rate would only measure the generator).
+  * The sink is `noop` — every output row is fully materialized, no sink
+  * I/O in the measurement. Pipelines run SEQUENTIALLY (concurrent queries
+  * would share the 32 cores and undercount both).
+  *
+  * Reported per pipeline, over steady-state batches (first
+  * [[StreamBench.WarmupBatches]] skipped): median processed rows/s,
+  * median + p95 micro-batch duration, batch count. One JSON line to
+  * stdout AND to STREAMBENCH.json (stdout tails get truncated — the file
+  * is the loss-proof artifact, same policy as Bench).
+  */
+object StreamBench {
+
+  private val WarmupBatches = 5
+
+  private def percentile(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    s(math.min(s.size - 1, math.max(0, (p * (s.size - 1)).round.toInt)))
+  }
+
+  /** Run `query` for `secs` seconds, then report steady-state stats. */
+  private def measure(q: StreamingQuery, secs: Int): Map[String, Double] = {
+    Thread.sleep(secs * 1000L)
+    val all = q.recentProgress.toSeq
+    q.stop()
+    val steady = all.filter(_.numInputRows > 0).drop(WarmupBatches)
+    val batches = if (steady.nonEmpty) steady else all.filter(_.numInputRows > 0)
+    if (batches.isEmpty) return Map("batches" -> 0.0)
+    val rps  = batches.map(_.processedRowsPerSecond)
+    val durs = batches.map(_.durationMs.get("triggerExecution").toDouble)
+    Map(
+      "rows_per_sec_p50" -> percentile(rps, 0.5),
+      "rows_per_sec_max" -> rps.max,
+      "batch_ms_p50"     -> percentile(durs, 0.5),
+      "batch_ms_p95"     -> percentile(durs, 0.95),
+      "batches"          -> batches.size.toDouble)
+  }
+
+  /** Synthetic candle stream for the RollingTail leg: 1000 instruments,
+    * deterministic values — the state-store fan-out a real candle topic
+    * produces, without coupling the two measurements. */
+  private def synthCandles(spark: org.apache.spark.sql.SparkSession,
+                           rowsPerSecond: Long): Dataset[Candle] = {
+    import spark.implicits._
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        concat(lit("I"), (col("value") % 1000).cast(StringType)).as("instrument"),
+        col("timestamp").cast(TimestampNTZType).as("window_start"),
+        (col("timestamp") + expr("INTERVAL 1 MINUTE")).cast(TimestampNTZType)
+          .as("window_end"),
+        (col("value") % 997).cast(DoubleType).as("open"),
+        (col("value") % 997 + 1).cast(DoubleType).as("high"),
+        (col("value") % 997 - 1).cast(DoubleType).as("low"),
+        (col("value") % 991).cast(DoubleType).as("close"),
+        lit(1).as("buy_volume"), lit(1).as("sell_volume"),
+        lit(2).as("total_volume"), lit(0).as("delta"),
+        (col("value") % 13).cast(DoubleType).as("tbq"),
+        (col("value") % 17).cast(DoubleType).as("tsq"))
+      .as[Candle]
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "45").toInt
+    // Over-capacity by design — see scaladoc.
+    val tickRate   = sys.env.getOrElse("SPARK_GRAFT_STREAM_TICK_RATE", "400000").toLong
+    val candleRate = sys.env.getOrElse("SPARK_GRAFT_STREAM_CANDLE_RATE", "400000").toLong
+    val spark = Sessions.local(cpus)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+
+    // Leg 1: the reference's core pipeline — wire JSON → parse → classify
+    // → watermark → windowed candles (append).
+    val candleQ = CandlePipeline
+      .candles(Sources.rateTicks(spark, tickRate.toInt))
+      .writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", s"$ckpt/candles").start()
+    val candleStats = measure(candleQ, secs)
+
+    // Leg 2: the dashboard's rolling tail as engine-side bounded state
+    // (update) — 1000 instruments through flatMapGroupsWithState.
+    val tailQ = RollingTail.stats(synthCandles(spark, candleRate))
+      .writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", s"$ckpt/tail").start()
+    val tailStats = measure(tailQ, secs)
+
+    def jm(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"stream_throughput","unit":"rows/sec","secs_per_leg":$secs,""" +
+      s""""drive_rate":{"candle_pipeline":$tickRate,"rolling_tail":$candleRate},""" +
+      s""""candle_pipeline":${jm(candleStats)},"rolling_tail":${jm(tailStats)},""" +
+      s""""baseline_reference":{"msgs_per_sec":50,"micro_batch_sec":"1-2"}}"""
+    println(json)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("STREAMBENCH.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[streambench] write: $e") }
+    spark.stop()
+  }
+}

@@ -96,7 +96,12 @@ object Dedup {
     * consumers reuse the cached partitions), broadcast only under
     * [[MaxBroadcastRows]], and otherwise fall back to a SHUFFLE_HASH hint
     * — both sides shuffle on the join key, the hash table is still built
-    * from `df`, and nothing ever lands on the driver. */
+    * from `df`, and nothing ever lands on the driver.
+    *
+    * Cache ownership: the persist is deliberately NOT unpersisted here —
+    * the frame is consumed downstream of the returned plan. Bench/Verify
+    * release it via `spark.catalog.clearCache()` between queries; library
+    * callers building many dedup plans own cache release the same way. */
   private def pinBuildSide(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (p.count() <= MaxBroadcastRows) broadcast(p) else p.hint("shuffle_hash")
@@ -333,9 +338,12 @@ object Dedup {
     * independent docs — 10 separates the populations by > 5σ. */
   private val SimPairHammingMax = 10
 
-  /** Twin doc_ids live above this offset so they never collide with real
-    * doc_ids (documents.doc_id is dense from 0). */
-  private val TwinIdOffset = 1000000L
+  /** Twin doc_ids are the NEGATIVE mirror −doc_id − 1 of their source:
+    * real doc_ids are dense from 0 (non-negative), so the mirror is
+    * collision-free at ANY corpus size — unlike a fixed additive offset,
+    * which silently collides once the corpus outgrows it, and unlike
+    * max(doc_id)+1, which costs an extra driver-side pass to derive. */
+  private def twinId(id: Column): Column = -id - 1
 
   /** 64-bit SimHash near-dup PAIRS via the 4×16-bit banded Hamming join —
     * the production pairing [[dedupSimhash]]'s scaladoc documents, now
@@ -349,7 +357,7 @@ object Dedup {
     *    vocabularies, so unrelated signatures are uniform random and the
     *    banded join actually prunes;
     *  - each doc with ≥ 5 distinct tokens gets a planted NEAR-DUP twin
-    *    (doc_id + [[TwinIdOffset]]) whose token set drops the
+    *    ([[twinId]]: −doc_id − 1) whose token set drops the
     *    lexicographic-max token — a one-edit neighbor the pairing must
     *    recover. (Max-token removal, not "last token": array_distinct /
     *    list_distinct order is engine-specific, and every downstream step
@@ -357,8 +365,11 @@ object Dedup {
     *    DuckDB oracle reproduces signatures bit-for-bit.)
     *
     * Signature build: one fold per md5-hex position (16, not 64 — each
-    * fold packs its digit's FOUR bit-counts into one INT, 8 bits each;
-    * safe while distinct-token count ≤ 255, enforced by filter) — the
+    * fold packs its digit's FOUR bit-counts into one BIGINT, 8 bits each;
+    * exact while distinct-token count ≤ 255, enforced by filter — the
+    * accumulator is LongType because the bit-3 lane is weighted 2^24 and
+    * an IntegerType fold overflows at 128 set bits, an ANSI-mode runtime
+    * error on any real 128-255-token doc) — the
     * per-token work is 16 substr+conv ops instead of 64, the dominant
     * cost at corpus scale. Bit j is set iff 2·count_j > n (⇔ the ±1 vote
     * sum is positive — same rule as [[dedupSimhash]]). Bit 63's weight is
@@ -379,7 +390,7 @@ object Dedup {
               array_distinct(toks).as("dt"))
       .filter(size(col("dt")) <= 255) // packed 8-bit counts stay exact
     val twins = base.filter(size(col("dt")) >= 5)
-      .select((col("doc_id") + TwinIdOffset).as("doc_id"), col("salt"),
+      .select(twinId(col("doc_id")).as("doc_id"), col("salt"),
               array_remove(col("dt"), array_max(col("dt"))).as("dt"))
     val corpus = base.select(col("doc_id"), col("salt"), col("dt"))
       .unionByName(twins)
@@ -388,11 +399,11 @@ object Dedup {
     // cnt_p MUST be materialized columns: referenced 4× each by the sig
     // terms, inlined they'd re-run the fold per bit (the duplicated-
     // expression trap — see lane()).
-    def packedCounts(p: Int): Column = aggregate(col("hs"), lit(0), (acc, h) => {
+    def packedCounts(p: Int): Column = aggregate(col("hs"), lit(0L), (acc, h) => {
       val d = conv(h.substr(lit(p + 1), lit(1)), 16, 10).cast(IntegerType)
-      acc + shiftright(d, 3).bitwiseAND(lit(1)) * lit(1 << 24) +
-            shiftright(d, 2).bitwiseAND(lit(1)) * lit(1 << 16) +
-            shiftright(d, 1).bitwiseAND(lit(1)) * lit(1 << 8) +
+      acc + shiftright(d, 3).bitwiseAND(lit(1)) * lit(1L << 24) +
+            shiftright(d, 2).bitwiseAND(lit(1)) * lit(1L << 16) +
+            shiftright(d, 1).bitwiseAND(lit(1)) * lit(1L << 8) +
             d.bitwiseAND(lit(1))
     })
     val counted = corpus.select(
@@ -400,7 +411,7 @@ object Dedup {
         (0 until 16).map(p => packedCounts(p).as(s"cnt$p"))): _*)
     val sig = (0 until 64).map { j =>
       val cnt = shiftright(col(s"cnt${j / 4}"), 8 * (3 - j % 4))
-        .bitwiseAND(lit(255))
+        .bitwiseAND(lit(255L))
       when(cnt * 2 > col("n"),
         lit(if (j == 63) Long.MinValue else 1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -601,7 +612,7 @@ object Dedup {
          |corpus AS (
          |  SELECT doc_id, salt, dt FROM base
          |  UNION ALL
-         |  SELECT doc_id + $TwinIdOffset, salt,
+         |  SELECT -doc_id - 1, salt,
          |         list_filter(dt, t -> t <> list_aggregate(dt, 'max'))
          |  FROM base WHERE len(dt) >= 5),
          |h AS (

@@ -58,7 +58,14 @@ object Multimodal {
         col("doc_id"), col("format"), col("width"), col("height"),
         octet_length(col("payload")).cast(LongType).as("byte_len"),
         md5(col("payload")).as("digest"),
-        substring(hex(col("payload")), 1, 8).as("header_hex"),
+        // hex ONLY the 4 header bytes: hexing the whole payload would
+        // materialize a 2×payload-length string per row before the
+        // truncate — a real allocation tax at 100 TB of media bytes.
+        // (The oracle spells it substr(hex(payload),1,8) — DuckDB 1.0
+        // can't slice BLOBs — which is value-identical for any length:
+        // hex of the first min(4,len) bytes IS the first min(8,2·len)
+        // hex chars.)
+        hex(substring(col("payload"), 1, 4)).as("header_hex"),
         fakeLuma(col("payload")))
       .orderBy(col("doc_id"))
 

@@ -76,7 +76,7 @@ object Similarity {
     * Fixed-point quantization (floor x*1e6 → BIGINT) makes the sum exact
     * and partition-order-independent; the final division back to DOUBLE
     * is a fixed expression, identical in both engines. */
-  def knnIvfCentroids(spark: SparkSession, dir: String): DataFrame =
+  private def centroidRows(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir)
       .select(col("label").as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
@@ -85,7 +85,48 @@ object Similarity {
       .select(col("cell"), col("dim"),
               (col("qsum").cast(DoubleType) / 1e6 / col("n")).as("centroid"),
               col("n"))
-      .orderBy(col("cell"), col("dim"))
+
+  def knnIvfCentroids(spark: SparkSession, dir: String): DataFrame =
+    centroidRows(spark, dir).orderBy(col("cell"), col("dim"))
+
+  /** Extra cells probed by [[knnIvfProbe2]] beyond the query's own. */
+  private val ProbeCells = 2
+
+  /** IVF MULTI-probe — the recall dial every production ANN user reaches
+    * for first. Cells are ranked per query by cosine to the
+    * [[knnIvfCentroids]] centroid (the standard IVF probe-ordering rule);
+    * the probe set is the top-[[ProbeCells]] ranked cells UNIONED with the
+    * query's own assigned cell, so the candidate set is a strict superset
+    * of [[knnIvf]]'s — recall is monotonically ≥ single-probe by
+    * construction (SimilarityRecallSpec measures both against
+    * [[knnBrute]]). Cost model at scale: the centroid table is one row
+    * per (cell, dim) — tiny, broadcast — and the corpus-side join still
+    * touches only probed cells' partitions; probing p cells reads p/n_cells
+    * of the corpus per query instead of 1/n_cells. The centroid VECTOR is
+    * rebuilt from the per-dim rows via a dim-sorted collect (deterministic:
+    * dims are distinct), mirroring the oracle's array_agg(ORDER BY dim). */
+  def knnIvfProbe2(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val cents = centroidRows(spark, dir)
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("cv"))
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qcell"),
+              col("v").as("qv"))
+    val rankCells = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("crank", row_number().over(rankCells))
+      .filter(col("crank") <= ProbeCells || col("cell") === col("qcell"))
+      .select(col("query_id"), col("cell"), col("qv"))
+    val cand = all.select(col("vec_id").as("nn_id"), col("label").as("cell_c"),
+                          col("v").as("w"))
+    topK(cand.join(broadcast(probes),
+        col("cell_c") === col("cell") && col("nn_id") =!= col("query_id"))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("w"))))
+  }
 
   /** Scalar quantization — the storage-compression companion of the ANN
     * stack: per-dimension global [lo, hi] over the corpus, then each
@@ -112,14 +153,17 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute"         -> knnBrute _,
     "knn_ivf"           -> knnIvf _,
+    "knn_ivf_probe2"    -> knnIvfProbe2 _,
     "knn_ivf_centroids" -> knnIvfCentroids _,
     "emb_quantize"      -> embQuantize _)
 
-  private val cosineSql =
-    """list_sum(list_transform(list_zip(q.qv, c.w),
-      |      z -> struct_extract(z, 1) * struct_extract(z, 2)))
-      |      / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
-      |         * sqrt(list_sum(list_transform(c.w, x -> x * x))))""".stripMargin
+  private def cosineSqlOf(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |      z -> struct_extract(z, 1) * struct_extract(z, 2)))
+       |      / (sqrt(list_sum(list_transform($a, x -> x * x)))
+       |         * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+
+  private val cosineSql = cosineSqlOf("q.qv", "c.w")
 
   val oracles: Map[String, String] = Map(
     "knn_brute" ->
@@ -147,6 +191,41 @@ object Similarity {
          |s AS (
          |  SELECT q.query_id, c.nn_id, $cosineSql AS cosine
          |  FROM c JOIN q ON c.cell_c = q.cell WHERE c.nn_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cosine DESC, nn_id) AS rank FROM s)
+         |SELECT query_id, rank, nn_id, cosine FROM r
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "knn_ivf_probe2" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |d AS (
+         |  SELECT label AS cell, generate_subscripts(embedding, 1) - 1 AS dim,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT cell, dim,
+         |    CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*)
+         |      AS centroid
+         |  FROM d GROUP BY 1, 2),
+         |cv AS (SELECT cell, array_agg(centroid ORDER BY dim) AS cv
+         |       FROM cent GROUP BY 1),
+         |q AS (SELECT vec_id AS query_id, label AS qcell, v AS qv
+         |      FROM v WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.query_id, q.qcell, q.qv, cv.cell,
+         |    ${cosineSqlOf("q.qv", "cv.cv")} AS csim
+         |  FROM q CROSS JOIN cv),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY csim DESC, cell) AS crank FROM scored),
+         |probe AS (SELECT query_id, cell, qv FROM ranked
+         |          WHERE crank <= $ProbeCells OR cell = qcell),
+         |c AS (SELECT vec_id AS nn_id, label AS cell_c, v AS w FROM v),
+         |s AS (
+         |  SELECT q.query_id, c.nn_id, $cosineSql AS cosine
+         |  FROM c JOIN probe q ON c.cell_c = q.cell WHERE c.nn_id <> q.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |                ORDER BY cosine DESC, nn_id) AS rank FROM s)
          |SELECT query_id, rank, nn_id, cosine FROM r

@@ -24,9 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * duplicates collapsed (|∩| over distinct elements,
   * |∪| = |distinct(a)| + |distinct(b)| − |∩|), double division — so the
   * DuckDB `list_intersect`/`list_distinct(a || b)` oracles still
-  * hash-match. Null input → null; null ELEMENTS are not handled (the
-  * engine's shingle/gram arrays never contain them) and would differ
-  * from array_intersect's null semantics — documented limitation.
+  * hash-match. Null input → null; a null ELEMENT in either array also
+  * yields null (the function is registered for arbitrary SQL callers via
+  * `jaccard_sim`, so an undefined-behavior corner is not acceptable —
+  * set semantics over a set containing null are ill-defined, and null,
+  * not an exception, matches how Spark's collection functions degrade).
+  * The engine's own shingle/gram arrays never contain null elements, so
+  * the hot path never takes the branch.
   */
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -40,8 +44,12 @@ case class JaccardSim(left: Expression, right: Expression)
     JaccardSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.JaccardSim.compute($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("jaccard")
+      s"""java.lang.Double $r = graft.functions.JaccardSim.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -61,22 +69,30 @@ object JaccardSim {
     * function beats a runtime error for a similarity measure (the
     * engine's shingle/gram pipelines never produce the corner anyway:
     * empty-set docs get null band keys and never become candidates).
+    * Returns null (boxed) when either array contains a null element —
+    * `getUTF8String` on a null slot is undefined behavior, not an error,
+    * so the slot must be checked before the read. The box is the price
+    * of a defined null path; the JIT elides it on the non-null hot path.
     * Called from generated code — must stay public and static-shaped. */
-  def compute(a: ArrayData, b: ArrayData): Double = {
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val sa = new java.util.HashSet[UTF8String]()
     var i = 0
     val na = a.numElements()
-    while (i < na) { sa.add(a.getUTF8String(i)); i += 1 }
+    while (i < na) {
+      if (a.isNullAt(i)) return null
+      sa.add(a.getUTF8String(i)); i += 1
+    }
     val sb = new java.util.HashSet[UTF8String]()
     var inter = 0
     var j = 0
     val nb = b.numElements()
     while (j < nb) {
+      if (b.isNullAt(j)) return null
       val e = b.getUTF8String(j)
       if (sb.add(e) && sa.contains(e)) inter += 1
       j += 1
     }
     val union = sa.size + sb.size - inter
-    inter.toDouble / union
+    java.lang.Double.valueOf(inter.toDouble / union)
   }
 }

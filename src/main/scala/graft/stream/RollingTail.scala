@@ -53,16 +53,36 @@ object RollingTail {
       .flatMapGroupsWithState[TailState, TailStats](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (instrument, rows, state: GroupState[TailState]) =>
-          val incoming = rows.toSeq
-            .sortWith((a, b) => a.window_start.isBefore(b.window_start))
-          if (incoming.isEmpty) Iterator.empty
+          // Bounded fold: a normal micro-batch is small, but a replay /
+          // backfill can deliver millions of rows for ONE instrument, and
+          // materializing them (toSeq.sort) spikes a single task's heap.
+          // Only the newest MaxTail rows can survive the takeRight, so a
+          // size-(MaxTail+1) min-heap streams the iterator in O(MaxTail)
+          // memory; the arrival index breaks window_start ties exactly
+          // like the stable sort it replaces.
+          val cmp = new java.util.Comparator[(Candle, Long)] {
+            def compare(x: (Candle, Long), y: (Candle, Long)): Int = {
+              val c = x._1.window_start.compareTo(y._1.window_start)
+              if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+            }
+          }
+          val heap = new java.util.PriorityQueue[(Candle, Long)](MaxTail + 1, cmp)
+          var idx = 0L
+          rows.foreach { c =>
+            heap.add((c, idx)); idx += 1
+            if (heap.size > MaxTail) heap.poll()
+          }
+          if (idx == 0L) Iterator.empty
           else {
+            val kept = new Array[(Candle, Long)](heap.size)
+            var i = 0 // poll() drains oldest-first: kept ends up in fold order
+            while (i < kept.length) { kept(i) = heap.poll(); i += 1 }
             val prior = state.getOption.map(_.closes).getOrElse(Nil)
-            val tail  = (prior ++ incoming.map(_.close)).takeRight(MaxTail)
+            val tail  = (prior ++ kept.map(_._1.close)).takeRight(MaxTail)
             state.update(TailState(tail))
             Iterator.single(TailStats(
               instrument,
-              incoming.last.window_start,
+              kept.last._1.window_start,
               tail.length,
               tail.sum / tail.length, tail.min, tail.max))
           }

@@ -98,6 +98,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(interp.toSeq === gen.toSeq)
   }
 
+  test("JaccardSim: null element or null array → null, both eval paths") {
+    // registered for arbitrary SQL callers, so the null-element corner
+    // must be DEFINED (null result), not undefined behavior on the slot
+    def run() = spark.sql(
+      """SELECT jaccard_sim(a, b) FROM VALUES
+        |  (array('a', cast(null as string)), array('a')),
+        |  (array('a'), array(cast(null as string), 'a')),
+        |  (cast(null as array<string>), array('a')),
+        |  (array('a'), array('a'))
+        |AS t(a, b)""".stripMargin).collect()
+    val gen = run()
+    assert(gen.map(_.isNullAt(0)).toSeq === Seq(true, true, true, false), gen.mkString)
+    assert(gen.last.getDouble(0) === 1.0)
+    val interp = interpretedOnly { run().map(_.isNullAt(0)) }
+    assert(interp.toSeq === Seq(true, true, true, false))
+  }
+
   test("generated code actually compiles — no silent interpreted fallback") {
     // janino failure normally falls back to interpreted execution and a
     // test would still pass; forbidding the fallback makes a codegen bug
