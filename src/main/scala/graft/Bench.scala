@@ -30,9 +30,18 @@ object Bench {
     // reports no timing at all.
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to repeats).flatMap { _ =>
+      // One UNTIMED warmup execution per query (0 to repeats; run 0
+      // discarded): a query's first execution pays janino compilation of
+      // its generated code plus JIT of the fresh classes — seconds for
+      // the biggest codegen units (the 64-term simhash signature), and
+      // exactly the r6 `spread` outliers (max−min ≈ first−steady). The
+      // min never measured it; discarding run 0 makes the SPREAD a
+      // steady-state variance signal (GC/scheduling) instead of a
+      // compile-time echo. Cold-cache semantics are untouched — caches
+      // are still cleared before every run, warmup included.
+      val times = (0 to repeats).flatMap { rep =>
         // Caches are INTERNAL to a query (the dedup family persists its
-        // shingle/band frames): release them before every timed run so
+        // shingle/band frames): release them before every run so
         // (a) each repeat measures the same cold-cache work, and (b) a
         // long bench session's storage memory stays flat instead of
         // accumulating never-unpersisted frames across 50+ queries.
@@ -40,7 +49,7 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          if (rep == 0) None else Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name: $e")
           failed(name) = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)

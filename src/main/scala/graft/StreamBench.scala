@@ -1,34 +1,40 @@
 package graft
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.schema.Candle
-import graft.stream.{CandlePipeline, RollingTail, Sources}
+import graft.stream.{CandlePipeline, IngestDedup, RollingTail, Sources}
 
 /** Streaming throughput micro-bench — the engine-side number next to
   * BASELINE.md's operational row (the reference sustains ~50 msg/s with
   * 1–2 s micro-batches, /root/reference/README.md:544-547).
   *
-  * Method: drive each stateful pipeline from the built-in `rate` source
-  * at a rate chosen to EXCEED capacity, so batches backlog and
-  * `processedRowsPerSecond` converges to the pipeline's true sustained
-  * throughput (an under-capacity rate would only measure the generator).
-  * The sink is `noop` — every output row is fully materialized, no sink
-  * I/O in the measurement. Pipelines run SEQUENTIALLY (concurrent queries
-  * would share the 32 cores and undercount both).
+  * Method: drive each stateful pipeline from the `rate-micro-batch`
+  * source — every micro-batch carries exactly `rowsPerBatch` rows and
+  * the next trigger fires as soon as the previous commits, so per-batch
+  * `processedRowsPerSecond` measures pipeline CAPACITY on identical,
+  * comparable batches. (The plain `rate` source was tried first: under
+  * backlog its batch sizes balloon run-over-run — 3× swings on unchanged
+  * code — because each batch swallows whatever accumulated.) The sink is
+  * `noop` — every output row is fully materialized, no sink I/O in the
+  * measurement. Pipelines run SEQUENTIALLY (concurrent queries would
+  * share the 32 cores and undercount both).
   *
   * Reported per pipeline, over steady-state batches (first
-  * [[StreamBench.WarmupBatches]] skipped): median processed rows/s,
-  * median + p95 micro-batch duration, batch count. One JSON line to
-  * stdout AND to STREAMBENCH.json (stdout tails get truncated — the file
-  * is the loss-proof artifact, same policy as Bench).
+  * [[StreamBench.WarmupBatches]] skipped): median + max processed
+  * rows/s, median + p95 micro-batch duration, batch count. One JSON line
+  * to stdout AND to STREAMBENCH.json (stdout tails get truncated — the
+  * file is the loss-proof artifact, same policy as Bench).
   */
 object StreamBench {
 
-  private val WarmupBatches = 5
+  // 2, not more: with fixed-size batches the post-JIT steady state
+  // arrives by the third batch, and the slowest leg (candle pipeline,
+  // ~8 s/batch) must still leave a usable steady sample inside the run.
+  private val WarmupBatches = 2
 
   private def percentile(xs: Seq[Double], p: Double): Double = {
     val s = xs.sorted
@@ -53,14 +59,19 @@ object StreamBench {
       "batches"          -> batches.size.toDouble)
   }
 
+  /** Fixed-size micro-batch base stream: `value` BIGINT + `timestamp`
+    * advancing 1 s of event time per batch (watermarks progress). */
+  private def microBatchRows(spark: SparkSession, rowsPerBatch: Long): DataFrame =
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("advanceMillisPerBatch", 1000L).load()
+
   /** Synthetic candle stream for the RollingTail leg: 1000 instruments,
     * deterministic values — the state-store fan-out a real candle topic
     * produces, without coupling the two measurements. */
-  private def synthCandles(spark: org.apache.spark.sql.SparkSession,
-                           rowsPerSecond: Long): Dataset[Candle] = {
+  private def synthCandles(spark: SparkSession, rowsPerBatch: Long): Dataset[Candle] = {
     import spark.implicits._
-    spark.readStream.format("rate")
-      .option("rowsPerSecond", rowsPerSecond).load()
+    microBatchRows(spark, rowsPerBatch)
       .select(
         concat(lit("I"), (col("value") % 1000).cast(StringType)).as("instrument"),
         col("timestamp").cast(TimestampNTZType).as("window_start"),
@@ -79,35 +90,49 @@ object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "45").toInt
-    // Over-capacity by design — see scaladoc.
-    val tickRate   = sys.env.getOrElse("SPARK_GRAFT_STREAM_TICK_RATE", "400000").toLong
-    val candleRate = sys.env.getOrElse("SPARK_GRAFT_STREAM_CANDLE_RATE", "400000").toLong
+    val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "75").toInt
+    val tickBatch   = sys.env.getOrElse("SPARK_GRAFT_STREAM_TICK_BATCH", "2000000").toLong
+    val candleBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_CANDLE_BATCH", "4000000").toLong
+    val docBatch    = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOC_BATCH", "4000000").toLong
     val spark = Sessions.local(cpus)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-streambench").toString
 
     // Leg 1: the reference's core pipeline — wire JSON → parse → classify
     // → watermark → windowed candles (append).
     val candleQ = CandlePipeline
-      .candles(Sources.rateTicks(spark, tickRate.toInt))
+      .candles(Sources.microBatchTicks(spark, tickBatch))
       .writeStream.format("noop").outputMode("append")
       .option("checkpointLocation", s"$ckpt/candles").start()
     val candleStats = measure(candleQ, secs)
 
     // Leg 2: the dashboard's rolling tail as engine-side bounded state
     // (update) — 1000 instruments through flatMapGroupsWithState.
-    val tailQ = RollingTail.stats(synthCandles(spark, candleRate))
+    val tailQ = RollingTail.stats(synthCandles(spark, candleBatch))
       .writeStream.format("noop").outputMode("update")
       .option("checkpointLocation", s"$ckpt/tail").start()
     val tailStats = measure(tailQ, secs)
+
+    // Leg 3: in-flight exact dedup — watermark-bounded
+    // dropDuplicatesWithinWatermark state over synthetic docs (each run
+    // of 10 consecutive values shares one body, so ~90% of rows are
+    // in-horizon duplicates the state must catch).
+    val docs = microBatchRows(spark, docBatch)
+      .select(col("timestamp").as("ts"),
+        concat(lit("doc body "), (col("value") - col("value") % 10).cast(StringType))
+          .as("text"))
+    val dedupQ = IngestDedup.exactWithinWatermark(docs, "ts", "10 seconds")
+      .writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", s"$ckpt/dedup").start()
+    val dedupStats = measure(dedupQ, secs)
 
     def jm(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
     val json =
       s"""{"metric":"stream_throughput","unit":"rows/sec","secs_per_leg":$secs,""" +
-      s""""drive_rate":{"candle_pipeline":$tickRate,"rolling_tail":$candleRate},""" +
+      s""""rows_per_batch":{"candle_pipeline":$tickBatch,"rolling_tail":$candleBatch,"ingest_dedup":$docBatch},""" +
       s""""candle_pipeline":${jm(candleStats)},"rolling_tail":${jm(tailStats)},""" +
+      s""""ingest_dedup":${jm(dedupStats)},""" +
       s""""baseline_reference":{"msgs_per_sec":50,"micro_batch_sec":"1-2"}}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("STREAMBENCH.json"),

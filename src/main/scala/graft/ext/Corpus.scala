@@ -49,13 +49,14 @@ object Corpus {
     * unlike rand(). One hash exchange on the stratum key; the quota
     * filter is a rank predicate, so only quota rows survive the window —
     * the standard class-balancing step before training. */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       quota: Int = 50): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 50)
+      .filter(col("rn") <= quota)
       .orderBy(col("doc_id"))
   }
 
@@ -65,23 +66,27 @@ object Corpus {
     * under corpus growth — a doc keeps its split forever, the property
     * leakage audits depend on. Pure per-row expression: no shuffle at
     * all until the ORDER BY. */
-  def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+  def trainTestSplit(spark: SparkSession, dir: String,
+                     trainPct: Int = 80, validationPct: Int = 10): DataFrame = {
+    require(trainPct + validationPct < 100,
+      s"train+validation must leave room for test, got $trainPct+$validationPct")
     val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
       .cast(IntegerType) % 100
     Tables.documents(spark, dir)
       .select(col("doc_id"), bucket.as("bucket"))
       .withColumn("split",
-        when(col("bucket") < 80, lit("train"))
-          .otherwise(when(col("bucket") < 90, lit("validation"))
+        when(col("bucket") < trainPct, lit("train"))
+          .otherwise(when(col("bucket") < trainPct + validationPct, lit("validation"))
           .otherwise(lit("test"))))
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy(col("doc_id"))
   }
 
+  // Defaults bound here match the oracle SQL below (quota 50, 80/10/10).
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean"      -> corpusClean _,
-    "sample_stratified" -> stratifiedSample _,
-    "train_test_split"  -> trainTestSplit _)
+    "sample_stratified" -> ((s, d) => stratifiedSample(s, d)),
+    "train_test_split"  -> ((s, d) => trainTestSplit(s, d)))
 
   val oracles: Map[String, String] = Map(
     "corpus_clean" ->

@@ -183,7 +183,8 @@ object Dedup {
   def lshCandidates(sig: DataFrame): DataFrame =
     pairsFromBands(bandsOf(sig)).orderBy(col("doc_a"), col("doc_b"))
 
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(spark: SparkSession, dir: String,
+                      jaccardMin: Double = 0.5): DataFrame = {
     // The shingle-set frame has THREE consumers in this plan: the
     // signature build and the x/y sides of the Jaccard verify. Spark
     // re-executes a shared subplan once per reference, so without the
@@ -227,7 +228,7 @@ object Dedup {
       // composed built-ins, pinned in FunctionsSpec)
       .withColumn("jaccard",
         graft.functions.JaccardSim(col("xss"), col("yss")))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= jaccardMin)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -383,7 +384,8 @@ object Dedup {
     * with `bit_count(sig_a ^ sig_b) <= k`. Candidate count at 64 bits is
     * ~n²/2^16 per band for the unrelated mass plus the true near-dups —
     * the same bounded-bucket economics as [[dedupMinhashLsh]]. */
-  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhashPairs(spark: SparkSession, dir: String,
+                        hammingMax: Int = SimPairHammingMax): DataFrame = {
     val base = Tables.documents(spark, dir)
       .repartition(col("doc_id")) // hash folds off a single parquet split
       .select(col("doc_id"), md5(col("text")).as("salt"),
@@ -431,7 +433,7 @@ object Dedup {
       .join(y, col("doc_b") === col("yid"))
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(IntegerType))
-      .filter(col("hamming") <= SimPairHammingMax)
+      .filter(col("hamming") <= hammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -463,7 +465,9 @@ object Dedup {
     * pass) to trade cost for recall. Near-dup flag at cosine >= 0.3
     * (≈ p99 of the within-label cosine distribution on this data).
     */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, dir: String,
+                     blockW: Int = BlockW,
+                     nearDupMin: Double = 0.3): DataFrame = {
     // Norms/projections are per-VECTOR, so compute them once before the
     // pair join — at ingest scale both are stored columns.
     val vecs = Tables.embeddings(spark, dir)
@@ -474,7 +478,7 @@ object Dedup {
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("label")).orderBy(col("proj"), col("vec_id"))
     val blocked = vecs
-      .withColumn("blk", floor((row_number().over(rankW) - 1) / BlockW))
+      .withColumn("blk", floor((row_number().over(rankW) - 1) / blockW))
     val probes = blocked
       .withColumn("bkey", explode(array(col("blk") - 1, col("blk"), col("blk") + 1)))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("bkey"))
@@ -492,18 +496,21 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("nn_id"), col("cosine"),
-              (col("cosine") >= 0.3).cast(IntegerType).as("is_near_dup"))
+              (col("cosine") >= nearDupMin).cast(IntegerType).as("is_near_dup"))
       .orderBy(col("vec_id"))
   }
 
+  // Parameterized entry points bind their library DEFAULTS here — the
+  // oracle SQL below is generated from the same constants, so gate and
+  // default-call results stay identical.
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> dedupExact _,
     "dedup_minhash_sig"   -> minhashSigQuery _,
-    "dedup_minhash_lsh"   -> dedupMinhashLsh _,
+    "dedup_minhash_lsh"   -> ((s, d) => dedupMinhashLsh(s, d)),
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_simhash"       -> dedupSimhash _,
-    "dedup_simhash_pairs" -> dedupSimhashPairs _,
-    "dedup_embedding"     -> dedupEmbedding _)
+    "dedup_simhash_pairs" -> ((s, d) => dedupSimhashPairs(s, d)),
+    "dedup_embedding"     -> ((s, d) => dedupEmbedding(s, d)))
 
   // ---- oracles ----
 

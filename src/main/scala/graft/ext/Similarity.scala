@@ -30,6 +30,9 @@ import graft.Tables
   */
 object Similarity {
 
+  /** Library defaults — the gate queries and oracle SQL are generated
+    * from these same constants, so a default-argument call reproduces the
+    * gate result exactly. */
   private val NumQueries = 10
   private val TopK       = 3
 
@@ -37,39 +40,41 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), Vectors.asDouble(col("embedding")).as("v"))
 
-  private def topK(scored: DataFrame): DataFrame = {
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nn_id"))
     scored
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nn_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
 
   /** Exact brute-force cosine top-k: broadcast the query set, stream the
     * corpus. */
-  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+  def knnBrute(spark: SparkSession, dir: String,
+               numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
     val all = vecs(spark, dir)
-    val q = all.filter(col("vec_id") < NumQueries)
+    val q = all.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val cand = all.select(col("vec_id").as("nn_id"), col("v").as("w"))
     topK(cand.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("cosine", Vectors.cosine(col("qv"), col("w"))))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("w"))), k)
   }
 
   /** IVF probe: same queries, but candidates come only from the query's
     * own cell — the label-keyed join IS the index. */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def knnIvf(spark: SparkSession, dir: String,
+             numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
     val all = vecs(spark, dir)
-    val q = all.filter(col("vec_id") < NumQueries)
+    val q = all.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("label").as("cell"), col("v").as("qv"))
     val cand = all.select(col("vec_id").as("nn_id"), col("label").as("cell_c"),
                           col("v").as("w"))
     topK(cand.join(broadcast(q),
         col("cell_c") === col("cell") && col("nn_id") =!= col("query_id"))
-      .withColumn("cosine", Vectors.cosine(col("qv"), col("w"))))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("w"))), k)
   }
 
   /** IVF build: per-cell centroid, one row per (cell, dimension).
@@ -89,7 +94,8 @@ object Similarity {
   def knnIvfCentroids(spark: SparkSession, dir: String): DataFrame =
     centroidRows(spark, dir).orderBy(col("cell"), col("dim"))
 
-  /** Extra cells probed by [[knnIvfProbe2]] beyond the query's own. */
+  /** Default number of centroid-ranked cells probed by [[knnIvfProbe2]]
+    * (the query's own cell is always unioned in on top). */
   private val ProbeCells = 2
 
   /** IVF MULTI-probe — the recall dial every production ANN user reaches
@@ -105,13 +111,15 @@ object Similarity {
     * of the corpus per query instead of 1/n_cells. The centroid VECTOR is
     * rebuilt from the per-dim rows via a dim-sorted collect (deterministic:
     * dims are distinct), mirroring the oracle's array_agg(ORDER BY dim). */
-  def knnIvfProbe2(spark: SparkSession, dir: String): DataFrame = {
+  def knnIvfProbe2(spark: SparkSession, dir: String,
+                   numQueries: Int = NumQueries, k: Int = TopK,
+                   probeCells: Int = ProbeCells): DataFrame = {
     val all = vecs(spark, dir)
     val cents = centroidRows(spark, dir)
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
         s => s.getField("centroid")).as("cv"))
-    val q = all.filter(col("vec_id") < NumQueries)
+    val q = all.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("label").as("qcell"),
               col("v").as("qv"))
     val rankCells = Window.partitionBy(col("query_id"))
@@ -119,13 +127,13 @@ object Similarity {
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("csim", Vectors.cosine(col("qv"), col("cv")))
       .withColumn("crank", row_number().over(rankCells))
-      .filter(col("crank") <= ProbeCells || col("cell") === col("qcell"))
+      .filter(col("crank") <= probeCells || col("cell") === col("qcell"))
       .select(col("query_id"), col("cell"), col("qv"))
     val cand = all.select(col("vec_id").as("nn_id"), col("label").as("cell_c"),
                           col("v").as("w"))
     topK(cand.join(broadcast(probes),
         col("cell_c") === col("cell") && col("nn_id") =!= col("query_id"))
-      .withColumn("cosine", Vectors.cosine(col("qv"), col("w"))))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("w"))), k)
   }
 
   /** Scalar quantization — the storage-compression companion of the ANN
@@ -151,9 +159,9 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_brute"         -> knnBrute _,
-    "knn_ivf"           -> knnIvf _,
-    "knn_ivf_probe2"    -> knnIvfProbe2 _,
+    "knn_brute"         -> ((s, d) => knnBrute(s, d)),
+    "knn_ivf"           -> ((s, d) => knnIvf(s, d)),
+    "knn_ivf_probe2"    -> ((s, d) => knnIvfProbe2(s, d)),
     "knn_ivf_centroids" -> knnIvfCentroids _,
     "emb_quantize"      -> embQuantize _)
 

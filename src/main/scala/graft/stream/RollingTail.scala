@@ -46,7 +46,7 @@ object RollingTail {
   /** candles → per-instrument rolling-tail stats, one row per instrument
     * per micro-batch that touched it. Works on batch Datasets too (Spark
     * runs the same function with a single all-rows "batch"). */
-  def stats(candles: Dataset[Candle]): Dataset[TailStats] = {
+  def stats(candles: Dataset[Candle], maxTail: Int = MaxTail): Dataset[TailStats] = {
     import candles.sparkSession.implicits._
     candles
       .groupByKey(_.instrument)
@@ -66,11 +66,11 @@ object RollingTail {
               if (c != 0) c else java.lang.Long.compare(x._2, y._2)
             }
           }
-          val heap = new java.util.PriorityQueue[(Candle, Long)](MaxTail + 1, cmp)
+          val heap = new java.util.PriorityQueue[(Candle, Long)](maxTail + 1, cmp)
           var idx = 0L
           rows.foreach { c =>
             heap.add((c, idx)); idx += 1
-            if (heap.size > MaxTail) heap.poll()
+            if (heap.size > maxTail) heap.poll()
           }
           if (idx == 0L) Iterator.empty
           else {
@@ -78,7 +78,7 @@ object RollingTail {
             var i = 0 // poll() drains oldest-first: kept ends up in fold order
             while (i < kept.length) { kept(i) = heap.poll(); i += 1 }
             val prior = state.getOption.map(_.closes).getOrElse(Nil)
-            val tail  = (prior ++ kept.map(_._1.close)).takeRight(MaxTail)
+            val tail  = (prior ++ kept.map(_._1.close)).takeRight(maxTail)
             state.update(TailState(tail))
             Iterator.single(TailStats(
               instrument,

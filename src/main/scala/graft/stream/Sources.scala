@@ -42,22 +42,39 @@ object Sources {
   def valueAsJson(kafkaDf: DataFrame): DataFrame =
     kafkaDf.select(col("value").cast(StringType).as("json_str"))
 
+  /** (value, timestamp) rate rows → the synthetic event shape TickGen
+    * renders to wire JSON — shared by both rate-source variants. */
+  private def eventsFromRate(raw: DataFrame): DataFrame = {
+    val types = array(Seq("click", "view", "purchase", "refund", "error").map(lit): _*)
+    raw.select(
+      col("value").as("event_id"),
+      col("timestamp").as("ts"),
+      (col("value") % 50).as("user_id"),
+      element_at(types, (col("value") % 5 + 1).cast(IntegerType)).as("event_type"),
+      (col("value") % 997).cast(DoubleType).as("value"),
+      concat(lit("""{"k": """), (col("value") % 100).cast(StringType), lit("}"))
+        .as("props"))
+  }
+
   /** A5 replacement: deterministic tick-JSON stream from the built-in
     * `rate` source — the WebSocket ingress stand-in for local tests and
     * load generation (SURVEY §2.A5). Fully distributed: the rate source
     * scales with numPartitions, TickGen is per-row codegen. */
-  def rateTicks(spark: SparkSession, rowsPerSecond: Int): DataFrame = {
-    val types = array(Seq("click", "view", "purchase", "refund", "error").map(lit): _*)
-    val events = spark.readStream
-      .format("rate").option("rowsPerSecond", rowsPerSecond.toLong).load()
-      .select(
-        col("value").as("event_id"),
-        col("timestamp").as("ts"),
-        (col("value") % 50).as("user_id"),
-        element_at(types, (col("value") % 5 + 1).cast(IntegerType)).as("event_type"),
-        (col("value") % 997).cast(DoubleType).as("value"),
-        concat(lit("""{"k": """), (col("value") % 100).cast(StringType), lit("}"))
-          .as("props"))
-    TickGen.ticksFromEvents(events).select("json_str")
-  }
+  def rateTicks(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    TickGen.ticksFromEvents(eventsFromRate(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toLong).load()))
+      .select("json_str")
+
+  /** Same tick stream from `rate-micro-batch`: every micro-batch carries
+    * exactly `rowsPerBatch` rows and triggers fire back-to-back, so batch
+    * durations measure pipeline CAPACITY directly (the plain rate source
+    * under backlog produces ballooning, incomparable batches). Event time
+    * advances 1 s per batch — watermarks progress, windows close. */
+  def microBatchTicks(spark: SparkSession, rowsPerBatch: Long): DataFrame =
+    TickGen.ticksFromEvents(eventsFromRate(
+      spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rowsPerBatch)
+        .option("advanceMillisPerBatch", 1000L).load()))
+      .select("json_str")
 }

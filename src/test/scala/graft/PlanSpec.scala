@@ -89,6 +89,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle onto stats:\n$plan")
   }
 
+  test("ivf multi-probe: corpus equi-joins the broadcast probe set, never shuffles") {
+    val plan = planOf(ext.Similarity.knnIvfProbe2(spark, sfDir))
+    // candidate selection must be a hash join on the cell key with the
+    // (≤ 3 cells × queries)-row probe frame broadcast; the corpus side
+    // must not sort-merge-shuffle onto it. The only nested-loop allowed
+    // is the query×centroid ranking cross join — both sides tiny.
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+           s"corpus must not shuffle onto the probe set:\n$plan")
+  }
+
   test("LSH candidate generation joins within buckets — no cartesian product") {
     val plan = planOf(ext.Dedup.dedupMinhashLsh(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)
