@@ -310,22 +310,34 @@ object Dedup {
     * band), verified by `bit_count(sig_a ^ sig_b) <= k` — the same
     * banded-bucket join shape [[dedupMinhashLsh]] executes. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // The token-hash array is referenced by all 16 bit-vote folds —
-    // materialize it as a column so it is built once per row, not once
-    // per bit (CollapseProject would otherwise inline 16 copies).
-    val hashes = col("hs")
-    val sim = (0 until 16).map { j =>
-      val votes = aggregate(hashes, lit(0), (acc, h) => {
-        val hv  = conv(h.substr(lit(j / 4 + 1), lit(1)), 16, 10).cast(IntegerType)
-        val bit = shiftright(hv, 3 - j % 4).bitwiseAND(lit(1))
-        acc + (bit * lit(2) - lit(1))
-      })
-      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // 16 bit-vote folds per doc off a single split
+    // FOUR packed folds (one per hex digit of the md5 prefix) instead of
+    // sixteen per-bit vote folds: each fold packs its digit's four
+    // bit-COUNTS into 16-bit lanes of one Long accumulator — exact to
+    // 65535 distinct tokens, no size guard needed — so the dominant
+    // per-token substr+conv work drops 4×. The emitted bit is unchanged:
+    // vote sum positive ⇔ 2·count > n (the same identity the 64-bit
+    // pairing uses); the count columns must be MATERIALIZED, or
+    // CollapseProject re-inlines each fold 4× (the duplicated-expression
+    // trap — see lane()).
+    def packed(p: Int): Column = aggregate(col("hs"), lit(0L), (acc, h) => {
+      val d = conv(h.substr(lit(p + 1), lit(1)), 16, 10).cast(IntegerType)
+      acc + shiftright(d, 3).bitwiseAND(lit(1)) * lit(1L << 48) +
+            shiftright(d, 2).bitwiseAND(lit(1)) * lit(1L << 32) +
+            shiftright(d, 1).bitwiseAND(lit(1)) * lit(1L << 16) +
+            d.bitwiseAND(lit(1))
+    })
+    val counted = Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // hash folds per doc off a single split
       .select(col("doc_id"),
               transform(array_distinct(toks), t => md5(t)).as("hs"))
+      .select((col("doc_id") +: size(col("hs")).as("n") +:
+        (0 until 4).map(p => packed(p).as(s"cnt$p"))): _*)
+    val sim = (0 until 16).map { j =>
+      val cnt = shiftright(col(s"cnt${j / 4}"), 16 * (3 - j % 4))
+        .bitwiseAND(lit(65535L))
+      when(cnt * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    counted
       .select(col("doc_id"), sim.as("simhash16"))
       .orderBy(col("doc_id"))
   }
@@ -366,16 +378,13 @@ object Dedup {
     *    DuckDB oracle reproduces signatures bit-for-bit.)
     *
     * Signature build: one fold per md5-hex position (16, not 64 — each
-    * fold packs its digit's FOUR bit-counts into one BIGINT, 8 bits each;
-    * exact while distinct-token count ≤ 255, enforced by filter — the
-    * accumulator is LongType because the bit-3 lane is weighted 2^24 and
-    * an IntegerType fold overflows at 128 set bits, an ANSI-mode runtime
-    * error on any real 128-255-token doc) — the
-    * per-token work is 16 substr+conv ops instead of 64, the dominant
-    * cost at corpus scale. Bit j is set iff 2·count_j > n (⇔ the ±1 vote
-    * sum is positive — same rule as [[dedupSimhash]]). Bit 63's weight is
-    * Long.MinValue, so the signature occupies the full signed BIGINT in
-    * both engines.
+    * fold packs its digit's FOUR bit-counts into 8-bit lanes of one
+    * BIGINT; exact while distinct-token count ≤ 255, enforced by filter)
+    * — the per-token work is 16 substr+conv ops instead of 64, the
+    * dominant cost at corpus scale. Bit j is set iff 2·count_j > n
+    * (⇔ the ±1 vote sum is positive — same rule as [[dedupSimhash]]).
+    * Bit 63's weight is Long.MinValue, so the signature occupies the
+    * full signed BIGINT in both engines.
     *
     * Pairing: explode the signature into 4 16-bit band keys
     * ((sig >> 16b) & 0xFFFF — arithmetic shift then mask is engine-
@@ -400,7 +409,14 @@ object Dedup {
         transform(col("dt"), t => md5(concat(col("salt"), lit(":"), t))).as("hs"))
     // cnt_p MUST be materialized columns: referenced 4× each by the sig
     // terms, inlined they'd re-run the fold per bit (the duplicated-
-    // expression trap — see lane()).
+    // expression trap — see lane()). One fold per hex digit, packing the
+    // digit's four bit-counts into 8-bit lanes of a Long (exact under
+    // the ≤ 255 distinct-token filter above; the accumulator is LongType
+    // because an IntegerType fold overflows the 2^24-weighted lane at
+    // 128 set bits — an ANSI-mode runtime error). A 2-digits-per-fold
+    // variant (8 folds × 8 lanes) was MEASURED SLOWER at sf0.1
+    // (2.7 s vs 2.5 s): the deeper per-element term chain costs more
+    // than the halved substr+conv saves.
     def packedCounts(p: Int): Column = aggregate(col("hs"), lit(0L), (acc, h) => {
       val d = conv(h.substr(lit(p + 1), lit(1)), 16, 10).cast(IntegerType)
       acc + shiftright(d, 3).bitwiseAND(lit(1)) * lit(1L << 24) +

@@ -64,6 +64,28 @@ class RollingTailSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("window_start ties fold in arrival order; custom maxTail bounds the state") {
+    val input = MemoryStream[Candle]
+    val query = RollingTail.stats(input.toDS(), maxTail = 3).writeStream
+      .format("memory").queryName("rolling_tail_ties").outputMode("update")
+      .option("checkpointLocation",
+              Files.createTempDirectory("graft_tail_ties_ckpt").toString)
+      .start()
+    try {
+      // five candles in ONE batch, ALL the same window_start: the bounded
+      // heap must keep the LAST 3 by arrival (the stable-sort contract),
+      // not an arbitrary 3
+      input.addData((1 to 5).map(i => candle("T", 0, i.toDouble)): _*)
+      query.processAllAvailable()
+      val s = spark.table("rolling_tail_ties").as[RollingTail.TailStats]
+        .collect().filter(_.instrument == "T").head
+      assert(s.n === 3)
+      assert(s.min_close === 3.0 && s.max_close === 5.0) // arrivals 3,4,5 survive
+      assert(s.avg_close === 4.0)
+      assert(s.as_of === T0)
+    } finally query.stop()
+  }
+
   test("tail state survives a checkpointed restart") {
     val input = MemoryStream[Candle]
     val ckpt = Files.createTempDirectory("graft_tail_recover_ckpt").toString
