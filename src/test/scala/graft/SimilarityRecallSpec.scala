@@ -53,4 +53,19 @@ class SimilarityRecallSpec extends AnyFunSuite {
       "the probe-superset construction is broken")
     assert(rMulti > 0.0)
   }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("probe dial endpoints: 0 extra cells ≡ single-probe, all cells ≡ brute") {
+    // probeCells = 0 leaves only the query's own cell — exactly knn_ivf's
+    // candidate set, so the outputs must match row-for-row
+    assert(rows(Similarity.knnIvfProbe2(spark, sfDir, probeCells = 0)) ===
+           rows(Similarity.knnIvf(spark, sfDir)))
+    // probing every cell makes the candidate set the whole corpus —
+    // exactly knn_brute. Together the endpoints pin the dial's semantics:
+    // single-probe recall at 0, exact recall at n_cells.
+    assert(rows(Similarity.knnIvfProbe2(spark, sfDir, probeCells = 1000)) ===
+           rows(Similarity.knnBrute(spark, sfDir)))
+  }
 }
