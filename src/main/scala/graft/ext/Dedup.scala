@@ -74,10 +74,23 @@ object Dedup {
     * …), …))` re-hashes every shingle per lane — 8 md5 passes instead of
     * 2 (the duplicated-expression trap; CollapseProject keeps multiply-
     * referenced non-cheap aliases un-inlined, so the column form is
-    * computed once). */
-  private def lane(j: Int): Column =
-    array_min(transform(col(if (j < 4) "hs0" else "hs1"),
-      h => substring(h, (j % 4) * 8 + 1, 8)))
+    * computed once).
+    *
+    * All 4 lane-mins of one digest column come from a SINGLE struct-
+    * accumulator fold ([[laneMins]]) rather than 4 × array_min(transform):
+    * the transform form materializes an intermediate substring array per
+    * lane per doc (8 arrays/doc) — the fold allocates none and measured
+    * ~10% faster at sf0.1. "~" (0x7E) is a safe fold seed: it sorts after
+    * every hex char, and the shingle arrays are never empty (single-token
+    * docs get a one-element array), so the seed never survives. */
+  private def laneMins(hsCol: String): Column = aggregate(col(hsCol),
+    struct(lit("~").as("m0"), lit("~").as("m1"),
+           lit("~").as("m2"), lit("~").as("m3")),
+    (acc, h) => struct(
+      least(acc.getField("m0"), h.substr(lit(1), lit(8))).as("m0"),
+      least(acc.getField("m1"), h.substr(lit(9), lit(8))).as("m1"),
+      least(acc.getField("m2"), h.substr(lit(17), lit(8))).as("m2"),
+      least(acc.getField("m3"), h.substr(lit(25), lit(8))).as("m3")))
 
   /** Driver-safety ceiling for broadcasting candidate frames: above this
     * many rows the build side stays DISTRIBUTED (shuffled hash join) —
@@ -145,10 +158,16 @@ object Dedup {
   private def signaturesFrom(sh: DataFrame): DataFrame =
     sh.withColumn("hs0", transform(col("ss"), s => md5(concat(lit("0:"), s))))
       .withColumn("hs1", transform(col("ss"), s => md5(concat(lit("1:"), s))))
+      .withColumn("l0", laneMins("hs0"))
+      .withColumn("l1", laneMins("hs1"))
       .select(
         (col("doc_id") +:
           (0 until NumBands).map { b =>
-            md5(concat(lane(2 * b), lit("|"), lane(2 * b + 1))).as(s"b$b")
+            // band b pairs lanes 2b and 2b+1: lanes 0-3 are l0.m0-m3
+            // (digest "0:"), lanes 4-7 are l1.m0-m3 (digest "1:")
+            val l = if (b < 2) "l0" else "l1"
+            md5(concat(col(s"$l.m${2 * b % 4}"), lit("|"),
+                       col(s"$l.m${(2 * b + 1) % 4}"))).as(s"b$b")
           }): _*)
 
   private def minhashSigQuery(spark: SparkSession, dir: String): DataFrame =
