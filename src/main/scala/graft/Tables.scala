@@ -41,6 +41,28 @@ object Tables {
     normalizeTs(withTs)
   }
 
+  /** Repartition for CPU-bound per-row work ONLY when the scan
+    * under-parallelizes. The test parquet arrives as ONE split, so
+    * without a repartition every md5/tokenize-heavy per-doc chain runs
+    * on a single core; but at production scale the same table is
+    * thousands of splits and an unconditional repartition would shuffle
+    * every text byte for nothing. The scan's own partition count decides
+    * — results are identical either way (downstream work is per-row or
+    * re-keyed later). `toRdd.getNumPartitions` plans the scan but runs
+    * no job. */
+  def spreadForCpu(df: DataFrame, by: Column): DataFrame =
+    if (underParallelized(df)) df.repartition(by) else df
+
+  /** Round-robin variant for purely per-row chains with no natural key. */
+  def spreadForCpu(df: DataFrame): DataFrame =
+    if (underParallelized(df))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+
+  private def underParallelized(df: DataFrame): Boolean =
+    df.queryExecution.toRdd.getNumPartitions <
+      df.sparkSession.sparkContext.defaultParallelism
+
   def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")

@@ -142,10 +142,11 @@ object Dedup {
     * table arrives as few parquet splits (ONE at test SF), and without it
     * every CPU-heavy per-doc stage in this module runs on a single core
     * (same fix as Parse.scala's tick_parse_full). The shuffle moves each
-    * text once — strictly cheaper than serializing the hash work. */
+    * text once — strictly cheaper than serializing the hash work. It is
+    * CONDITIONAL ([[Tables.spreadForCpu]]): a production-scale scan with
+    * thousands of splits is already parallel and skips the shuffle. */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+    Tables.spreadForCpu(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), shinglesFromToks.as("ss"))
 
@@ -345,8 +346,8 @@ object Dedup {
             shiftright(d, 1).bitwiseAND(lit(1)) * lit(1L << 16) +
             d.bitwiseAND(lit(1))
     })
-    val counted = Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // hash folds per doc off a single split
+    val counted = Tables.spreadForCpu( // hash folds per doc — spread a
+        Tables.documents(spark, dir), col("doc_id")) // single-split scan
       .select(col("doc_id"),
               transform(array_distinct(toks), t => md5(t)).as("hs"))
       .select((col("doc_id") +: size(col("hs")).as("n") +:
@@ -414,18 +415,31 @@ object Dedup {
     * the same bounded-bucket economics as [[dedupMinhashLsh]]. */
   def dedupSimhashPairs(spark: SparkSession, dir: String,
                         hammingMax: Int = SimPairHammingMax): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // hash folds off a single parquet split
+    val base = Tables.spreadForCpu( // hash folds — spread a single-split scan
+        Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), md5(col("text")).as("salt"),
               array_distinct(toks).as("dt"))
       .filter(size(col("dt")) <= 255) // packed 8-bit counts stay exact
-    val twins = base.filter(size(col("dt")) >= 5)
-      .select(twinId(col("doc_id")).as("doc_id"), col("salt"),
-              array_remove(col("dt"), array_max(col("dt"))).as("dt"))
-    val corpus = base.select(col("doc_id"), col("salt"), col("dt"))
-      .unionByName(twins)
-      .select(col("doc_id"),
-        transform(col("dt"), t => md5(concat(col("salt"), lit(":"), t))).as("hs"))
+    // Hash each BASE doc's tokens once; a twin's hash array is DERIVED —
+    // array_remove of the dropped token's single hash — instead of
+    // re-hashing its whole token set, halving the salted-md5 work (the
+    // hash build is the dominant pre-fold cost at corpus scale). Safe
+    // because dt is distinct (distinct tokens ⇒ distinct md5s, so
+    // array_remove drops exactly the one slot) and every downstream fold
+    // is order-independent.
+    // based has TWO consumers (the base leg of the union and the twin
+    // derivation) and shared subplans re-execute per reference — persist
+    // + one eager count, or the hash build runs twice and the derivation
+    // saves nothing (same pattern as dedupMinhashLsh's shingle frame).
+    val based = base.select(col("doc_id"), col("salt"), col("dt"),
+      transform(col("dt"), t => md5(concat(col("salt"), lit(":"), t))).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    based.count()
+    val twins = based.filter(size(col("dt")) >= 5)
+      .select(twinId(col("doc_id")).as("doc_id"),
+        array_remove(col("hs"),
+          md5(concat(col("salt"), lit(":"), array_max(col("dt"))))).as("hs"))
+    val corpus = based.select(col("doc_id"), col("hs")).unionByName(twins)
     // cnt_p MUST be materialized columns: referenced 4× each by the sig
     // terms, inlined they'd re-run the fold per bit (the duplicated-
     // expression trap — see lane()). One fold per hex digit, packing the

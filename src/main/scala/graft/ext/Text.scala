@@ -88,8 +88,8 @@ object Text {
     * the fingerprint never leaves Spark. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val n = greatest(length(col("text")) - 7, lit(1))
-    Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // ~len/4 md5 calls per doc off a single split
+    Tables.spreadForCpu(Tables.documents(spark, dir), // ~len/4 md5 calls
+      col("doc_id"))               // per doc off a potentially-single split
       .select(
         col("doc_id"),
         md5(col("text")).as("text_md5"),

@@ -55,11 +55,11 @@ object OrderFlow {
     * sentinel folds (C14) → classify (C15/C16) → tumbling 1-min candle agg
     * (E2-E8). Reference: data_processor.py:65-165. */
   def orderflowCandles1m(spark: SparkSession, dir: String): DataFrame = {
-    // Single-file scan → repartition so the JSON serialize+parse chain
-    // runs on every core, not one straggler task (see Parse.parallelEvents).
+    // Single-file scan → conditional repartition so the JSON
+    // serialize+parse chain runs on every core, not one straggler task
+    // (see Parse.parallelEvents / Tables.spreadForCpu).
     val ticks = TickGen.ticksFromEvents(
-      Tables.events(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism))
+      Tables.spreadForCpu(Tables.events(spark, dir)))
     // explode_outer, not explode: for plain explode Catalyst infers a
     // size(feeds) > 0 filter and inlines the whole build-JSON+parse-JSON
     // expression into it BELOW the repartition — doubling the heaviest

@@ -31,10 +31,11 @@ object Parse {
     * explicit repartition the whole serialize+parse chain would run on one
     * core (one straggler task on a real cluster). Round-robin repartition
     * to the session's parallelism puts the per-row chain on every core;
-    * safe here because everything downstream is per-row or keyed. */
+    * safe here because everything downstream is per-row or keyed.
+    * Conditional ([[Tables.spreadForCpu]]): a production-scale scan is
+    * already thousands of splits and must NOT be shuffled for this. */
   private def parallelEvents(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.spreadForCpu(Tables.events(spark, dir))
 
   def tickParseFull(spark: SparkSession, dir: String): DataFrame = {
     val ticks = TickGen.ticksFromEvents(parallelEvents(spark, dir))
