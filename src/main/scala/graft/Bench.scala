@@ -52,7 +52,11 @@ object Bench {
           if (rep == 0) None else Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name: $e")
-          failed(name) = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          // a warmup-only (rep 0) failure with clean timed repeats is a
+          // flake, not an untrustworthy timing — only timed-rep failures
+          // land in the errors field
+          if (rep > 0)
+            failed(name) = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
           None
         }
       }

@@ -41,17 +41,24 @@ object StreamBench {
     s(math.min(s.size - 1, math.max(0, (p * (s.size - 1)).round.toInt)))
   }
 
-  /** Run `query` for `secs` seconds, then report steady-state stats. */
+  /** Run `query` for `secs` seconds, then report steady-state stats.
+    * A leg whose query DIED mid-run must not masquerade as a valid
+    * measurement: its stats carry a `failed` marker and the process
+    * exits non-zero (checked in main). */
   private def measure(q: StreamingQuery, secs: Int): Map[String, Double] = {
     Thread.sleep(secs * 1000L)
     val all = q.recentProgress.toSeq
+    val died = q.exception
     q.stop()
+    died.foreach(e => System.err.println(s"[streambench] query failed: $e"))
+    val failMark: Map[String, Double] =
+      if (died.isDefined) Map("failed" -> 1.0) else Map.empty
     val steady = all.filter(_.numInputRows > 0).drop(WarmupBatches)
     val batches = if (steady.nonEmpty) steady else all.filter(_.numInputRows > 0)
-    if (batches.isEmpty) return Map("batches" -> 0.0)
+    if (batches.isEmpty) return failMark + ("batches" -> 0.0)
     val rps  = batches.map(_.processedRowsPerSecond)
     val durs = batches.map(_.durationMs.get("triggerExecution").toDouble)
-    Map(
+    failMark ++ Map(
       "rows_per_sec_p50" -> percentile(rps, 0.5),
       "rows_per_sec_max" -> rps.max,
       "batch_ms_p50"     -> percentile(durs, 0.5),
@@ -59,12 +66,10 @@ object StreamBench {
       "batches"          -> batches.size.toDouble)
   }
 
-  /** Fixed-size micro-batch base stream: `value` BIGINT + `timestamp`
-    * advancing 1 s of event time per batch (watermarks progress). */
+  // fixed-size micro-batch base stream — shared loader in Sources so the
+  // batch-shape/event-time-advance semantics live in ONE place
   private def microBatchRows(spark: SparkSession, rowsPerBatch: Long): DataFrame =
-    spark.readStream.format("rate-micro-batch")
-      .option("rowsPerBatch", rowsPerBatch)
-      .option("advanceMillisPerBatch", 1000L).load()
+    graft.stream.Sources.microBatchRows(spark, rowsPerBatch)
 
   /** Synthetic candle stream for the RollingTail leg: 1000 instruments,
     * deterministic values — the state-store fan-out a real candle topic
@@ -139,5 +144,8 @@ object StreamBench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[streambench] write: $e") }
     spark.stop()
+    // a crashed leg's numbers are not a measurement — fail the run loudly
+    if (Seq(candleStats, tailStats, dedupStats).exists(_.contains("failed")))
+      sys.exit(1)
   }
 }

@@ -68,8 +68,9 @@ object Corpus {
     * all until the ORDER BY. */
   def trainTestSplit(spark: SparkSession, dir: String,
                      trainPct: Int = 80, validationPct: Int = 10): DataFrame = {
-    require(trainPct + validationPct < 100,
-      s"train+validation must leave room for test, got $trainPct+$validationPct")
+    require(trainPct >= 0 && validationPct >= 0 && trainPct + validationPct < 100,
+      s"percentages must be non-negative and leave room for test, " +
+      s"got train=$trainPct validation=$validationPct")
     val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
       .cast(IntegerType) % 100
     Tables.documents(spark, dir)

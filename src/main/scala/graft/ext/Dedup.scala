@@ -80,17 +80,22 @@ object Dedup {
     * accumulator fold ([[laneMins]]) rather than 4 × array_min(transform):
     * the transform form materializes an intermediate substring array per
     * lane per doc (8 arrays/doc) — the fold allocates none and measured
-    * ~10% faster at sf0.1. "~" (0x7E) is a safe fold seed: it sorts after
-    * every hex char, and the shingle arrays are never empty (single-token
-    * docs get a one-element array), so the seed never survives. */
-  private def laneMins(hsCol: String): Column = aggregate(col(hsCol),
-    struct(lit("~").as("m0"), lit("~").as("m1"),
-           lit("~").as("m2"), lit("~").as("m3")),
-    (acc, h) => struct(
-      least(acc.getField("m0"), h.substr(lit(1), lit(8))).as("m0"),
-      least(acc.getField("m1"), h.substr(lit(9), lit(8))).as("m1"),
-      least(acc.getField("m2"), h.substr(lit(17), lit(8))).as("m2"),
-      least(acc.getField("m3"), h.substr(lit(25), lit(8))).as("m3")))
+    * ~10% faster at sf0.1. "~" (0x7E) sorts after every hex char, so the
+    * seed never survives a non-empty fold; an EMPTY shingle array (docs
+    * with < 3 tokens — shinglesFromToks' otherwise branch) must yield a
+    * NULL struct, not the seed, so the bands stay null exactly like
+    * `array_min` of an empty transform (and like the oracle's list_min
+    * over []) — otherwise every short doc would share the constant
+    * md5("~|~") band key and bucket together. */
+  private def laneMins(hsCol: String): Column = when(size(col(hsCol)) > 0,
+    aggregate(col(hsCol),
+      struct(lit("~").as("m0"), lit("~").as("m1"),
+             lit("~").as("m2"), lit("~").as("m3")),
+      (acc, h) => struct(
+        least(acc.getField("m0"), h.substr(lit(1), lit(8))).as("m0"),
+        least(acc.getField("m1"), h.substr(lit(9), lit(8))).as("m1"),
+        least(acc.getField("m2"), h.substr(lit(17), lit(8))).as("m2"),
+        least(acc.getField("m3"), h.substr(lit(25), lit(8))).as("m3"))))
 
   /** Driver-safety ceiling for broadcasting candidate frames: above this
     * many rows the build side stays DISTRIBUTED (shuffled hash join) —
@@ -331,21 +336,30 @@ object Dedup {
     * banded-bucket join shape [[dedupMinhashLsh]] executes. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     // FOUR packed folds (one per hex digit of the md5 prefix) instead of
-    // sixteen per-bit vote folds: each fold packs its digit's four
-    // bit-COUNTS into 16-bit lanes of one Long accumulator — exact to
-    // 65535 distinct tokens, no size guard needed — so the dominant
-    // per-token substr+conv work drops 4×. The emitted bit is unchanged:
-    // vote sum positive ⇔ 2·count > n (the same identity the 64-bit
-    // pairing uses); the count columns must be MATERIALIZED, or
-    // CollapseProject re-inlines each fold 4× (the duplicated-expression
+    // sixteen per-bit vote folds — the dominant per-token substr+conv
+    // work drops 4×. Each fold packs its digit's four bit-COUNTS into
+    // 32-bit lanes spread over a struct of TWO Long accumulators (bits
+    // 3/2 in hi, bits 1/0 in lo): counts are bounded by the array size
+    // (< 2^31), so a 32-bit lane can never overflow or carry — exact for
+    // ANY document, unlike a single-Long 16-bit-lane packing whose top
+    // lane overflows the signed accumulator at 32768 set bits (an
+    // ANSI-mode runtime error). The emitted bit is unchanged: vote sum
+    // positive ⇔ 2·count > n (the same identity the 64-bit pairing
+    // uses); the count columns must be MATERIALIZED, or CollapseProject
+    // re-inlines each fold per extracted bit (the duplicated-expression
     // trap — see lane()).
-    def packed(p: Int): Column = aggregate(col("hs"), lit(0L), (acc, h) => {
-      val d = conv(h.substr(lit(p + 1), lit(1)), 16, 10).cast(IntegerType)
-      acc + shiftright(d, 3).bitwiseAND(lit(1)) * lit(1L << 48) +
-            shiftright(d, 2).bitwiseAND(lit(1)) * lit(1L << 32) +
-            shiftright(d, 1).bitwiseAND(lit(1)) * lit(1L << 16) +
-            d.bitwiseAND(lit(1))
-    })
+    def packed(p: Int): Column = aggregate(col("hs"),
+      struct(lit(0L).as("hi"), lit(0L).as("lo")),
+      (acc, h) => {
+        val d = conv(h.substr(lit(p + 1), lit(1)), 16, 10).cast(IntegerType)
+        struct(
+          (acc.getField("hi") +
+            shiftright(d, 3).bitwiseAND(lit(1)).cast(LongType) * lit(1L << 32) +
+            shiftright(d, 2).bitwiseAND(lit(1))).as("hi"),
+          (acc.getField("lo") +
+            shiftright(d, 1).bitwiseAND(lit(1)).cast(LongType) * lit(1L << 32) +
+            d.bitwiseAND(lit(1))).as("lo"))
+      })
     val counted = Tables.spreadForCpu( // hash folds per doc — spread a
         Tables.documents(spark, dir), col("doc_id")) // single-split scan
       .select(col("doc_id"),
@@ -353,8 +367,11 @@ object Dedup {
       .select((col("doc_id") +: size(col("hs")).as("n") +:
         (0 until 4).map(p => packed(p).as(s"cnt$p"))): _*)
     val sim = (0 until 16).map { j =>
-      val cnt = shiftright(col(s"cnt${j / 4}"), 16 * (3 - j % 4))
-        .bitwiseAND(lit(65535L))
+      // digit bit b = 3 − j%4: bits 3/2 live in hi, 1/0 in lo; the odd
+      // bit of each pair (3 and 1) sits in the upper 32-bit lane
+      val acc  = col(s"cnt${j / 4}").getField(if (j % 4 <= 1) "hi" else "lo")
+      val cnt  = shiftright(acc, if (j % 4 % 2 == 0) 32 else 0)
+        .bitwiseAND(lit(0xFFFFFFFFL))
       when(cnt * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     counted

@@ -47,6 +47,7 @@ object RollingTail {
     * per micro-batch that touched it. Works on batch Datasets too (Spark
     * runs the same function with a single all-rows "batch"). */
   def stats(candles: Dataset[Candle], maxTail: Int = MaxTail): Dataset[TailStats] = {
+    require(maxTail >= 1, s"maxTail must be >= 1, got $maxTail")
     import candles.sparkSession.implicits._
     candles
       .groupByKey(_.instrument)

@@ -66,15 +66,19 @@ object Sources {
         .option("rowsPerSecond", rowsPerSecond.toLong).load()))
       .select("json_str")
 
-  /** Same tick stream from `rate-micro-batch`: every micro-batch carries
-    * exactly `rowsPerBatch` rows and triggers fire back-to-back, so batch
-    * durations measure pipeline CAPACITY directly (the plain rate source
-    * under backlog produces ballooning, incomparable batches). Event time
-    * advances 1 s per batch — watermarks progress, windows close. */
+  /** Fixed-size micro-batch base stream (`value` BIGINT + `timestamp`):
+    * every micro-batch carries exactly `rowsPerBatch` rows and triggers
+    * fire back-to-back, so batch durations measure pipeline CAPACITY
+    * directly (the plain rate source under backlog produces ballooning,
+    * incomparable batches). Event time advances 1 s per batch —
+    * watermarks progress, windows close. */
+  def microBatchRows(spark: SparkSession, rowsPerBatch: Long): DataFrame =
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("advanceMillisPerBatch", 1000L).load()
+
+  /** The tick stream over [[microBatchRows]] — see there for why. */
   def microBatchTicks(spark: SparkSession, rowsPerBatch: Long): DataFrame =
-    TickGen.ticksFromEvents(eventsFromRate(
-      spark.readStream.format("rate-micro-batch")
-        .option("rowsPerBatch", rowsPerBatch)
-        .option("advanceMillisPerBatch", 1000L).load()))
+    TickGen.ticksFromEvents(eventsFromRate(microBatchRows(spark, rowsPerBatch)))
       .select("json_str")
 }
