@@ -63,19 +63,26 @@ object Bench {
       name -> times
     }
     val timed = results.filter(_._2.nonEmpty)
+    // 4 decimals (0.1 ms at second resolution) keeps the stdout line
+    // compact: full-precision doubles made the r6/r7 JSON lines outgrow
+    // the driver's stdout-tail capture window, so BENCH_r06/r07 recorded
+    // "parsed": null. Stdout carries the rounded mins only; the file copy
+    // carries the spread map too.
+    def fmt(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     def jmap(f: Seq[Double] => Double): String = timed
-      .map { case (k, ts) => s"\"" + k + "\":" + f(ts) }.mkString("{", ",", "}")
+      .map { case (k, ts) => s"\"" + k + "\":" + fmt(f(ts)) }.mkString("{", ",", "}")
     val qs = jmap(_.min)
     val spread = jmap(ts => ts.max - ts.min)
     val total = timed.map(_._2.min).sum
     val errs = failed.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"spread":$spread,"errors":$errs}"""
-    println(json)
+    def json(extra: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats$extra,"errors":$errs}"""
+    println(json(""))
     // stdout tails get truncated (BENCH_r06 lost its per-query mins that
-    // way) — the file copy is the loss-proof artifact.
+    // way) — the file copy is the loss-proof artifact and keeps the
+    // per-query max−min spread the stdout line no longer has room for.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-      (json + "\n").getBytes("UTF-8"))
+      (json(s""","spread":$spread""") + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write BENCH_LAST.json: $e") }
     spark.stop()
   }

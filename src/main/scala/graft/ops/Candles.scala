@@ -93,6 +93,61 @@ object Candles {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Sliding-window OHLC: `window(ts, "5 minutes", "1 minute")` — each
+    * event lands in window/slide = 5 overlapping buckets. The reference
+    * documents tumbling only (data_processor.py:145); sliding completes
+    * the Spark windowing surface (SURVEY §4 "window kind" row).
+    *
+    * Scale posture: identical to tumbling — ONE hash shuffle on
+    * (window, key) with map-side partial aggregation; the ×5 row
+    * expansion happens map-side BEFORE the partial agg, so shuffled
+    * bytes stay O(groups). The same orderKey tie-break keeps open/close
+    * deterministic in every overlapping bucket.
+    */
+  def candlesSliding(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val ord = orderKey(col("ts"), col("event_id"))
+    ev.groupBy(window(col("ts"), "5 minutes", "1 minute"),
+               col("event_type"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .select(col("window.start").as("window_start"),
+              col("window.end").as("window_end"), col("event_type"),
+              col("open"), col("high"), col("low"), col("close"),
+              col("volume"), col("n_trades"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Session-window candles: `session_window(ts, "15 minutes")` — a
+    * session per event_type closes after 15 minutes of silence; its end
+    * is last-event-ts + gap (Spark semantics: per-event windows
+    * [ts, ts+gap) merged while next.start < current.end, i.e. a gap of
+    * EXACTLY 15 minutes starts a new session).
+    *
+    * Scale posture: one shuffle on the session key (event_type here;
+    * (instrument, day) in production) + an in-partition sort to merge
+    * intervals — the same Exchange+Sort shape as the as-of join. State
+    * is per open session, not per event.
+    */
+  def candlesSession(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(session_window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("value")).as("low"),
+        max(col("value")).as("high"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("volume"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"), col("event_type"),
+              col("n_events"), col("low"), col("high"), col("volume"))
+      .orderBy(col("session_start"), col("event_type"))
+  }
+
   /** C18: window-struct field access surfaced directly
     * (reference: data_processor.py:159-160). */
   def windowStruct(spark: SparkSession, dir: String): DataFrame =
@@ -104,9 +159,11 @@ object Candles {
       .orderBy(col("window_start"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "candles_1m"    -> candles1m _,
-    "candles_5m"    -> candles5m _,
-    "window_struct" -> windowStruct _)
+    "candles_1m"      -> candles1m _,
+    "candles_5m"      -> candles5m _,
+    "candles_sliding" -> candlesSliding _,
+    "candles_session" -> candlesSession _,
+    "window_struct"   -> windowStruct _)
 
   private def ohlcOracle(bucket: String): String =
     s"""SELECT time_bucket(INTERVAL $bucket, CAST(ts AS TIMESTAMP)) AS window_start,
@@ -123,6 +180,44 @@ object Candles {
   val oracles: Map[String, String] = Map(
     "candles_1m" -> ohlcOracle("1 minute"),
     "candles_5m" -> ohlcOracle("5 minute"),
+    // Sliding windows as a cross join with the k = 0..4 slide offsets:
+    // a row with minute-bucket b belongs to exactly the 5 windows
+    // starting at b-k minutes (all satisfy start <= ts < start+5m).
+    "candles_sliding" ->
+      """SELECT time_bucket(INTERVAL 1 minute, CAST(ts AS TIMESTAMP))
+        |         - k.k * INTERVAL 1 minute AS window_start,
+        |  time_bucket(INTERVAL 1 minute, CAST(ts AS TIMESTAMP))
+        |         - k.k * INTERVAL 1 minute + INTERVAL 5 minute AS window_end,
+        |  event_type,
+        |  arg_min(value, epoch_ms(CAST(ts AS TIMESTAMP)) * 1000000 + event_id) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  arg_max(value, epoch_ms(CAST(ts AS TIMESTAMP)) * 1000000 + event_id) AS close,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+        |  count(*) AS n_trades
+        |FROM events, range(5) k(k)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    // Sessions via gaps-and-islands: a new session starts when the gap
+    // to the previous event (same key) is >= 15 min — integer-µs
+    // comparison, mirroring Spark's strict interval-overlap merge.
+    "candles_session" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 900000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER
+        |    (PARTITION BY event_type ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL 15 minute AS session_end,
+        |  event_type, count(*) AS n_events, min(value) AS low,
+        |  max(value) AS high,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM sess GROUP BY event_type, sid ORDER BY 1, 3""".stripMargin,
     "window_struct" ->
       """SELECT time_bucket(INTERVAL 1 hour, CAST(ts AS TIMESTAMP)) AS window_start,
         |  time_bucket(INTERVAL 1 hour, CAST(ts AS TIMESTAMP)) + INTERVAL 1 hour AS window_end,
