@@ -21,6 +21,7 @@ object SparkEntry {
     (ops.Rollups.queries, ops.Rollups.oracles),
     (ops.Export.queries, ops.Export.oracles),
     (ops.Joins.queries, ops.Joins.oracles),
+    (ops.TimeJoins.queries, ops.TimeJoins.oracles),
     (ops.Windows.queries, ops.Windows.oracles),
     (ext.Text.queries, ext.Text.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),

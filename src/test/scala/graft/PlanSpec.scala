@@ -111,4 +111,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("as-of join is union + ONE key shuffle + running window — no join node at all") {
+    val plan = ops.TimeJoins.asofQuoteTrade(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the union-window formulation has zero pair blow-up: no Join node
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"), plan)
+    // exactly one hash exchange on the as-of key (the final orderBy adds
+    // a range exchange, which is the presentation sort, not the as-of)
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(hashEx === 1, s"expected 1 key shuffle:\n$plan")
+  }
+
+  test("range join is a bucketed equi-join — never a nested-loop/cartesian") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // at 100 TB neither side broadcasts
+      val plan = planOf(ops.TimeJoins.rangeJoinFollowers(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+             s"range predicate must ride a bucket equi-key:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+             plan)
+    } finally spark.conf.set(key, old)
+  }
 }

@@ -48,9 +48,15 @@ def cmp_vals(a, b) -> bool:
         if la is None or lb is None or len(la) != len(lb):
             return la == lb
         return all(cmp_vals(x, y) for x, y in zip(la, lb))
+    # both-missing (None / nan / NaT) compares equal — pd.isna covers all
+    # three scalar missing kinds (NaT-vs-NaT falsely diffed asof_quote_trade)
+    try:
+        na, nb = pd.isna(a), pd.isna(b)
+        if na or nb:
+            return bool(na) and bool(nb)
+    except (TypeError, ValueError):
+        pass
     if isinstance(a, float) or isinstance(b, float):
-        if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
-            return (a is None or math.isnan(a)) and (b is None or (isinstance(b, float) and math.isnan(b)))
         return a == b  # exact — the driver hash-compares, so we demand exact too
     return a == b
 
