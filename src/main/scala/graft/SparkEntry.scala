@@ -22,6 +22,7 @@ object SparkEntry {
     (ops.Export.queries, ops.Export.oracles),
     (ops.Joins.queries, ops.Joins.oracles),
     (ops.TimeJoins.queries, ops.TimeJoins.oracles),
+    (ops.Grouping.queries, ops.Grouping.oracles),
     (ops.Windows.queries, ops.Windows.oracles),
     (ext.Text.queries, ext.Text.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),

@@ -124,6 +124,40 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx === 1, s"expected 1 key shuffle:\n$plan")
   }
 
+  test("rollup is ONE Expand + ONE shuffle — not one aggregation job per level") {
+    val plan = ops.Grouping.rollupRevenue(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    // one hash exchange feeds all 3 grouping sets (the orderBy adds a
+    // range exchange — presentation, not aggregation)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx === 1, s"expected 1 hash exchange:\n$plan")
+  }
+
+  test("pivot with pinned values: fact shuffle is map-side combined, no domain scan") {
+    val df = ops.Grouping.pivotStatus(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // two-phase pivot: (key, pivotcol) agg shuffles the COMBINED partials
+    // of the fact table, then pivotfirst re-shuffles only O(groups) rows
+    assert("Exchange hashpartitioning\\(l_returnflag[^,]*, l_linestatus".r
+             .findAllIn(plan).size === 1, s"no combined fact exchange:\n$plan")
+    assert(plan.contains("partial_pivotfirst"), s"pivot not partial-agg'd:\n$plan")
+    // pinned values ⇒ the 2 values × 2 aggs are columns at PLAN time —
+    // an implicit pivot would need a collect-backed distinct job here
+    assert(df.columns.toSet === Set("l_returnflag", "F_n", "F_qty", "O_n", "O_qty"))
+  }
+
+  test("salted agg is two-stage: (key, salt) exchange then key exchange") {
+    val plan = ops.Grouping.saltedAgg(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // groupBy-expression aliases are internal at plan time — the salt
+    // column surfaces as _groupingexpression
+    assert("Exchange hashpartitioning\\(event_type#\\d+, _groupingexpression".r
+             .findAllIn(plan).size === 1, s"no salted exchange:\n$plan")
+    assert("Exchange hashpartitioning\\(event_type#\\d+, \\d+\\)".r
+             .findAllIn(plan).size === 1, s"no final key exchange:\n$plan")
+  }
+
   test("range join is a bucketed equi-join — never a nested-loop/cartesian") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)
