@@ -66,9 +66,47 @@ object Joins {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** EXISTS as a left-SEMI join: customers with at least one urgent
+    * order, counted per segment. Semi carries NO payload columns from the
+    * probe side and emits each build row at most once — at 100 TB that
+    * means the orders side ships only its join key and the join never
+    * multiplies rows (an inner-join + distinct formulation shuffles the
+    * full match multiplicity first, then pays a second exchange to
+    * de-duplicate). */
+  def semiUrgentCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("c_acctbal").cast(DecimalType(28, 6))).cast(DoubleType)
+             .as("sum_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** NOT EXISTS as a left-ANTI join: customers who never placed an
+    * URGENT order (every customer has SOME order in the fixture, so the
+    * urgency predicate is what keeps this query's result non-empty —
+    * 203/1500 at sf0.01). Same single-shuffle, key-only-payload
+    * economics as the semi; the priority filter prunes the build side
+    * BEFORE it ships. */
+  def antiIdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_star_revenue"   -> starRevenue _,
-    "join_segment_orders" -> segmentOrders _)
+    "join_segment_orders" -> segmentOrders _,
+    "join_semi_exists"    -> semiUrgentCustomers _,
+    "join_anti_orphans"   -> antiIdleCustomers _)
 
   val oracles: Map[String, String] = Map(
     "join_star_revenue" ->
@@ -87,5 +125,20 @@ object Joins {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_semi_exists" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_anti_orphans" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
 }

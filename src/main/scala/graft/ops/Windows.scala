@@ -79,10 +79,50 @@ object Windows {
       .orderBy(col("event_type"), col("rnk"))
   }
 
+  /** Per-series offset access — lag/lead returns, the first derived
+    * series every market-data user computes (tick-to-tick delta; the
+    * reference's client does this over its deque, data_plotter.py). One
+    * key exchange + one in-partition sort serves BOTH offsets; the delta
+    * is a plain double subtraction of two stored values — exact, no
+    * accumulation-order dependence. */
+  def lagReturns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+              lag(col("value"), 1).over(w).as("prev_value"),
+              lead(col("value"), 1).over(w).as("next_value"))
+      .withColumn("delta_prev", col("value") - col("prev_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Rank-family surface over one shared exchange: quartile bucketing
+    * (ntile), dense/sparse ranks on the raw value (ties collapse —
+    * deterministic without a tiebreak), and percent_rank. ntile NEEDS the
+    * total order (its bucket boundaries depend on row position), so its
+    * window carries the event_id tiebreak; the rank functions
+    * deliberately run on the UNBROKEN value order to exercise tie
+    * semantics. Both windows partition on the same key, so Catalyst
+    * plans one Exchange and two in-partition sorts. */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val total = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val byVal = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+              ntile(4).over(total).as("quartile"),
+              rank().over(byVal).as("rnk"),
+              dense_rank().over(byVal).as("drnk"),
+              percent_rank().over(byVal).as("prnk"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_stats"    -> rollingStats _,
     "rolling_stats_hc" -> rollingStatsHc _,
-    "topn_per_group"   -> topnPerGroup _)
+    "topn_per_group"   -> topnPerGroup _,
+    "lag_returns"      -> lagReturns _,
+    "ntile_quartiles"  -> ntileQuartiles _)
 
   val oracles: Map[String, String] = Map(
     "rolling_stats" ->
@@ -114,5 +154,23 @@ object Windows {
         |    row_number() OVER (PARTITION BY event_type
         |                       ORDER BY value DESC, event_id) AS rnk
         |  FROM events)
-        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin)
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+    "lag_returns" ->
+      """SELECT event_id, event_type, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  value - lag(value, 1) OVER w AS delta_prev
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "ntile_quartiles" ->
+      """SELECT event_id, event_type, value,
+        |  ntile(4) OVER (PARTITION BY event_type
+        |                 ORDER BY value, event_id) AS quartile,
+        |  rank() OVER wv AS rnk,
+        |  dense_rank() OVER wv AS drnk,
+        |  percent_rank() OVER wv AS prnk
+        |FROM events
+        |WINDOW wv AS (PARTITION BY event_type ORDER BY value)
+        |ORDER BY event_id""".stripMargin)
 }
