@@ -23,6 +23,7 @@ object SparkEntry {
     (ops.Joins.queries, ops.Joins.oracles),
     (ops.TimeJoins.queries, ops.TimeJoins.oracles),
     (ops.Grouping.queries, ops.Grouping.oracles),
+    (ops.Bucketing.queries, ops.Bucketing.oracles),
     (ops.Windows.queries, ops.Windows.oracles),
     (ext.Text.queries, ext.Text.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),

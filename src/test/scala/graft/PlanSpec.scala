@@ -158,6 +158,23 @@ class PlanSpec extends AnyFunSuite {
              .findAllIn(plan).size === 1, s"no final key exchange:\n$plan")
   }
 
+  test("bucketed fact-fact join inserts NO exchange on either side") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // neither fact side broadcasts at scale
+      val (l, o) = ops.Bucketing.bucketedFacts(spark, sfDir)
+      val plan = l.join(o, org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+             s"bucketed join must read co-located buckets, not shuffle:\n$plan")
+      assert("SelectedBucketsCount: 8 out of 8".r.findAllIn(plan).size === 2,
+             s"both scans must be bucketed:\n$plan")
+    } finally spark.conf.set(key, old)
+  }
+
   test("range join is a bucketed equi-join — never a nested-loop/cartesian") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)
