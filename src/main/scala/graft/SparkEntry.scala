@@ -24,6 +24,7 @@ object SparkEntry {
     (ops.TimeJoins.queries, ops.TimeJoins.oracles),
     (ops.Grouping.queries, ops.Grouping.oracles),
     (ops.Bucketing.queries, ops.Bucketing.oracles),
+    (ops.Stats.queries, ops.Stats.oracles),
     (ops.Windows.queries, ops.Windows.oracles),
     (ext.Text.queries, ext.Text.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),

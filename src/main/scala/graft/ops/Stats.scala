@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Cardinality and quantile surface.
+  *
+  * `count(DISTINCT …)` in Spark plans as Expand + two-level aggregation —
+  * the distinct-key dedup happens DISTRIBUTED, partitioned by (group,
+  * distinct-key), then partials merge per group: no collected value sets,
+  * no driver involvement, which is what makes it survive a 100 TB column.
+  * (When several DISTINCT columns share one query the Expand multiplies
+  * input rows by the distinct-clause count — the documented cost; the
+  * sketch path in SketchSpec is the one-pass mergeable alternative at
+  * scale.)
+  *
+  * Quantiles are `percentile_disc` — the DISCRETE quantile (smallest
+  * actual value whose cumulative distribution ≥ p). Discrete, not
+  * continuous, deliberately: disc returns a value that EXISTS in the
+  * data, so two engines agree bit-for-bit, while cont interpolates with
+  * float arithmetic whose rounding is engine-specific — a hash-gate
+  * flake, and a meaningless distinction at data scale (adjacent order
+  * statistics converge). Exact percentile buffers the group's values on
+  * the executor (OOM risk for one giant group at 100 TB); production
+  * uses approx_percentile (t-digest, bounded memory, mergeable) — bounds
+  * verified in SketchSpec — and the exact form stays the small-group /
+  * oracle tool.
+  */
+object Stats {
+
+  /** Per-series user cardinality — exact distributed count(DISTINCT). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** Per-series quartiles of `value` via discrete percentiles. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("v_min"),
+           expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").as("q25"),
+           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("q50"),
+           expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("q75"),
+           max(col("value")).as("v_max"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "distinct_counts" -> distinctCounts _,
+    "percentiles"     -> percentiles _)
+
+  val oracles: Map[String, String] = Map(
+    "distinct_counts" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "percentiles" ->
+      """SELECT event_type, min(value) AS v_min,
+        |  quantile_disc(value, 0.25) AS q25,
+        |  quantile_disc(value, 0.5)  AS q50,
+        |  quantile_disc(value, 0.75) AS q75,
+        |  max(value) AS v_max
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+}
