@@ -25,6 +25,8 @@ object SparkEntry {
     (ops.Grouping.queries, ops.Grouping.oracles),
     (ops.Bucketing.queries, ops.Bucketing.oracles),
     (ops.Stats.queries, ops.Stats.oracles),
+    (ops.SetOps.queries, ops.SetOps.oracles),
+    (ops.TypedAgg.queries, ops.TypedAgg.oracles),
     (ops.Windows.queries, ops.Windows.oracles),
     (ext.Text.queries, ext.Text.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.Tables
 
@@ -49,9 +50,32 @@ object Stats {
            max(col("value")).as("v_max"))
       .orderBy(col("event_type"))
 
+  /** Column profile (n / mean / variance / stddev) with DETERMINISTIC
+    * moments: both engines' `var_pop`/`stddev` accumulate doubles in
+    * partition order, so their last bits differ run-to-run — a hash-gate
+    * flake and a real reproducibility bug in any pipeline that diffs
+    * profiles between runs. Instead both sides compute the two exact
+    * DECIMAL power sums (Σx, Σx²) and derive
+    * `var = Σx²/n − (Σx/n)²` in float from those — same exact inputs,
+    * same scalar expression, bit-identical output, still one shuffle. */
+  def profileStats(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("value")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(v.cast(DecimalType(28, 6))).cast(DoubleType).as("s1"),
+           sum((v * v).cast(DecimalType(28, 6))).cast(DoubleType).as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("var_pop",
+        col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+      .withColumn("stddev_pop", sqrt(col("var_pop")))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "distinct_counts" -> distinctCounts _,
-    "percentiles"     -> percentiles _)
+    "percentiles"     -> percentiles _,
+    "profile_stats"   -> profileStats _)
 
   val oracles: Map[String, String] = Map(
     "distinct_counts" ->
@@ -64,5 +88,16 @@ object Stats {
         |  quantile_disc(value, 0.5)  AS q50,
         |  quantile_disc(value, 0.75) AS q75,
         |  max(value) AS v_max
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "profile_stats" ->
+      """WITH sums AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, s1, s2,
+        |  s1 / n AS mean,
+        |  s2 / n - (s1 / n) * (s1 / n) AS var_pop,
+        |  sqrt(s2 / n - (s1 / n) * (s1 / n)) AS stddev_pop
+        |FROM sums ORDER BY event_type""".stripMargin)
 }
