@@ -38,7 +38,14 @@ object Bucketing {
   private def writeBucketed(df: DataFrame, table: String, key: String,
                             path: String): Unit = {
     df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.format("parquet").mode("overwrite")
+    // repartition on the bucket key first: without it every write task
+    // emits a file per bucket VALUE it sees (up to tasks × buckets tiny
+    // files — a small-files problem at any scale); hash-repartitioned to
+    // the bucket count, each task holds whole buckets → BucketCount
+    // files per table, and single-file buckets let the read side use the
+    // sortBy order (multi-file buckets force a re-sort before SMJ)
+    df.repartition(BucketCount, col(key))
+      .write.format("parquet").mode("overwrite")
       .option("path", path)
       .bucketBy(BucketCount, key).sortBy(key)
       .saveAsTable(table)

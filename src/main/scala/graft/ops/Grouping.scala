@@ -40,12 +40,19 @@ object Grouping {
     * from a detail row whose key is genuinely NULL. */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      // pre-project the measures: agg input expressions are evaluated
+      // AFTER Expand, so an inline multiply-and-cast would run (levels+1)×
+      // per input row; computed here each runs once and Expand copies
+      // the finished decimal
+      .select(col("l_returnflag"), col("l_linestatus"),
+              col("l_quantity").cast(DecimalType(28, 6)).as("qty_dec"),
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .cast(DecimalType(28, 6)).as("rev_dec"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().as("gid"),
            count(lit(1)).as("n_rows"),
-           dsum(col("l_quantity")).as("sum_qty"),
-           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-             .as("revenue"))
+           sum(col("qty_dec")).cast(DoubleType).as("sum_qty"),
+           sum(col("rev_dec")).cast(DoubleType).as("revenue"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
   /** CUBE over (orderstatus, orderpriority): all 4 grouping sets from
