@@ -130,14 +130,31 @@ object StreamBench {
       .option("checkpointLocation", s"$ckpt/dedup").start()
     val dedupStats = measure(dedupQ, secs)
 
+    // Leg 4: stream-stream interval join — symmetric hash state bounded
+    // by watermark + range. 100k instruments so per-key match fan-out
+    // stays ~1 quote/key/batch; each trade matches ≈ lag-window batches.
+    val joinBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_JOIN_BATCH", "100000").toLong
+    def leg(rows: Long, idName: String, tsName: String): DataFrame =
+      graft.stream.Sources.microBatchRows(spark, rows, 0L)
+        .select(concat(lit("I"), (col("value") % 100000).cast(StringType))
+                  .as("instrument"),
+                col("value").as(idName), col("timestamp").as(tsName))
+    val joinQ = graft.stream.IntervalJoin.quotesNearTrades(
+        leg(joinBatch, "trade_id", "trade_ts"),
+        leg(joinBatch, "quote_id", "quote_ts"),
+        maxLag = "10 seconds", watermark = "5 seconds")
+      .writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", s"$ckpt/ijoin").start()
+    val joinStats = measure(joinQ, secs)
+
     def jm(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
     val json =
       s"""{"metric":"stream_throughput","unit":"rows/sec","secs_per_leg":$secs,""" +
-      s""""rows_per_batch":{"candle_pipeline":$tickBatch,"rolling_tail":$candleBatch,"ingest_dedup":$docBatch},""" +
+      s""""rows_per_batch":{"candle_pipeline":$tickBatch,"rolling_tail":$candleBatch,"ingest_dedup":$docBatch,"interval_join":${2 * joinBatch}},""" +
       s""""candle_pipeline":${jm(candleStats)},"rolling_tail":${jm(tailStats)},""" +
-      s""""ingest_dedup":${jm(dedupStats)},""" +
+      s""""ingest_dedup":${jm(dedupStats)},"interval_join":${jm(joinStats)},""" +
       s""""baseline_reference":{"msgs_per_sec":50,"micro_batch_sec":"1-2"}}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("STREAMBENCH.json"),
@@ -145,7 +162,8 @@ object StreamBench {
     catch { case e: Throwable => System.err.println(s"[streambench] write: $e") }
     spark.stop()
     // a crashed leg's numbers are not a measurement — fail the run loudly
-    if (Seq(candleStats, tailStats, dedupStats).exists(_.contains("failed")))
+    if (Seq(candleStats, tailStats, dedupStats, joinStats)
+          .exists(_.contains("failed")))
       sys.exit(1)
   }
 }

@@ -77,6 +77,18 @@ object Sources {
       .option("rowsPerBatch", rowsPerBatch)
       .option("advanceMillisPerBatch", 1000L).load()
 
+  /** [[microBatchRows]] with a PINNED epoch start — two sources created
+    * this way share an event-time axis exactly (the default start is
+    * "query start time", which differs per source by planning latency:
+    * harmless for single-stream legs, but a stream-stream join's
+    * watermark/range math should not depend on scheduler jitter). */
+  def microBatchRows(spark: SparkSession, rowsPerBatch: Long,
+                     startTimestampMs: Long): DataFrame =
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("startTimestamp", startTimestampMs)
+      .option("advanceMillisPerBatch", 1000L).load()
+
   /** The tick stream over [[microBatchRows]] — see there for why. */
   def microBatchTicks(spark: SparkSession, rowsPerBatch: Long): DataFrame =
     TickGen.ticksFromEvents(eventsFromRate(microBatchRows(spark, rowsPerBatch)))
