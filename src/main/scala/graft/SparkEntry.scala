@@ -26,6 +26,7 @@ object SparkEntry {
     (ops.Bucketing.queries, ops.Bucketing.oracles),
     (ops.Stats.queries, ops.Stats.oracles),
     (ops.SetOps.queries, ops.SetOps.oracles),
+    (ops.Sessionize.queries, ops.Sessionize.oracles),
     (ops.TypedAgg.queries, ops.TypedAgg.oracles),
     (ops.Windows.queries, ops.Windows.oracles),
     (ext.Text.queries, ext.Text.oracles),

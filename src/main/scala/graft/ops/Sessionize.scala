@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch sessionization (gaps-and-islands) — the BATCH twin of the
+  * streaming session window ([[Candles]]' `candles_session` /
+  * `session_window`): group each user's events into sessions separated
+  * by more than [[GapHours]] hours of silence, entirely with window
+  * functions — the backfill path a streaming session pipeline needs when
+  * it reprocesses history.
+  *
+  * Shape: ONE hash exchange on the session key (user), one in-partition
+  * sort, then two window passes over the same partitioning (lag to mark
+  * session starts, running sum to number them) that Catalyst executes in
+  * a single WindowExec pipeline — no second shuffle; the per-session
+  * aggregate then re-groups by (user, session) WITHIN the same
+  * partitioning (child distribution satisfies it, so EnsureRequirements
+  * inserts no exchange there either).
+  *
+  * At 100 TB the key decision is the same one [[TimeJoins.asofJoin]]
+  * documents: per-user history must be co-located and sorted ONCE — any
+  * formulation with a self-join on "previous event" devolves to a pair
+  * blow-up. Gaps-and-islands is the O(n log n)-per-key form.
+  */
+object Sessionize {
+
+  private val GapHours = 6
+
+  /** One row per (user, session): bounds and size. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // NTZ has no direct numeric cast; via LTZ (identity under the UTC
+    // session) to exact integer µs — gap compare in integers, no floats
+    def micros(c: org.apache.spark.sql.Column) =
+      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    val newSession = when(
+      col("prev_ts").isNull ||
+        micros(col("ts")) - micros(col("prev_ts")) > GapHours * 3600L * 1000000L,
+      1L).otherwise(0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_start", newSession)
+      .withColumn("session_idx",
+        sum(col("is_start")).over(byUser.rowsBetween(Window.unboundedPreceding,
+                                                     Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("sess_start"),
+           max(col("ts")).as("sess_end"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize" -> sessionize _)
+
+  val oracles: Map[String, String] = Map(
+    "sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR ts - prev_ts > INTERVAL 6 HOURS
+        |                 THEN 1 ELSE 0 END AS is_start
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts) AS sess_start, max(ts) AS sess_end
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

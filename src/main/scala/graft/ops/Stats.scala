@@ -72,10 +72,25 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** Nested-type aggregation output: the distinct event-type SET per
+    * user as a sorted array. `collect_list`'s element order is
+    * partition-arrival order (nondeterministic); `array_distinct` +
+    * `sort_array` normalizes it to a canonical form both engines agree
+    * on — the only safe way to emit an array-valued aggregate through a
+    * hash-compared gate. */
+  def userEventSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sort_array(array_distinct(collect_list(col("event_type"))))
+             .as("event_types"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "distinct_counts" -> distinctCounts _,
     "percentiles"     -> percentiles _,
-    "profile_stats"   -> profileStats _)
+    "profile_stats"   -> profileStats _,
+    "user_event_sets" -> userEventSets _)
 
   val oracles: Map[String, String] = Map(
     "distinct_counts" ->
@@ -99,5 +114,9 @@ object Stats {
         |  s1 / n AS mean,
         |  s2 / n - (s1 / n) * (s1 / n) AS var_pop,
         |  sqrt(s2 / n - (s1 / n) * (s1 / n)) AS stddev_pop
-        |FROM sums ORDER BY event_type""".stripMargin)
+        |FROM sums ORDER BY event_type""".stripMargin,
+    "user_event_sets" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  list_sort(list_distinct(list(event_type))) AS event_types
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -175,6 +175,17 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("sessionize: windows + per-session agg ride ONE user-key shuffle") {
+    val plan = ops.Sessionize.sessionize(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // lag + running sum + the (user, session) groupBy all execute inside
+    // the user_id hash partitioning; only the presentation orderBy adds
+    // a range exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx === 1, s"expected 1 hash exchange:\n$plan")
+    assert("Window".r.findAllIn(plan).nonEmpty, plan)
+  }
+
   test("range join is a bucketed equi-join — never a nested-loop/cartesian") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)
