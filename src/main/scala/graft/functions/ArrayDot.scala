@@ -104,5 +104,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
     binary("array_dot", classOf[ArrayDot], ArrayDot(_, _))
     binary("jaccard_sim", classOf[JaccardSim], JaccardSim(_, _))
+    // (c)-tier surface: logical-plan rewrites. RewriteRangeJoin turns
+    // equi-keyless time-range joins (BroadcastNestedLoopJoin at plan
+    // time, all-pairs at run time) into bucketed equi-joins.
+    ext.injectOptimizerRule(_ => new graft.plans.RewriteRangeJoin)
   }
 }

@@ -117,9 +117,32 @@ object TimeJoins {
       .orderBy(col("err_id"))
   }
 
+  /** Gate query: the NAIVE inequality-only range join — the formulation
+    * every user writes first, with no hand-bucketing. Scales ONLY
+    * because [[graft.plans.RewriteRangeJoin]] (installed via
+    * GraftExtensions) rewrites it into the bucketed equi-join shape of
+    * [[rangeJoinFollowers]]; without the rule this plans
+    * BroadcastNestedLoopJoin (RangeJoinRuleSpec holds both directions).
+    * Inner join, so only errors with ≥ 1 following click appear —
+    * the left/zero-count variant is [[rangeJoinFollowers]]. */
+  def rangeJoinNaive(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("err_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+    errors.join(clicks,
+        col("click_ts") >= col("err_ts") &&
+          col("click_ts") < col("err_ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("err_id"), col("err_ts"))
+      .agg(count(lit(1)).as("n_clicks_10m"))
+      .orderBy(col("err_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_quote_trade" -> asofQuoteTrade _,
-    "range_join_10m"   -> rangeJoinFollowers _)
+    "range_join_10m"   -> rangeJoinFollowers _,
+    "range_join_auto"  -> rangeJoinNaive _)
 
   val oracles: Map[String, String] = Map(
     // DuckDB executes ASOF JOIN natively — an independent implementation
@@ -141,6 +164,13 @@ object TimeJoins {
         |  count(c.event_id) AS n_clicks_10m
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 minute
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "range_join_auto" ->
+      """SELECT e.event_id AS err_id, CAST(e.ts AS TIMESTAMP) AS err_ts,
+        |  count(*) AS n_clicks_10m
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 minute
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
 }
