@@ -27,6 +27,7 @@ object SparkEntry {
     (ops.Stats.queries, ops.Stats.oracles),
     (ops.SetOps.queries, ops.SetOps.oracles),
     (ops.Sessionize.queries, ops.Sessionize.oracles),
+    (ops.Layout.queries, ops.Layout.oracles),
     (ops.TypedAgg.queries, ops.TypedAgg.oracles),
     (ops.Windows.queries, ops.Windows.oracles),
     (ext.Text.queries, ext.Text.oracles),
