@@ -86,11 +86,34 @@ object Stats {
              .as("event_types"))
       .orderBy(col("user_id"))
 
+  /** Calendar-bucketed reporting rollup: events per (day, type).
+    * date_trunc keeps the column a timestamp (partition-pruning-friendly
+    * against a date-partitioned 100 TB layout, where this groupBy rides
+    * the same day key as the directory structure). */
+  def dailyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).cast(TimestampNTZType).as("day"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** Fixed-width histogram of `value` — bucket index from integer-exact
+    * arithmetic (floor of a clean division; both engines agree bit-wise,
+    * unlike engine-specific `width_bucket` edge conventions). One
+    * shuffle of O(buckets) partials. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(floor(col("value") / 10.0).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "distinct_counts" -> distinctCounts _,
     "percentiles"     -> percentiles _,
     "profile_stats"   -> profileStats _,
-    "user_event_sets" -> userEventSets _)
+    "user_event_sets" -> userEventSets _,
+    "daily_counts"    -> dailyCounts _,
+    "value_histogram" -> valueHistogram _)
 
   val oracles: Map[String, String] = Map(
     "distinct_counts" ->
@@ -118,5 +141,12 @@ object Stats {
     "user_event_sets" ->
       """SELECT user_id, count(*) AS n_events,
         |  list_sort(list_distinct(list(event_type))) AS event_types
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "daily_counts" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "value_histogram" ->
+      """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }
