@@ -102,11 +102,33 @@ object Joins {
       .orderBy(col("c_custkey"))
   }
 
+  /** Correlated scalar subquery, written the way a SQL user writes it —
+    * "orders above their customer's average" — and executed the way an
+    * engine must run it at 100 TB: Catalyst DECORRELATES the subquery
+    * into one aggregate + one join (asserted in PlanSpec), never a
+    * per-outer-row subquery execution (which would be O(orders) separate
+    * aggregations). The per-customer mean derives from an exact DECIMAL
+    * sum / count in BOTH dialects so the threshold compare can't flake
+    * on accumulation order. */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM graft_orders_v o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |           / count(*)
+        |  FROM graft_orders_v o2
+        |  WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_star_revenue"   -> starRevenue _,
     "join_segment_orders" -> segmentOrders _,
     "join_semi_exists"    -> semiUrgentCustomers _,
-    "join_anti_orphans"   -> antiIdleCustomers _)
+    "join_anti_orphans"   -> antiIdleCustomers _,
+    "above_avg_orders"    -> aboveAvgOrders _)
 
   val oracles: Map[String, String] = Map(
     "join_star_revenue" ->
@@ -140,5 +162,14 @@ object Joins {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+    "above_avg_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |           / count(*)
+        |  FROM orders o2
+        |  WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
 }

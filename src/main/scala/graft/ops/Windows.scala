@@ -117,12 +117,36 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** TIME-range window frame — "everything in the trailing hour",
+    * however many rows that is. The row-count frames above (E10) answer
+    * "last 10 observations"; real monitoring wants wall-clock windows,
+    * and on an irregular event stream the two differ everywhere. The
+    * frame bound rides exact integer microseconds (`unix_micros`) so
+    * both engines cut the frame at identical instants; count + DECIMAL
+    * sum keep the output merge-order-proof. Same scale shape as every
+    * window here: one key Exchange, one in-partition sort, running
+    * frame. */
+  def rolling1hRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(spark, dir)
+      .withColumn("ts_us",
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      .select(col("event_id"), col("event_type"), col("ts"),
+              count(lit(1)).over(w).as("n_1h"),
+              sum(col("value").cast(DecimalType(28, 6))).over(w)
+                .cast(DoubleType).as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_stats"    -> rollingStats _,
     "rolling_stats_hc" -> rollingStatsHc _,
     "topn_per_group"   -> topnPerGroup _,
     "lag_returns"      -> lagReturns _,
-    "ntile_quartiles"  -> ntileQuartiles _)
+    "ntile_quartiles"  -> ntileQuartiles _,
+    "rolling_1h_range" -> rolling1hRange _)
 
   val oracles: Map[String, String] = Map(
     "rolling_stats" ->
@@ -172,5 +196,13 @@ object Windows {
         |  percent_rank() OVER wv AS prnk
         |FROM events
         |WINDOW wv AS (PARTITION BY event_type ORDER BY value)
+        |ORDER BY event_id""".stripMargin,
+    "rolling_1h_range" ->
+      """SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP)
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin)
 }

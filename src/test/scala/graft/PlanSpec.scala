@@ -175,6 +175,17 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("correlated scalar subquery decorrelates to aggregate + join") {
+    val plan = ops.Joins.aboveAvgOrders(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // decorrelation = the subquery became a per-custkey aggregate joined
+    // back; a non-decorrelated plan would carry a Subquery/ScalarSubquery
+    // node executed per outer row
+    assert(!plan.contains("ScalarSubquery"), plan)
+    assert(plan.contains("Join"), plan)
+    assert("HashAggregate".r.findAllIn(plan).nonEmpty, plan)
+  }
+
   test("sessionize: windows + per-session agg ride ONE user-key shuffle") {
     val plan = ops.Sessionize.sessionize(spark, sfDir)
       .queryExecution.executedPlan.toString
