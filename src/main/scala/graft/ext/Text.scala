@@ -99,11 +99,28 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical text normalization — the step every dedup/fingerprint
+    * pass runs FIRST on a raw corpus: casefold, strip everything outside
+    * [a-z0-9 ], collapse whitespace runs, trim. Regex classes kept to
+    * ASCII ranges both regex engines (Java here, RE2 in the oracle)
+    * define identically. Pure per-row codegen'd expressions — no
+    * shuffle. */
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("norm_text"))
+      .withColumn("norm_len", length(col("norm_text")).cast(LongType))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"       -> textStats _,
     "text_lang_id"     -> langId _,
     "text_token_count" -> tokenCount _,
-    "text_fingerprint" -> fingerprint _)
+    "text_fingerprint" -> fingerprint _,
+    "text_normalize"   -> normalize _)
 
   private def sqlList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -153,5 +170,14 @@ object Text {
         |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1, 4),
         |                          i -> md5(substr(text, CAST(i AS INTEGER), 8))))
         |    AS shingle_fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |         ' +', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(
+        |         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |         ' +', ' ', 'g'))) AS BIGINT) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -85,5 +85,11 @@ class RangeJoinRuleSpec extends AnyFunSuite {
         col("bts") < col("ats") + expr("INTERVAL 10 MINUTES"))
     assert(!equi.queryExecution.optimizedPlan.toString.contains("__graft_bucket"),
            equi.queryExecution.optimizedPlan.toString)
+    // non-inner join types keep their semantics — rule must not fire
+    val louter = a.join(b,
+      col("bts") >= col("ats") &&
+        col("bts") < col("ats") + expr("INTERVAL 10 MINUTES"), "left")
+    assert(!louter.queryExecution.optimizedPlan.toString.contains("__graft_bucket"),
+           louter.queryExecution.optimizedPlan.toString)
   }
 }
