@@ -64,10 +64,50 @@ object Export {
       .orderBy(col("event_id"))
   }
 
+  /** JSON-lines round trip — the interchange format every ingest edge
+    * speaks (and the reference's own wire format, SURVEY §1.2). Doubles
+    * survive because Spark writes shortest-round-trippable literals;
+    * timestamps are deliberately excluded (JSON has no timestamp type —
+    * the string convention is a sink contract, not an engine one). */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_json_export")
+    reapHook
+    scratchDirs.add(outDir)
+    val out = outDir.toString
+    Tables.events(spark, dir).select("event_id", "event_type", "value")
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.read.schema(schema).json(out).orderBy(col("event_id"))
+  }
+
+  /** ORC round trip — the second columnar format a warehouse must read
+    * and write (hive-ecosystem interchange); exercises the ORC
+    * reader/writer including its own predicate-pushdown/stats path. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_orc_export")
+    reapHook
+    scratchDirs.add(outDir)
+    val out = outDir.toString
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out).orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "csv_export" -> csvRoundtrip _)
+    "csv_export"  -> csvRoundtrip _,
+    "json_export" -> jsonRoundtrip _,
+    "orc_export"  -> orcRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "csv_export" ->
-      "SELECT event_id, event_type, value FROM events ORDER BY event_id")
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+    "json_export" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+    "orc_export" ->
+      """SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events ORDER BY event_id""".stripMargin)
 }
