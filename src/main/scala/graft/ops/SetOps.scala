@@ -36,9 +36,26 @@ object SetOps {
       .intersect(hiValueUsers(spark, dir, "purchase"))
       .orderBy(col("user_id"))
 
+  /** Schema-evolution union: two batches of the same logical table where
+    * one predates a column — the everyday shape of a long-lived parquet
+    * corpus. `unionByName(allowMissingColumns = true)` aligns columns BY
+    * NAME and null-fills the missing one (positional `union` would
+    * silently misalign or reject); the null-ness then flows through
+    * downstream logic, here surfaced via the ordered output. */
+  def unionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val withValue = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val legacy = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("event_type"))
+    withValue.unionByName(legacy, allowMissingColumns = true)
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "set_except"    -> exceptCohort _,
-    "set_intersect" -> intersectCohort _)
+    "set_except"      -> exceptCohort _,
+    "set_intersect"   -> intersectCohort _,
+    "union_evolution" -> unionEvolution _)
 
   val oracles: Map[String, String] = Map(
     "set_except" ->
@@ -54,5 +71,10 @@ object SetOps {
         |INTERSECT
         |SELECT user_id FROM events
         |WHERE event_type = 'purchase' AND value > 95
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    "union_evolution" ->
+      """SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+        |UNION ALL BY NAME
+        |SELECT event_id, event_type FROM events WHERE event_id % 2 = 1
+        |ORDER BY event_id""".stripMargin)
 }
