@@ -85,8 +85,16 @@ object TimeJoins {
 
   private val WindowUs = 10L * 60L * 1000000L // 10 minutes, integer µs
 
-  private def bucketOf(ts: Column): Column =
-    floor(unix_micros(ts.cast(TimestampType)) / WindowUs)
+  /** Bucket index by INTEGER floor-division (`div` on the pmod-floored
+    * numerator, pmod non-negative) — not `floor(us / W)`: double
+    * division drifts once |us| nears 2^53 (year ~2255, or any backfilled
+    * pre-1970 data), and the two-bucket cover proof needs bucket
+    * arithmetic EXACT for every representable timestamp. Takes the
+    * COLUMN NAME (SQL `div` has no Column-API form). */
+  private def bucketOfUs(usCol: String): Column =
+    expr(s"($usCol - pmod($usCol, ${WindowUs}L)) div ${WindowUs}L")
+
+  private def usOf(ts: Column): Column = unix_micros(ts.cast(TimestampType))
 
   /** Gate query: for every error event, how many clicks follow within
     * [err_ts, err_ts + 10 min) — bucketed equi-join on the time axis,
@@ -102,11 +110,14 @@ object TimeJoins {
       // generators cannot nest inside expressions — explode the offset
       // first, then add it to the home bucket
       .withColumn("k", explode(array(lit(0L), lit(1L))))
-      .withColumn("bucket", bucketOf(col("err_ts")) + col("k"))
-      .drop("k")
+      .withColumn("us", usOf(col("err_ts")))
+      .withColumn("bucket", bucketOfUs("us") + col("k"))
+      .drop("k", "us")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
-      .withColumn("bucket", bucketOf(col("click_ts")))
+      .withColumn("us", usOf(col("click_ts")))
+      .withColumn("bucket", bucketOfUs("us"))
+      .drop("us")
     errors.join(clicks,
         errors("bucket") === clicks("bucket") &&
           col("click_ts") >= col("err_ts") &&

@@ -130,10 +130,14 @@ class RewriteRangeJoin extends Rule[LogicalPlan] {
 
     matched.headOption.map { case (x, y, w) =>
       val tz = Option(conf.sessionLocalTimeZone)
-      def bucket(ts: Expression): Expression =
-        Floor(Divide(
-          Cast(UnixMicros(Cast(ts, TimestampType, tz)), DoubleType, tz),
-          Literal(w.toDouble, DoubleType)))
+      // INTEGER floor-division (pmod-floored numerator), never
+      // floor(us / w) in doubles: double division drifts near 2^53 µs
+      // and the two-bucket cover argument needs bucket math exact for
+      // every representable timestamp
+      def bucket(ts: Expression): Expression = {
+        val us = UnixMicros(Cast(ts, TimestampType, tz))
+        IntegralDivide(Subtract(us, Pmod(us, Literal(w))), Literal(w))
+      }
 
       val anchorIsLeft = j.left.outputSet.contains(y)
       val (anchorPlan, boundedPlan) =
