@@ -28,6 +28,14 @@ import graft.schema.Candle
   * Cross-batch ordering is the streaming contract's (watermarked candles
   * arrive in finalization order); replay after a crash re-folds
   * identically because state checkpoints with the batch.
+  *
+  * Memory: the sort materializes each batch's PER-GROUP rows — unlike
+  * [[RollingTail]]'s bounded heap this cannot be avoided, because EWMA
+  * emits one output per input (nothing can be discarded) and correctness
+  * requires event-time order. The bound is rows-per-instrument-per-
+  * micro-batch — for 1-minute candles that is minutes-of-backfill per
+  * trigger, which the trigger's `maxFilesPerTrigger`/`maxOffsetsPerTrigger`
+  * admission dial already caps in any replay scenario.
   */
 object Ewma {
 
