@@ -158,12 +158,52 @@ object Similarity {
       .orderBy(col("vec_id"), col("dim"))
   }
 
+  /** ANN over the QUANTIZED corpus — asymmetric distance computation
+    * (ADC), the standard deployment of [[embQuantize]]'s codes: corpus
+    * vectors are reconstructed from their int8 codes
+    * (x̂ = lo + code/255·(hi−lo)), queries stay full-precision, and the
+    * scan is [[knnBrute]]'s broadcast-query shape over the reconstructed
+    * side. What this buys at 100 TB: the resident corpus is 4× smaller
+    * (int8 vs float32 — 8× vs float64), the scan is memory-bandwidth
+    * bound, so throughput scales with the compression; the cost is the
+    * quantization error, measured as recall@k vs [[knnBrute]] in
+    * SimilarityRecallSpec (256 levels/dim loses almost nothing). */
+  def knnQuantized(spark: SparkSession, dir: String,
+                   numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
+    val all = vecs(spark, dir)
+    val d = all.select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+    val stats = d.groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val recon = d.join(broadcast(stats), "dim")
+      .withColumn("code",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 255))
+          .cast(IntegerType))
+      .withColumn("xhat",
+        col("lo") + col("code").cast(DoubleType) / 255.0 * (col("hi") - col("lo")))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("xhat")))),
+        s => s.getField("xhat")).as("w"))
+    val q = all.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    topK(recon.select(col("vec_id").as("nn_id"), col("w"))
+      .crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("w"))), k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute"         -> ((s, d) => knnBrute(s, d)),
     "knn_ivf"           -> ((s, d) => knnIvf(s, d)),
     "knn_ivf_probe2"    -> ((s, d) => knnIvfProbe2(s, d)),
     "knn_ivf_centroids" -> knnIvfCentroids _,
     "emb_quantize"      -> embQuantize _)
+
+  /** Spec-verified only (SimilarityRecallSpec): the recall number is the
+    * contract; the code path reuses gate-verified pieces ([[embQuantize]]
+    * arithmetic, [[knnBrute]] scan shape). */
+  val specQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_quantized" -> ((s, d) => knnQuantized(s, d)))
 
   private def cosineSqlOf(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b),

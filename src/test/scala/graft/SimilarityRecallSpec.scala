@@ -54,6 +54,21 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(rMulti > 0.0)
   }
 
+  test("int8-quantized ANN (asymmetric ADC) keeps recall@3 near exact") {
+    val exact = topNeighbors("knn_brute")
+    val quant = Similarity.knnQuantized(spark, sfDir)
+      .select("query_id", "nn_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val per = exact.map { case (q, truth) =>
+      quant.getOrElse(q, Set.empty).count(truth).toDouble / truth.size }
+    val recall = per.sum / per.size
+    info(f"recall@3 int8-quantized (knn_quantized) = $recall%.4f")
+    // 256 levels per dimension: reconstruction error ≪ inter-neighbor
+    // cosine gaps — recall should be near-perfect, 0.8 is the alarm line
+    assert(recall >= 0.8, f"quantized recall collapsed: $recall%.4f")
+  }
+
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq
 
