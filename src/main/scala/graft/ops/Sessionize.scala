@@ -73,8 +73,9 @@ object Sessionize {
         |  FROM o),
         |s AS (
         |  SELECT user_id, ts, event_id,
-        |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+        |    CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_idx
         |  FROM m)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(ts) AS sess_start, max(ts) AS sess_end

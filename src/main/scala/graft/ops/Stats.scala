@@ -73,16 +73,20 @@ object Stats {
   }
 
   /** Nested-type aggregation output: the distinct event-type SET per
-    * user as a sorted array. `collect_list`'s element order is
-    * partition-arrival order (nondeterministic); `array_distinct` +
-    * `sort_array` normalizes it to a canonical form both engines agree
-    * on — the only safe way to emit an array-valued aggregate through a
-    * hash-compared gate. */
+    * user. `collect_list`'s element order is partition-arrival order
+    * (nondeterministic); `array_distinct` + `sort_array` normalizes it to
+    * a canonical form both engines agree on. The gate output is the
+    * canonical set SERIALIZED to a comma-joined scalar — raw array
+    * columns cannot ride a hash-compared gate (the checker sorts by
+    * every column and arrays aren't hashable/orderable there); the
+    * scalar encoding carries identical information and compares
+    * byte-for-byte. */
   def userEventSets(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-           sort_array(array_distinct(collect_list(col("event_type"))))
+           concat_ws(",",
+             sort_array(array_distinct(collect_list(col("event_type")))))
              .as("event_types"))
       .orderBy(col("user_id"))
 
@@ -140,7 +144,8 @@ object Stats {
         |FROM sums ORDER BY event_type""".stripMargin,
     "user_event_sets" ->
       """SELECT user_id, count(*) AS n_events,
-        |  list_sort(list_distinct(list(event_type))) AS event_types
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',')
+        |    AS event_types
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "daily_counts" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,

@@ -73,6 +73,36 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("calendar-interval width (make_interval) fires the rewrite too") {
+    // `make_interval(...)` analyzes to TimestampAddInterval over a
+    // MakeInterval call; ConstantFolding (same fixed-point batch as the
+    // injected rule) collapses it to a CalendarIntervalType literal,
+    // which constWidth accepts when months == 0 — so SQL-text users of
+    // calendar intervals get the same rewrite as ANSI day-time ones.
+    withConf(Bcast -> "-1") {
+      val ev = Tables.events(spark, sfDir)
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("err_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val j = e.join(c,
+        col("click_ts") >= col("err_ts") &&
+          col("click_ts") < col("err_ts") +
+            make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(10)))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+               !plan.contains("CartesianProduct"), s"rule did not fire:\n$plan")
+      assert(plan.contains("Generate explode"), plan)
+      // and a months-bearing interval must NOT fire (no fixed width)
+      val ym = e.join(c,
+        col("click_ts") >= col("err_ts") &&
+          col("click_ts") < col("err_ts") +
+            make_interval(lit(0), lit(1), lit(0), lit(0), lit(0), lit(0)))
+      assert(!ym.queryExecution.optimizedPlan.toString.contains("__graft_bucket"),
+             ym.queryExecution.optimizedPlan.toString)
+    }
+  }
+
   test("equi-joins and non-constant ranges are left untouched") {
     val ev = Tables.events(spark, sfDir)
     val a = ev.select(col("event_id").as("aid"), col("user_id").as("au"),

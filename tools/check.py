@@ -7,6 +7,14 @@ Reads each <out_dir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from <out_dir>/oracle_sql.json in DuckDB with the sf tables
 registered as views, and compares row count, column names, and values
 (rows sorted by all columns, column order normalized by name).
+
+Strictness contract (round 9): local red must equal driver red.
+ - ARRAY-valued output columns FAIL outright: the driver's checker sorts
+   by every column and numpy arrays crash its sort_values — a local pass
+   on an array column would mask a guaranteed driver crash.
+ - Numeric compares are DTYPE-STRICT: an int64 `1` vs a float64 `1.0` is
+   a FAIL, because the driver hash-compares the rendered frames and those
+   render differently (this is exactly how sessionize shipped red in r8).
 """
 import json, sys, math
 import duckdb
@@ -21,33 +29,49 @@ def first_non_null(s: pd.Series):
     return nn.iloc[0] if len(nn) else None
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
+class ArrayColumnError(Exception):
+    pass
+
+
+def norm(df: pd.DataFrame, side: str) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize timestamp-ish columns to ns, naive. Column kind is sniffed
     # from the first NON-NULL value — a null in row 0 must not
     # misclassify the column (that failure class broke hof_transform).
     import datetime
+    import numpy as np
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object and isinstance(first_non_null(df[c]), datetime.date):
             df[c] = pd.to_datetime(df[c])
-    import numpy as np
-    sortable = [c for c in df.columns
-                if not isinstance(first_non_null(df[c]), (list, np.ndarray))]
-    if sortable:
-        df = df.sort_values(by=sortable)
+    arrayish = [c for c in df.columns
+                if isinstance(first_non_null(df[c]), (list, np.ndarray))]
+    if arrayish:
+        # The driver sorts by ALL columns; ndarray cells crash its
+        # sort_values (unhashable/unorderable). Emit scalars instead
+        # (concat_ws / to_json / posexplode).
+        raise ArrayColumnError(
+            f"{side} emits array-valued column(s) {arrayish} — the driver "
+            "gate crashes on these; serialize to a scalar")
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns))
     return df.reset_index(drop=True)
 
 
-def cmp_vals(a, b) -> bool:
+def _num_kind(x):
+    """'i' for integer-kind, 'f' for float-kind, None for non-numeric."""
     import numpy as np
-    if isinstance(a, (list, np.ndarray)) or isinstance(b, (list, np.ndarray)):
-        la = list(a) if a is not None else None
-        lb = list(b) if b is not None else None
-        if la is None or lb is None or len(la) != len(lb):
-            return la == lb
-        return all(cmp_vals(x, y) for x, y in zip(la, lb))
+    if isinstance(x, bool) or isinstance(x, np.bool_):
+        return None
+    if isinstance(x, (int, np.integer)):
+        return "i"
+    if isinstance(x, (float, np.floating)):
+        return "f"
+    return None
+
+
+def cmp_vals(a, b) -> bool:
     # both-missing (None / nan / NaT) compares equal — pd.isna covers all
     # three scalar missing kinds (NaT-vs-NaT falsely diffed asof_quote_trade)
     try:
@@ -56,9 +80,25 @@ def cmp_vals(a, b) -> bool:
             return bool(na) and bool(nb)
     except (TypeError, ValueError):
         pass
-    if isinstance(a, float) or isinstance(b, float):
+    ka, kb = _num_kind(a), _num_kind(b)
+    if ka or kb:
+        # dtype-strict: the driver hashes rendered frames, so 1 != 1.0
+        if ka != kb:
+            return False
         return a == b  # exact — the driver hash-compares, so we demand exact too
     return a == b
+
+
+def dtype_mismatches(got: pd.DataFrame, exp: pd.DataFrame):
+    """Column-level int-vs-float divergence — flag even when all values
+    happen to compare equal numerically."""
+    out = []
+    for c in got.columns:
+        gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+        if {gk, ek} == {"i", "f"} or ({gk, ek} & {"i", "f"} and gk != ek
+                                      and {gk, ek} <= {"i", "f", "u"}):
+            out.append(f"col {c}: dtype spark={got[c].dtype} duck={exp[c].dtype}")
+    return out
 
 
 def main():
@@ -73,8 +113,12 @@ def main():
         if only and name not in only:
             continue
         try:
-            got = norm(pd.read_parquet(f"{out_dir}/{name}"))
-            exp = norm(con.sql(sql).df())
+            got = norm(pd.read_parquet(f"{out_dir}/{name}"), "spark")
+            exp = norm(con.sql(sql).df(), "oracle")
+        except ArrayColumnError as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: load/exec error: {e}")
             n_fail += 1
@@ -85,6 +129,7 @@ def main():
         elif len(got) != len(exp):
             problems.append(f"rows spark={len(got)} duck={len(exp)}")
         else:
+            problems.extend(dtype_mismatches(got, exp))
             for c in got.columns:
                 ga, ea = got[c].tolist(), exp[c].tolist()
                 bad = [(i, ga[i], ea[i]) for i in range(len(ga)) if not cmp_vals(ga[i], ea[i])]
