@@ -33,6 +33,7 @@ object SparkEntry {
     (ext.Text.queries, ext.Text.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),
     (ext.Dedup.queries, ext.Dedup.oracles),
+    (ext.Cluster.queries, ext.Cluster.oracles),
     (ext.Similarity.queries, ext.Similarity.oracles),
     (ext.Multimodal.queries, ext.Multimodal.oracles)
   )

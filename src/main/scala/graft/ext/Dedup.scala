@@ -580,7 +580,8 @@ object Dedup {
 
   // ---- oracles ----
 
-  private val shingleSql =
+  // shared with Cluster's oracle, which re-derives the verified pair graph
+  private[ext] val shingleSql =
     """list_distinct(list_transform(
       |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
       |      i -> string_split(text, ' ')[i] || ' ' ||
@@ -590,7 +591,7 @@ object Dedup {
   private def minhashSql(j: Int) =
     s"list_min(list_transform(ss, s -> substr(md5('${j / 4}:' || s), ${(j % 4) * 8 + 1}, 8)))"
 
-  private val bandsSql = (0 until NumBands).map { b =>
+  private[ext] val bandsSql = (0 until NumBands).map { b =>
     s"SELECT doc_id, $b AS band_id, md5(${minhashSql(2 * b)} || '|' || ${minhashSql(2 * b + 1)}) AS bkey FROM sh"
   }.mkString(" UNION ALL ")
 

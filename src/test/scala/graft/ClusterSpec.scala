@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Cluster
+
+/** [[graft.ext.Cluster.connectedComponents]] contract: labels match a
+  * brute-force union-find witness on arbitrary graphs, and the pointer-
+  * jumping rounds stay LOGARITHMIC on the worst-case chain topology. */
+class ClusterSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Brute-force witness: path-compressed union-find over the edge list. */
+  private def witness(n: Seq[Long], e: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(n.map(x => x -> x): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    e.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    n.map(x => x -> find(x)).toMap
+  }
+
+  private def run(n: Seq[Long], e: Seq[(Long, Long)],
+                  maxRounds: Int = 25): Map[Long, Long] =
+    Cluster.connectedComponents(
+        n.toDF("id"), e.toDF("src", "dst"), maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labels equal the union-find witness on a mixed graph") {
+    // two cliques, a bridge, a chain, isolated nodes, a self-loop, dup +
+    // reversed edges — every structural case at once
+    val nodes = (0L to 20L)
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (1, 3),          // clique
+      (5, 4), (4, 6),                  // reversed-direction fan
+      (3, 5),                          // bridge: {1..6} is one component
+      (10, 11), (11, 12), (12, 13),    // chain
+      (7, 7),                          // self-loop = isolated
+      (15, 16), (16, 15), (15, 16))    // dup + reversed
+    assert(run(nodes, edges) === witness(nodes, edges))
+  }
+
+  test("deterministic pseudo-random graph matches the witness") {
+    // LCG-derived edges (no Math.random: repeatable), ~1.2 edges/node —
+    // the regime where component shapes are most varied
+    val nodes = (0L until 300L)
+    var s = 12345L
+    def nxt(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); math.abs(s) }
+    val edges = Seq.fill(360)((nxt() % 300, nxt() % 300))
+    assert(run(nodes, edges) === witness(nodes, edges))
+  }
+
+  test("a 64-node chain converges within the log-round budget") {
+    // pure min-propagation needs 63 rounds on a 64-chain; pointer jumping
+    // must close it in <= 8 (log2 64 = 6, +2 slack for the final
+    // no-change detection round)
+    val nodes = (0L until 64L)
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = run(nodes, edges, maxRounds = 8)
+    assert(got === nodes.map(_ -> 0L).toMap)
+  }
+
+  test("dedup_clusters: keepers partition the corpus and sizes add up") {
+    // structural invariants on the real gate query (values are pinned by
+    // the DuckDB oracle; this guards the Spark-side plumbing)
+    val df = Cluster.dedupClusters(spark, TestSpark.sfDir)
+    val rows = df.collect()
+    val nDocs = Tables.documents(spark, TestSpark.sfDir).count()
+    assert(rows.length == nDocs)            // every doc assigned
+    assert(rows.forall(r => r.getLong(1) <= r.getLong(0))) // rep = min id
+    val bySize = rows.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(rows.forall(r => bySize(r.getLong(1)) == r.getLong(2))) // sizes
+    val keepers = rows.count(r => r.getLong(0) == r.getLong(1))
+    assert(keepers == bySize.size)          // exactly one keeper/cluster
+  }
+}
