@@ -28,6 +28,7 @@ object SparkEntry {
     (ops.SetOps.queries, ops.SetOps.oracles),
     (ops.Sessionize.queries, ops.Sessionize.oracles),
     (ops.Layout.queries, ops.Layout.oracles),
+    (ops.ZOrder.queries, ops.ZOrder.oracles),
     (ops.TypedAgg.queries, ops.TypedAgg.oracles),
     (ops.Windows.queries, ops.Windows.oracles),
     (ext.Text.queries, ext.Text.oracles),
