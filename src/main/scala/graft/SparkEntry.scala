@@ -27,6 +27,7 @@ object SparkEntry {
     (ops.Stats.queries, ops.Stats.oracles),
     (ops.SetOps.queries, ops.SetOps.oracles),
     (ops.Sessionize.queries, ops.Sessionize.oracles),
+    (ops.Cdc.queries, ops.Cdc.oracles),
     (ops.Layout.queries, ops.Layout.oracles),
     (ops.ZOrder.queries, ops.ZOrder.oracles),
     (ops.TypedAgg.queries, ops.TypedAgg.oracles),

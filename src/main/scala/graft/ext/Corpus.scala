@@ -83,11 +83,43 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
-  // Defaults bound here match the oracle SQL below (quota 50, 80/10/10).
+  /** Token-budget shard packing — assign each document to a training
+    * shard so contiguous docs fill ~`budget` tokens per shard: shard id
+    * = ⌊(tokens before this doc) / budget⌋ over a running per-worker
+    * token sum. Greedy sequential packing is inherently ordered, so it
+    * parallelizes BY WORKER: each worker (at 100 TB, the ingest
+    * partition id; here a stable `doc_id % workers`) packs its own slice
+    * independently — one hash exchange on the worker key, one
+    * in-partition sort, running-sum window. A global single-sequence
+    * pack would be one worker = one sorted partition: the known
+    * anti-shape this keying exists to avoid.
+    *
+    * Overshoot bound (by construction): a shard's token count is
+    * < budget + max_doc_tokens, because a doc is assigned by its START
+    * offset; docs larger than the budget own their shards. Exact
+    * bin-packing is NP-hard and order-destroying — start-offset packing
+    * is the standard streaming-friendly contract. */
+  def packShards(spark: SparkSession, dir: String,
+                 budget: Int = 2000, workers: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("worker")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % workers).as("worker"),
+              size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(budget.toDouble))
+          .cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
+  // Defaults bound here match the oracle SQL below (quota 50, 80/10/10,
+  // budget 2000 / 8 workers).
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean"      -> corpusClean _,
     "sample_stratified" -> ((s, d) => stratifiedSample(s, d)),
-    "train_test_split"  -> ((s, d) => trainTestSplit(s, d)))
+    "train_test_split"  -> ((s, d) => trainTestSplit(s, d)),
+    "pack_shards"       -> ((s, d) => packShards(s, d)))
 
   val oracles: Map[String, String] = Map(
     "corpus_clean" ->
@@ -118,6 +150,20 @@ object Corpus {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+    "pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS worker,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY worker ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, worker, n_tokens, cum_tokens,
+        |  CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "train_test_split" ->
       """SELECT doc_id, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'
