@@ -85,6 +85,12 @@ object Cluster {
       round += 1
     }
     sym.unpersist()
+    // labels-only-decrease makes changed==0 a complete convergence
+    // proof; returning unconverged labels would silently hand dedup a
+    // wrong cluster assignment, so fail loudly instead
+    require(changed == 0,
+            s"connectedComponents did not converge in $maxRounds rounds " +
+              s"($changed labels still moving) — raise maxRounds")
     labels
   }
 

@@ -60,26 +60,41 @@ object Bucketing {
     * dir) so the first call writes and every subsequent call (bench
     * repeats included) goes straight to the catalog tables. Without
     * this, bench repeats re-time the table WRITE inside what claims to
-    * be a read-join measurement (r8's 0.77 s spread leader). */
-  private val prepared = scala.collection.mutable.Set.empty[(Int, String)]
+    * be a read-join measurement (r8's 0.77 s spread leader).
+    *
+    * The memo key is the live session (WeakHashMap — a GC'd session's
+    * entry dies with it, so a fresh session whose catalog lacks the
+    * tables always rewrites) and the SOURCE DIR is encoded into the
+    * table names and data paths, so dir A and dir B get disjoint
+    * tables and an A→B→A call sequence returns A's data, not B's. */
+  private val prepared =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]
+
+  /** Catalog-safe suffix unique per source dir. */
+  private def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
 
   def bucketedFacts(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     synchronized {
-      val key = (System.identityHashCode(spark), dir)
-      if (!prepared.contains(key)) {
-        val base = sys.props("java.io.tmpdir") + "/graft_bucketed"
+      val tag = dirTag(dir)
+      val done = prepared.computeIfAbsent(
+        spark, _ => scala.collection.mutable.Set.empty[String])
+      if (!done.contains(dir)) {
+        val base = sys.props("java.io.tmpdir") + s"/graft_bucketed_$tag"
         writeBucketed(
           Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
-          "graft_b_orders", "o_orderkey", s"$base/orders")
+          s"graft_b_orders_$tag", "o_orderkey", s"$base/orders")
         writeBucketed(
           Tables.lineitem(spark, dir)
             .select(col("l_orderkey"),
                     (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
                       .as("rev")),
-          "graft_b_lineitem", "l_orderkey", s"$base/lineitem")
-        prepared += key
+          s"graft_b_lineitem_$tag", "l_orderkey", s"$base/lineitem")
+        done += dir
       }
-      (spark.table("graft_b_lineitem"), spark.table("graft_b_orders"))
+      (spark.table(s"graft_b_lineitem_$tag"),
+       spark.table(s"graft_b_orders_$tag"))
     }
 
   /** Gate query: the [[Joins.starRevenue]]-style fact-fact join executed

@@ -19,11 +19,22 @@ import graft.ops.Cdc
   * same change rows into a snapshot that already contains them changes
   * nothing, because each key's max-version row is already present and
   * row_number keeps exactly it. At-least-once delivery + idempotent
-  * apply = exactly-once snapshot state. The swap itself is
-  * write-to-side-dir + rename: readers of `snapshotDir` see the old
-  * complete snapshot or the new complete snapshot, never a partial
-  * write (rename is atomic on HDFS-like stores; object stores swap a
-  * pointer instead — same shape).
+  * apply = exactly-once snapshot state.
+  *
+  * The swap is a CRASH-RECOVERABLE three-step rename protocol, never a
+  * delete of the only copy: write the merged snapshot to a side dir
+  * (`__applying`), rename the live dir aside (`__old`), rename the side
+  * dir into place, then delete `__old`. A complete copy of the snapshot
+  * exists on disk at every instant, so a crash in ANY window loses
+  * nothing: [[applyBatch]] starts by repairing leftover state — live
+  * missing + `__old` present (died between the two renames) renames
+  * `__old` back; live present + `__old` present (died before the
+  * cleanup delete) drops the stale `__old` — and the replayed batch
+  * then re-applies idempotently. Readers that race the two renames can
+  * observe a missing dir for the rename-pair instant and should retry;
+  * on object stores the same shape is versioned snapshot dirs behind an
+  * atomically-written pointer file (rename is atomic on HDFS-like
+  * stores, not on S3).
   *
   * Tombstone horizon: the merged snapshot DROPS deleted keys, so a
   * change batch that arrives with an OLDER version than an already-
@@ -50,17 +61,27 @@ object CdcApply {
                  keys: Seq[String], ordering: Seq[Column],
                  isDelete: Column): Unit = {
     val dir = new Path(snapshotDir)
+    val old = new Path(snapshotDir + "__old")
+    val tmp = new Path(snapshotDir + "__applying")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // repair a half-finished swap from a crashed predecessor BEFORE
+    // reading the base — the protocol guarantees a complete snapshot
+    // exists under exactly one of {dir, old}
+    if (!fs.exists(dir) && fs.exists(old)) fs.rename(old, dir)
+    else if (fs.exists(old)) fs.delete(old, true)
     val base =
       if (fs.exists(dir)) spark.read.parquet(snapshotDir)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], changes.schema)
     val merged = Cdc.cdcMerge(base, changes, keys, ordering, isDelete)
     // side-dir then swap: the tmp write is what READS the old snapshot,
-    // so the old dir must stay intact until the write completes
-    val tmp = new Path(snapshotDir + "__applying")
+    // so the live dir must stay intact until the write completes
+    // (mode overwrite also clears any stale __applying from a crash)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dir, true)
+    // aside-rename, never delete-then-rename: a complete copy survives
+    // every crash window (repaired at the top of the next apply)
+    if (fs.exists(dir)) fs.rename(dir, old)
     fs.rename(tmp, dir)
+    fs.delete(old, true)
   }
 
   /** Streaming sink: every micro-batch of `changes` is folded into the

@@ -54,6 +54,32 @@ class CdcApplySpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("swap crash windows are repaired: no key is ever lost") {
+    import org.apache.hadoop.fs.Path
+    val snap = Files.createTempDirectory("graft_cdc_crash").toString + "/s"
+    val fs = new Path(snap).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def apply(rows: (Long, Long, String, Double)*): Unit =
+      CdcApply.applyBatch(spark, snap, rows.toDF("k", "ver", "op", "v"),
+                          keys, ordering, isDelete)
+
+    apply((1L, 10L, "U", 1.0), (2L, 10L, "U", 2.0))
+    // window A: died between rename-aside and rename-in — live dir is
+    // MISSING, the only complete snapshot sits at __old. Under the old
+    // delete-then-rename protocol this state meant total loss.
+    assert(fs.rename(new Path(snap), new Path(snap + "__old")))
+    apply((3L, 20L, "U", 3.0)) // the replayed batch
+    assert(snapshot(snap) === Set((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 20L, 3.0)))
+
+    // window B: died between rename-in and the cleanup delete — a stale
+    // __old copy sits beside the live dir and must be dropped, not read.
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(snap), fs, new Path(snap + "__old"), false,
+      spark.sparkContext.hadoopConfiguration)
+    apply((1L, 30L, "D", 0.0))
+    assert(snapshot(snap) === Set((2L, 10L, 2.0), (3L, 20L, 3.0)))
+    assert(!fs.exists(new Path(snap + "__old")))
+  }
+
   test("re-applying an already-folded batch is a no-op (idempotent apply)") {
     val snap = Files.createTempDirectory("graft_cdc_re").toString + "/s"
     val b1 = Seq((1L, 10L, "U", 1.0), (2L, 20L, "D", 0.0))

@@ -69,6 +69,15 @@ class ClusterSpec extends AnyFunSuite {
     assert(got === nodes.map(_ -> 0L).toMap)
   }
 
+  test("an exhausted round budget fails loudly, never returns wrong labels") {
+    val nodes = (0L until 64L)
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException] {
+      run(nodes, edges, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedup_clusters: keepers partition the corpus and sizes add up") {
     // structural invariants on the real gate query (values are pinned by
     // the DuckDB oracle; this guards the Spark-side plumbing)

@@ -175,6 +175,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("bucketedFacts memo is per-dir: A then B then A returns A's data") {
+    val dirA = sfDir
+    val dirB = "/root/testdata/sf0.01"
+    def rows(dir: String) = ops.Bucketing.bucketedFacts(spark, dir)._2.count()
+    val nA = Tables.orders(spark, dirA).count()
+    val nB = Tables.orders(spark, dirB).count()
+    assert(nA !== nB) // precondition: the two dirs are distinguishable
+    assert(rows(dirA) === nA)
+    assert(rows(dirB) === nB)
+    assert(rows(dirA) === nA, "memoized A call returned B's table")
+  }
+
   test("correlated scalar subquery decorrelates to aggregate + join") {
     val plan = ops.Joins.aboveAvgOrders(spark, sfDir)
       .queryExecution.executedPlan.toString

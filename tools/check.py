@@ -94,9 +94,13 @@ def dtype_mismatches(got: pd.DataFrame, exp: pd.DataFrame):
     happen to compare equal numerically."""
     out = []
     for c in got.columns:
-        gk, ek = got[c].dtype.kind, exp[c].dtype.kind
-        if {gk, ek} == {"i", "f"} or ({gk, ek} & {"i", "f"} and gk != ek
-                                      and {gk, ek} <= {"i", "f", "u"}):
+        # the driver contract is int-vs-float RENDERING (1 vs 1.0);
+        # uint and int render identically, so treat 'u' as 'i' — an
+        # int64-vs-uint64 pair must NOT fail locally when the driver
+        # would pass it
+        gk = {"u": "i"}.get(got[c].dtype.kind, got[c].dtype.kind)
+        ek = {"u": "i"}.get(exp[c].dtype.kind, exp[c].dtype.kind)
+        if {gk, ek} == {"i", "f"}:
             out.append(f"col {c}: dtype spark={got[c].dtype} duck={exp[c].dtype}")
     return out
 
