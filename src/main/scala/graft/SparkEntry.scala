@@ -24,6 +24,7 @@ object SparkEntry {
     (ops.TimeJoins.queries, ops.TimeJoins.oracles),
     (ops.Grouping.queries, ops.Grouping.oracles),
     (ops.Bucketing.queries, ops.Bucketing.oracles),
+    (ops.BloomJoin.queries, ops.BloomJoin.oracles),
     (ops.Stats.queries, ops.Stats.oracles),
     (ops.SetOps.queries, ops.SetOps.oracles),
     (ops.Sessionize.queries, ops.Sessionize.oracles),
@@ -37,7 +38,8 @@ object SparkEntry {
     (ext.Dedup.queries, ext.Dedup.oracles),
     (ext.Cluster.queries, ext.Cluster.oracles),
     (ext.Similarity.queries, ext.Similarity.oracles),
-    (ext.Multimodal.queries, ext.Multimodal.oracles)
+    (ext.Multimodal.queries, ext.Multimodal.oracles),
+    (ext.Privacy.queries, ext.Privacy.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -113,13 +113,50 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Domain-mixture epoch weighting — materialize a training mix where
+    * each language (at 100 TB: each source domain) is repeated by a
+    * fractional epoch factor: en×0.5 (downsample), de×2.25, zh×3.0,
+    * fr×1.0, es×1.5. The standard data-mixing step (e.g. The Pile /
+    * Llama mixture tables) between cleaning and shard packing.
+    *
+    * Fractional epochs without rand(): copies = ⌊w⌋ plus one more iff
+    * the doc's content-stable md5 bucket (same formula as
+    * [[trainTestSplit]]) falls under the fractional part — so exactly
+    * the target fraction of each domain gets the extra copy, the choice
+    * is REPRODUCIBLE run-to-run, and a given doc always up/downsamples
+    * the same way (the property mixture-ablation comparisons depend
+    * on). Pure per-row expressions + explode — no shuffle at all until
+    * the gate's ORDER BY; the output multiplication is the unavoidable
+    * materialization cost, which is why `copy_idx` (not physically
+    * copied text) is the output: downstream shard packing joins text
+    * back or reads it by reference. */
+  def mixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val whole = when(col("lang") === "en", 0).when(col("lang") === "de", 2)
+      .when(col("lang") === "zh", 3).when(col("lang") === "fr", 1)
+      .otherwise(1)
+    val fracPct = when(col("lang") === "en", 50).when(col("lang") === "de", 25)
+      .when(col("lang") === "zh", 0).when(col("lang") === "fr", 0)
+      .otherwise(50)
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+      .cast(IntegerType) % 100
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+              (whole + when(bucket < fracPct, 1).otherwise(0))
+                .cast(LongType).as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("n_copies"),
+              explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+
   // Defaults bound here match the oracle SQL below (quota 50, 80/10/10,
   // budget 2000 / 8 workers).
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean"      -> corpusClean _,
     "sample_stratified" -> ((s, d) => stratifiedSample(s, d)),
     "train_test_split"  -> ((s, d) => trainTestSplit(s, d)),
-    "pack_shards"       -> ((s, d) => packShards(s, d)))
+    "pack_shards"       -> ((s, d) => packShards(s, d)),
+    "mixture_epochs"    -> mixtureEpochs _)
 
   val oracles: Map[String, String] = Map(
     "corpus_clean" ->
@@ -164,6 +201,20 @@ object Corpus {
         |SELECT doc_id, worker, n_tokens, cum_tokens,
         |  CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    "mixture_epochs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2
+        |                   WHEN 'zh' THEN 3 WHEN 'fr' THEN 1 ELSE 1 END
+        |      + CASE WHEN
+        |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100
+        |          < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25
+        |                      WHEN 'zh' THEN 0 WHEN 'fr' THEN 0 ELSE 50 END
+        |        THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |  FROM documents)
+        |SELECT doc_id, lang, n_copies,
+        |       unnest(range(n_copies)) AS copy_idx
+        |FROM d WHERE n_copies > 0 ORDER BY doc_id, copy_idx""".stripMargin,
     "train_test_split" ->
       """SELECT doc_id, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'

@@ -99,6 +99,41 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition-ratio quality signals (the Gopher-style repetitiousness
+    * filters): duplicate-bigram fraction and top-word mass fraction per
+    * document. Highly repetitive documents (boilerplate, keyword spam,
+    * degenerate generations) score high on both and are dropped before
+    * training.
+    *
+    * Two complementary plan shapes on purpose: the bigram ratio is pure
+    * per-row HOFs (LINEAR in doc length — `sequence` + `element_at`,
+    * never a nested filter-per-distinct-token scan, which would go
+    * quadratic per row); the top-word fraction needs per-(doc, word)
+    * counts, which is the classic explode → two-level partial agg — at
+    * 100 TB the explode multiplies rows ~100× but partial aggregation
+    * collapses them back BEFORE the doc_id shuffle, so shuffled bytes
+    * stay O(distinct words), not O(tokens). The final join is doc_id
+    * equi-join of two similarly-partitioned sides. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(size(toks) >= 2)
+    val bigrams = transform(
+      sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val perRow = docs.select(
+      col("doc_id"),
+      size(toks).cast(LongType).as("word_count"),
+      (size(bigrams) - size(array_distinct(bigrams))).cast(LongType)
+        .as("dup_bigrams"),
+      (lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType)
+         / size(bigrams)).as("dup_bigram_ratio"))
+    val topWord = docs.select(col("doc_id"), explode(toks).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("n")).cast(DoubleType) / sum(col("n")))
+             .as("top_word_ratio"))
+    perRow.join(topWord, "doc_id").orderBy(col("doc_id"))
+  }
+
   /** Canonical text normalization — the step every dedup/fingerprint
     * pass runs FIRST on a raw corpus: casefold, strip everything outside
     * [a-z0-9 ], collapse whitespace runs, trim. Regex classes kept to
@@ -120,6 +155,7 @@ object Text {
     "text_lang_id"     -> langId _,
     "text_token_count" -> tokenCount _,
     "text_fingerprint" -> fingerprint _,
+    "text_repetition"  -> textRepetition _,
     "text_normalize"   -> normalize _)
 
   private def sqlList(words: Seq[String]) =
@@ -171,6 +207,29 @@ object Text {
         |                          i -> md5(substr(text, CAST(i AS INTEGER), 8))))
         |    AS shingle_fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS word_count,
+        |    list_transform(range(1, len(toks)),
+        |                   i -> toks[i] || ' ' || toks[i + 1]) AS bg
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, word_count,
+        |    CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) AS dup_bigrams,
+        |    1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |      AS dup_bigram_ratio
+        |  FROM b),
+        |w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        |c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+        |f AS (SELECT doc_id, CAST(max(n) AS DOUBLE) / sum(n)
+        |        AS top_word_ratio FROM c GROUP BY 1)
+        |SELECT p.doc_id, word_count, dup_bigrams, dup_bigram_ratio,
+        |       top_word_ratio
+        |FROM p JOIN f ON p.doc_id = f.doc_id ORDER BY p.doc_id""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(

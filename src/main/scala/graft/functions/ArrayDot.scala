@@ -104,6 +104,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
     binary("array_dot", classOf[ArrayDot], ArrayDot(_, _))
     binary("jaccard_sim", classOf[JaccardSim], JaccardSim(_, _))
+    // Spark's OWN codegen'd bloom probe (the expression its runtime
+    // row-level filtering uses), exposed for the explicit semi-join
+    // reduction in ops/BloomJoin — arg0 a serialized-filter literal,
+    // arg1 the LongType key to test
+    binary("bloom_might_contain",
+           classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(_, _))
     // (c)-tier surface: logical-plan rewrites. RewriteRangeJoin turns
     // equi-keyless time-range joins (BroadcastNestedLoopJoin at plan
     // time, all-pairs at run time) into bucketed equi-joins.
