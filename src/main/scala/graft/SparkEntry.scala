@@ -39,7 +39,8 @@ object SparkEntry {
     (ext.Cluster.queries, ext.Cluster.oracles),
     (ext.Similarity.queries, ext.Similarity.oracles),
     (ext.Multimodal.queries, ext.Multimodal.oracles),
-    (ext.Privacy.queries, ext.Privacy.oracles)
+    (ext.Privacy.queries, ext.Privacy.oracles),
+    (ext.Decontam.queries, ext.Decontam.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

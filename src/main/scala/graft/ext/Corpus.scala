@@ -149,6 +149,31 @@ object Corpus {
       .orderBy(col("doc_id"), col("copy_idx"))
   }
 
+  /** Length bucketing for padding-efficient batching: group docs of
+    * similar token counts so fixed-shape training batches waste little
+    * padding (batch cost is max-length × batch-size; mixing a 10-token
+    * doc into a 2000-token bucket pays 199× padding for it). Per-worker
+    * `ntile` — the same worker keying as [[packShards]] — so the sort
+    * is per-partition, never global: one exchange on the worker key,
+    * one in-partition sort, and each worker's slice splits into
+    * `buckets` equal-count tiles. Per-doc `pad_waste` (1 − len/bucket
+    * max) is the measurable the bucketing exists to minimize; summing
+    * it per bucket is the padding-efficiency report. */
+  def lengthBuckets(spark: SparkSession, dir: String,
+                    buckets: Int = 8, workers: Int = 8): DataFrame = {
+    val byLen = Window.partitionBy(col("worker"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    val inBucket = Window.partitionBy(col("worker"), col("bucket"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % workers).as("worker"),
+              size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("bucket", ntile(buckets).over(byLen).cast(LongType))
+      .withColumn("bucket_max", max(col("n_tokens")).over(inBucket))
+      .withColumn("pad_waste",
+                  lit(1.0) - col("n_tokens").cast(DoubleType) / col("bucket_max"))
+      .orderBy(col("doc_id"))
+  }
+
   // Defaults bound here match the oracle SQL below (quota 50, 80/10/10,
   // budget 2000 / 8 workers).
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -156,7 +181,8 @@ object Corpus {
     "sample_stratified" -> ((s, d) => stratifiedSample(s, d)),
     "train_test_split"  -> ((s, d) => trainTestSplit(s, d)),
     "pack_shards"       -> ((s, d) => packShards(s, d)),
-    "mixture_epochs"    -> mixtureEpochs _)
+    "mixture_epochs"    -> mixtureEpochs _,
+    "length_buckets"    -> ((s, d) => lengthBuckets(s, d)))
 
   val oracles: Map[String, String] = Map(
     "corpus_clean" ->
@@ -201,6 +227,24 @@ object Corpus {
         |SELECT doc_id, worker, n_tokens, cum_tokens,
         |  CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    "length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS worker,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT *,
+        |    CAST(ntile(8) OVER (PARTITION BY worker ORDER BY n_tokens, doc_id)
+        |         AS BIGINT) AS bucket
+        |  FROM t),
+        |m AS (
+        |  SELECT *,
+        |    CAST(max(n_tokens) OVER (PARTITION BY worker, bucket) AS BIGINT)
+        |      AS bucket_max
+        |  FROM b)
+        |SELECT doc_id, worker, n_tokens, bucket, bucket_max,
+        |  1.0 - CAST(n_tokens AS DOUBLE) / bucket_max AS pad_waste
+        |FROM m ORDER BY doc_id""".stripMargin,
     "mixture_epochs" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

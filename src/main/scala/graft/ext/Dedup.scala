@@ -49,7 +49,7 @@ object Dedup {
     * unigram sets and degenerates LSH into one giant bucket (measured: a
     * 317-doc bucket on this corpus) — the classic LSH skew failure;
     * 3-grams keep buckets tight. */
-  private def shinglesFromToks: Column = {
+  private[ext] def shinglesFromToks: Column = {
     val t = col("toks")
     when(size(t) >= 3,
       array_distinct(transform(sequence(lit(1), size(t) - 2),

@@ -130,6 +130,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  // ---- decontamination ---------------------------------------------
+
+  test("decontamination finds exactly the planted 3-gram overlaps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    // benchmark doc: id 3 (3 % 97 == 3); doc 10 copies a 5-word span
+    // (3 shared 3-grams), doc 200 shares nothing, doc 1 shares a
+    // 3-word span (1 shared 3-gram)
+    Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta", "en", "unit", 0L),
+      (10L, "intro words then alpha beta gamma delta epsilon closing", "en", "unit", 0L),
+      (200L, "completely different content with no common span", "en", "unit", 0L),
+      (1L, "prefix alpha beta gamma suffix", "en", "unit", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = ext.Decontam.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+                                  r.getInt(4)))).toMap
+    assert(got(10L) === ((3L, 1L, 3L, 0)))    // 3 shared, below threshold 5
+    assert(got(1L) === ((1L, 1L, 3L, 0)))
+    assert(!got.contains(200L))               // zero overlap → absent
+    assert(!got.contains(3L))                 // benchmark excluded
+  }
+
+  test("decontamination broadcasts the benchmark side, never the corpus") {
+    val plan = ext.Decontam.decontaminate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  // ---- length bucketing --------------------------------------------
+
+  test("length buckets are ordered, balanced, and waste-bounded") {
+    val rows = Corpus.lengthBuckets(spark, sfDir).collect()
+    // within a worker, bucket ids are monotone in token count: every doc
+    // in bucket b is <= every doc in bucket b+1
+    rows.groupBy(_.getLong(1)).foreach { case (_, docs) =>
+      val byBucket = docs.groupBy(_.getLong(3))
+        .view.mapValues(_.map(_.getLong(2))).toMap
+      byBucket.keys.toSeq.sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(byBucket(a).max <= byBucket(b).min ||
+          // ntile may split equal lengths across adjacent tiles
+          byBucket(a).max == byBucket(b).min,
+          s"bucket $a overlaps $b")
+        case _ =>
+      }
+      // ntile balance: sizes differ by at most 1
+      val sizes = byBucket.values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"unbalanced tiles: $byBucket")
+    }
+    // pad_waste ∈ [0, 1) and zero for each bucket's longest doc
+    assert(rows.forall(r => r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0))
+    assert(rows.filter(r => r.getLong(2) == r.getLong(4))
+               .forall(r => r.getDouble(5) === 0.0))
+  }
+
   // ---- mixture epoch weighting -------------------------------------
 
   test("mixture realizes the per-domain copy targets and dense copy ids") {
