@@ -115,18 +115,28 @@ object Text {
     * stay O(distinct words), not O(tokens). The final join is doc_id
     * equi-join of two similarly-partitioned sides. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).filter(size(toks) >= 2)
-    val bigrams = transform(
-      sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-    val perRow = docs.select(
+    // materialize toks/bg/counts stepwise: a lambda must index an
+    // ATTRIBUTE, not the split(text) expression — inlined, the split
+    // re-runs per array element (the O(words²)-per-doc trap measured in
+    // Dedup's shingle build), and the distinct count is computed once,
+    // not per consumer
+    val t = col("toks")
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .filter(size(t) >= 2)
+    val withBg = docs
+      .withColumn("bg", transform(
+        sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .withColumn("n_bg", size(col("bg")).cast(LongType))
+      .withColumn("n_dis", size(array_distinct(col("bg"))).cast(LongType))
+    val perRow = withBg.select(
       col("doc_id"),
-      size(toks).cast(LongType).as("word_count"),
-      (size(bigrams) - size(array_distinct(bigrams))).cast(LongType)
-        .as("dup_bigrams"),
-      (lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType)
-         / size(bigrams)).as("dup_bigram_ratio"))
-    val topWord = docs.select(col("doc_id"), explode(toks).as("word"))
+      size(t).cast(LongType).as("word_count"),
+      (col("n_bg") - col("n_dis")).as("dup_bigrams"),
+      (lit(1.0) - col("n_dis").cast(DoubleType) / col("n_bg"))
+        .as("dup_bigram_ratio"))
+    val topWord = docs.select(col("doc_id"), explode(t).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
       .agg((max(col("n")).cast(DoubleType) / sum(col("n")))

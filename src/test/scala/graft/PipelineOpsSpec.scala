@@ -122,6 +122,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows(1L).getDouble(4) === 1.0 / 6.0)
   }
 
+  test("repetition bigram lambda indexes a materialized toks attribute") {
+    // if CollapseProject re-inlines split(text) into the transform
+    // lambda, the split re-runs per ARRAY ELEMENT (O(words²) per doc —
+    // the measured 14× trap documented in Dedup.shinglesFromToks).
+    // Per-ROW split copies in pushed-down filters are fine; a split
+    // inside a lambdafunction(...) is the quadratic signature (each
+    // optimized-plan node prints on one line, so line-local co-
+    // occurrence is exactly "inside the lambda")
+    val plan = Text.textRepetition(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val bad = plan.linesIterator
+      .filter(l => l.contains("lambdafunction") && l.contains("split(text"))
+      .toSeq
+    assert(bad.isEmpty, s"split inlined into a lambda:\n${bad.mkString("\n")}")
+  }
+
   test("repetition ratios stay in [0, 1] on the corpus") {
     val bad = Text.textRepetition(spark, sfDir)
       .filter(col("dup_bigram_ratio") < 0 || col("dup_bigram_ratio") > 1 ||
