@@ -25,6 +25,7 @@ object SparkEntry {
     (ops.Grouping.queries, ops.Grouping.oracles),
     (ops.Bucketing.queries, ops.Bucketing.oracles),
     (ops.BloomJoin.queries, ops.BloomJoin.oracles),
+    (ops.Quality.queries, ops.Quality.oracles),
     (ops.Stats.queries, ops.Stats.oracles),
     (ops.SetOps.queries, ops.SetOps.oracles),
     (ops.Sessionize.queries, ops.Sessionize.oracles),

@@ -144,6 +144,32 @@ object Text {
     perRow.join(topWord, "doc_id").orderBy(col("doc_id"))
   }
 
+  /** Corpus vocabulary heavy hitters: tokens carrying ≥ `minShare` of
+    * all token mass — the exact-counting form of frequent-items (vocab
+    * audits, stopword discovery, tokenizer-coverage checks). Explode →
+    * two-level partial agg, so shuffled bytes are O(distinct words);
+    * the global-total window runs over the POST-AGGREGATE vocab frame
+    * (|vocab| rows — fine single-partition even when the corpus is
+    * 100 TB, because vocabulary grows sub-linearly). The approximate
+    * mergeable-sketch counterpart (`df.stat.freqItems`, superset
+    * guarantee) is pinned against this exact form in QualitySpec. */
+  def vocabHeavyHitters(spark: SparkSession, dir: String,
+                        minShare: Double = 0.01): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val total = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    counts
+      .withColumn("share",
+                  col("n").cast(DoubleType) / sum(col("n")).over(total)
+                    .cast(DoubleType))
+      .filter(col("share") >= minShare)
+      .orderBy(col("n").desc, col("word"))
+  }
+
   /** Canonical text normalization — the step every dedup/fingerprint
     * pass runs FIRST on a raw corpus: casefold, strip everything outside
     * [a-z0-9 ], collapse whitespace runs, trim. Regex classes kept to
@@ -166,6 +192,7 @@ object Text {
     "text_token_count" -> tokenCount _,
     "text_fingerprint" -> fingerprint _,
     "text_repetition"  -> textRepetition _,
+    "vocab_heavy_hitters" -> ((s, d) => vocabHeavyHitters(s, d)),
     "text_normalize"   -> normalize _)
 
   private def sqlList(words: Seq[String]) =
@@ -217,6 +244,17 @@ object Text {
         |                          i -> md5(substr(text, CAST(i AS INTEGER), 8))))
         |    AS shingle_fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "vocab_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word),
+        |s AS (
+        |  SELECT word, n,
+        |    CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share
+        |  FROM c)
+        |SELECT word, n, share FROM s
+        |WHERE share >= 0.01 ORDER BY n DESC, word""".stripMargin,
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

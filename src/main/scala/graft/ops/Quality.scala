@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Data-quality expectation suite — the dbt-test / Deequ-style
+  * constraint checks a production pipeline runs on every load before
+  * publishing a table (no reference-repo counterpart; the reference
+  * trusts its feed — SURVEY.md §5 notes the absence of validation as a
+  * gap a re-engineering must fill).
+  *
+  * Scale shape is the whole point: naive expectation runners issue one
+  * query PER CHECK (k full scans for k checks). Here every check over
+  * the same table rides ONE scan as conditional aggregates
+  * (`sum(when(...))` — map-side partials, one exchange to a single
+  * row), the referential check is a key-only anti-join, and the check
+  * rows are exploded from the aggregate row. k checks over a 100 TB
+  * table cost one pass, plus one join for each cross-table constraint.
+  *
+  * The observability twin [[withObservation]] attaches the same
+  * conditional aggregates to a PASSING query via `Dataset.observe` —
+  * zero extra scans, metrics delivered to a QueryExecutionListener on
+  * completion (pinned in QualitySpec) — the shape for continuously
+  * monitoring a pipeline rather than gating a load.
+  */
+object Quality {
+
+  /** Gate query: one row per expectation with its violation count and
+    * pass flag. lineitem checks share one scan; orders checks share one
+    * scan; the orphan check is the one extra (anti-join) pass. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+
+    val liAgg = li.agg(
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+        .as("lineitem_null_orderkey"),
+      sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L))
+        .as("lineitem_nonpositive_qty"),
+      sum(when(col("l_extendedprice") < 0.0, 1L).otherwise(0L))
+        .as("lineitem_negative_price"))
+    val ordAgg = ord.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey")))
+        .as("orders_dup_orderkey"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+        .as("orders_null_custkey"))
+    val orphan = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("lineitem_orphan_orderkey"))
+
+    // one row each → explode to (check_name, n_violations) rows
+    def unpivot(agg: DataFrame): DataFrame = {
+      val cols = agg.columns
+      agg.select(explode(array(cols.map(c =>
+        struct(lit(c).as("check_name"), col(c).as("n_violations"))): _*))
+          .as("kv"))
+        .select(col("kv.check_name"), col("kv.n_violations"))
+    }
+    unpivot(liAgg).unionByName(unpivot(ordAgg)).unionByName(unpivot(orphan))
+      .withColumn("passed",
+                  when(col("n_violations") === 0L, 1).otherwise(0)
+                    .cast(IntegerType))
+      .orderBy(col("check_name"))
+  }
+
+  /** Attach the lineitem expectations to any lineitem-shaped frame as a
+    * zero-cost observation: same conditional aggregates, no extra scan,
+    * metrics arrive via QueryExecutionListener (or the returned frame's
+    * own `queryExecution.observedMetrics`) when an action completes.
+    * Caveat pinned in QualitySpec: the action must execute THIS frame's
+    * plan — `collect`/`write` do; `count()` builds a derived aggregate
+    * whose metrics land on a different QueryExecution. */
+  def withObservation(df: DataFrame, name: String = "graft_dq"): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("rows"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_keys"),
+      sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("nonpos_qty"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_checks" -> dqChecks _)
+
+  val oracles: Map[String, String] = Map(
+    "dq_checks" ->
+      """WITH li AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS lineitem_null_orderkey,
+        |    CAST(sum(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS lineitem_nonpositive_qty,
+        |    CAST(sum(CASE WHEN l_extendedprice < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS lineitem_negative_price
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |      AS orders_dup_orderkey,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS orders_null_custkey
+        |  FROM orders),
+        |orph AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS lineitem_orphan_orderkey
+        |  FROM lineitem l LEFT JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+        |  WHERE ord.o_orderkey IS NULL),
+        |rows_u AS (
+        |  SELECT 'lineitem_null_orderkey' AS check_name,
+        |         lineitem_null_orderkey AS n_violations FROM li
+        |  UNION ALL
+        |  SELECT 'lineitem_nonpositive_qty', lineitem_nonpositive_qty FROM li
+        |  UNION ALL
+        |  SELECT 'lineitem_negative_price', lineitem_negative_price FROM li
+        |  UNION ALL
+        |  SELECT 'orders_dup_orderkey', orders_dup_orderkey FROM o
+        |  UNION ALL
+        |  SELECT 'orders_null_custkey', orders_null_custkey FROM o
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_orderkey', lineitem_orphan_orderkey FROM orph)
+        |SELECT check_name, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS passed
+        |FROM rows_u ORDER BY check_name""".stripMargin)
+}
