@@ -96,10 +96,40 @@ object Parse {
       .orderBy(col("event_id"))
   }
 
+  /** Corrupt-record quarantine — the malformed-feed path every
+    * production wire consumer needs (the reference assumes a clean feed;
+    * SURVEY.md §5 flags the absence). PERMISSIVE `from_json` turns an
+    * unparseable record into an all-null struct instead of failing the
+    * job; flagging rows whose never-null key field parsed null splits
+    * the stream into a clean leg and a quarantine leg in ONE pass — no
+    * second parse, no job restart, per-row codegen'd.
+    *
+    * The gate corrupts every 10th record deterministically (truncation —
+    * invalid JSON under any parser) and hash-verifies the flag against
+    * DuckDB's `json_valid`. Each engine truncates ITS OWN serialized
+    * form, so the check is parser-semantics parity, not byte parity. */
+  def parseQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val raw = to_json(struct(col("event_id"), col("user_id"), col("event_type")))
+    parallelEvents(spark, dir)
+      .select(col("event_id").as("id"),
+              when(col("event_id") % 10 === 0,
+                   raw.substr(lit(1), length(raw) - 15))
+                .otherwise(raw).as("raw"))
+      .select(col("id"), from_json(col("raw"), schema).as("p"))
+      .select(col("id").as("event_id"),
+              when(col("p.event_id").isNull, 1).otherwise(0)
+                .cast(IntegerType).as("quarantined"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tick_parse_full"    -> tickParseFull _,
     "tick_parse_partial" -> tickParsePartial _,
-    "tick_parse_flat"    -> tickParseFlat _)
+    "tick_parse_flat"    -> tickParseFlat _,
+    "parse_quarantine"   -> parseQuarantine _)
 
   /** Shared oracle base: k and epoch-ms derivations, matching TickGen. */
   private val base =
@@ -121,6 +151,23 @@ object Parse {
          |  make_timestamp((ltt_ms // 1000) * 1000000) AS tick_time,
          |  CAST(make_timestamp((ltt_ms // 1000) * 1000000) AS DATE) AS date
          |FROM $base ORDER BY event_id""".stripMargin,
+    "parse_quarantine" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |    CAST(to_json(struct_pack(event_id := event_id, user_id := user_id,
+        |                             event_type := event_type)) AS VARCHAR)
+        |      AS raw
+        |  FROM events),
+        |c AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 10 = 0
+        |         THEN substr(raw, 1, CAST(length(raw) AS INTEGER) - 15)
+        |         ELSE raw END AS raw
+        |  FROM r)
+        |SELECT event_id,
+        |  CAST(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END AS INTEGER)
+        |    AS quarantined
+        |FROM c ORDER BY event_id""".stripMargin,
     "tick_parse_flat" ->
       s"""SELECT event_id, event_type AS instrument,
          |  date_trunc('minute', CAST(ts AS TIMESTAMP)) AS window_start,
