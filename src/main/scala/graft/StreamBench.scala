@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.schema.Candle
-import graft.stream.{CandlePipeline, IngestDedup, RollingTail, Sources}
+import graft.stream.{CandlePipeline, IngestDedup, RollingTail, SessionWindows, Sources}
 
 /** Streaming throughput micro-bench — the engine-side number next to
   * BASELINE.md's operational row (the reference sustains ~50 msg/s with
@@ -147,14 +147,31 @@ object StreamBench {
       .option("checkpointLocation", s"$ckpt/ijoin").start()
     val joinStats = measure(joinQ, secs)
 
+    // Leg 5: streaming sessionization — session_window state maintenance
+    // under the MERGE-heavy regime: 200k users, every batch extends every
+    // user's open session (state bounded by the key space, the window
+    // store's merge path exercised on every row). Emission-on-close
+    // semantics are pinned in SessionWindowsSpec; this leg measures the
+    // state-update throughput that dominates a production sessionizer.
+    val sessBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_SESSION_BATCH", "1000000").toLong
+    val sessQ = SessionWindows.userSessions(
+        graft.stream.Sources.microBatchRows(spark, sessBatch, 0L)
+          .select((col("value") % 200000L).as("user_id"),
+                  col("timestamp").as("ts")),
+        gap = "5 seconds", watermark = "2 seconds")
+      .writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", s"$ckpt/sessions").start()
+    val sessStats = measure(sessQ, secs)
+
     def jm(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
     val json =
       s"""{"metric":"stream_throughput","unit":"rows/sec","secs_per_leg":$secs,""" +
-      s""""rows_per_batch":{"candle_pipeline":$tickBatch,"rolling_tail":$candleBatch,"ingest_dedup":$docBatch,"interval_join":${2 * joinBatch}},""" +
+      s""""rows_per_batch":{"candle_pipeline":$tickBatch,"rolling_tail":$candleBatch,"ingest_dedup":$docBatch,"interval_join":${2 * joinBatch},"session_windows":$sessBatch},""" +
       s""""candle_pipeline":${jm(candleStats)},"rolling_tail":${jm(tailStats)},""" +
       s""""ingest_dedup":${jm(dedupStats)},"interval_join":${jm(joinStats)},""" +
+      s""""session_windows":${jm(sessStats)},""" +
       s""""baseline_reference":{"msgs_per_sec":50,"micro_batch_sec":"1-2"}}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("STREAMBENCH.json"),
@@ -162,7 +179,7 @@ object StreamBench {
     catch { case e: Throwable => System.err.println(s"[streambench] write: $e") }
     spark.stop()
     // a crashed leg's numbers are not a measurement — fail the run loudly
-    if (Seq(candleStats, tailStats, dedupStats, joinStats)
+    if (Seq(candleStats, tailStats, dedupStats, joinStats, sessStats)
           .exists(_.contains("failed")))
       sys.exit(1)
   }

@@ -75,6 +75,24 @@ object Grouping {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Long-format inverse of [[pivotStatus]] — native `unpivot`/melt
+    * (Spark 3.4+), the wide→long reshape every reporting export needs
+    * going the other way. Per-row Expand (each input row becomes one
+    * row per melted column) — no shuffle beyond what built the wide
+    * frame; the value columns must share a type, so this melts the
+    * count pair and derives the status key from the column name. The
+    * gate proves melt(pivot(x)) round-trips to the long form the
+    * oracle computes directly. */
+  def unpivotStatus(spark: SparkSession, dir: String): DataFrame =
+    pivotStatus(spark, dir)
+      .unpivot(Array(col("l_returnflag")),
+               Array(col("F_n"), col("O_n")),
+               "melted", "n")
+      .select(col("l_returnflag"),
+              substring(col("melted"), 1, 1).as("l_linestatus"),
+              col("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   /** Number of salt shards for [[saltedAgg]]. 16 shards × 5 event types
     * = 80 partial groups — enough to spread a hot key across a 32-core
     * box; at cluster scale the dial rises with executor count. */
@@ -110,6 +128,7 @@ object Grouping {
     "rollup_revenue" -> rollupRevenue _,
     "cube_orders"    -> cubeOrders _,
     "pivot_status"   -> pivotStatus _,
+    "unpivot_status" -> unpivotStatus _,
     "salted_agg"     -> saltedAgg _)
 
   val oracles: Map[String, String] = Map(
@@ -131,6 +150,15 @@ object Grouping {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY 3, 1, 2""".stripMargin,
+    "unpivot_status" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    count(*) FILTER (WHERE l_linestatus = 'F') AS F_n,
+        |    count(*) FILTER (WHERE l_linestatus = 'O') AS O_n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, substr(melted, 1, 1) AS l_linestatus, n
+        |FROM wide UNPIVOT (n FOR melted IN (F_n, O_n))
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "pivot_status" ->
       """SELECT l_returnflag,
         |  count(*) FILTER (WHERE l_linestatus = 'F') AS F_n,
