@@ -67,6 +67,32 @@ object Quality {
       .orderBy(col("check_name"))
   }
 
+  /** Data-completeness audit: which (day × event_type × user-cohort)
+    * slots of the expected calendar spine have NO events — the "did
+    * yesterday's partition actually land, for every source?" check that
+    * catches silently-dropped feeds, which no per-row expectation can
+    * see (absent rows violate nothing).
+    *
+    * Scale shape: the SPINE is tiny by construction (days × types ×
+    * cohorts — thousands of rows at any corpus size), built from a
+    * 1-row bounds aggregate and exploded sequences, then broadcast
+    * against the DISTINCT observed slots (a map-side-combined
+    * aggregation of the big table — shuffled bytes O(slots), not
+    * O(events)). The anti-join emits only the missing slots. */
+  def coverageGaps(spark: SparkSession, dir: String,
+                   cohorts: Int = 100): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+              (col("user_id") % cohorts).as("cohort"))
+    val observed = ev.distinct()
+    val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+      .crossJoin(spark.range(cohorts).select(col("id").as("cohort")))
+    spine.join(observed, Seq("day", "event_type", "cohort"), "left_anti")
+      .orderBy(col("day"), col("event_type"), col("cohort"))
+  }
+
   /** Attach the lineitem expectations to any lineitem-shaped frame as a
     * zero-cost observation: same conditional aggregates, no extra scan,
     * metrics arrive via QueryExecutionListener (or the returned frame's
@@ -81,9 +107,31 @@ object Quality {
       sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("nonpos_qty"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dq_checks" -> dqChecks _)
+    "dq_checks" -> dqChecks _,
+    "coverage_gaps" -> ((s, d) => coverageGaps(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "coverage_gaps" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    event_type, user_id % 100 AS cohort
+        |  FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |    AS day
+        |  FROM b),
+        |full_s AS (
+        |  SELECT day, event_type, cohort
+        |  FROM spine
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events)
+        |  CROSS JOIN (SELECT unnest(range(100)) AS cohort))
+        |SELECT f.day, f.event_type, f.cohort
+        |FROM full_s f LEFT JOIN e
+        |  ON f.day = e.day AND f.event_type = e.event_type
+        |     AND f.cohort = e.cohort
+        |WHERE e.day IS NULL
+        |ORDER BY f.day, f.event_type, f.cohort""".stripMargin,
     "dq_checks" ->
       """WITH li AS (
         |  SELECT

@@ -45,6 +45,34 @@ class QualitySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(1) === 0L && r.getInt(2) === 1))
   }
 
+  test("dq_checks: all checks ride one scan per table, plus the anti-join") {
+    val plan = Quality.dqChecks(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // 3 lineitem checks + 2 orders checks + referential = 2 table aggs
+    // and 1 anti-join → at most 4 file scans, never one per check
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 4, s"expected <=4 scans for 6 checks, got $scans:\n$plan")
+  }
+
+  test("coverage gaps: planted missing slots are found exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cov").toString
+    def t(day: Int) = java.sql.Timestamp.valueOf(s"2026-01-0$day 12:00:00")
+    // 3-day spine (days 1..3), types a/b, cohorts 0/1: day 2 has no
+    // events at all (4 gaps); day 3 misses (b, cohort 1) → 5 gaps total
+    val rows = Seq(
+      (1L, t(1), 0L, "a"), (2L, t(1), 1L, "a"),
+      (3L, t(1), 0L, "b"), (4L, t(1), 1L, "b"),
+      (5L, t(3), 0L, "a"), (6L, t(3), 1L, "a"), (7L, t(3), 0L, "b"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val gaps = Quality.coverageGaps(spark, dir, cohorts = 2).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    assert(gaps.toSet === Set(
+      ("2026-01-02", "a", 0L), ("2026-01-02", "a", 1L),
+      ("2026-01-02", "b", 0L), ("2026-01-02", "b", 1L),
+      ("2026-01-03", "b", 1L)))
+  }
+
   test("observe() delivers the expectation metrics with no extra scan") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_quantity"))
