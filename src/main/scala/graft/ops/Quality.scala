@@ -84,10 +84,17 @@ object Quality {
     val ev = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("event_type"),
               (col("user_id") % cohorts).as("cohort"))
+    // ONE scan of the big table; bounds and the type domain are
+    // derivable from the distinct-slot frame (min/max/distinct survive
+    // the distinct), which is O(slots) — persist it because three plan
+    // branches consume it and Spark shares no DAG between branches
+    // (the eager count prevents the concurrent-materialization race)
     val observed = ev.distinct()
-    val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    observed.count()
+    val spine = observed.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-      .crossJoin(ev.select(col("event_type")).distinct())
+      .crossJoin(observed.select(col("event_type")).distinct())
       .crossJoin(spark.range(cohorts).select(col("id").as("cohort")))
     spine.join(observed, Seq("day", "event_type", "cohort"), "left_anti")
       .orderBy(col("day"), col("event_type"), col("cohort"))
