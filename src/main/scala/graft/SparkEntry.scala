@@ -41,7 +41,9 @@ object SparkEntry {
     (ext.Similarity.queries, ext.Similarity.oracles),
     (ext.Multimodal.queries, ext.Multimodal.oracles),
     (ext.Privacy.queries, ext.Privacy.oracles),
-    (ext.Decontam.queries, ext.Decontam.oracles)
+    (ext.Decontam.queries, ext.Decontam.oracles),
+    (ext.Relevance.queries, ext.Relevance.oracles),
+    (ext.FuzzyJoin.queries, ext.FuzzyJoin.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -174,15 +174,49 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed-size token-window document chunking with overlap — the step
+    * that turns cleaned documents into training sequences: windows of
+    * `chunk` tokens starting every `stride` tokens (overlap = chunk −
+    * stride preserves context across boundaries, the standard LM
+    * packing prep). Chunk starts are `sequence(0, n_tokens−1, stride)`
+    * so every token is covered and a final short window keeps the tail
+    * (`chunk_tokens` < chunk only on the last window).
+    *
+    * Scale shape: pure per-row HOFs — split once, generate starts,
+    * posexplode, slice — NO shuffle at all until the gate's ORDER BY;
+    * output size is the (chunk/stride)× token multiplication inherent
+    * to overlapped chunking, and `chunk_text` is materialized here only
+    * because the gate hash-compares it (at 100 TB you'd emit
+    * (doc_id, start, chunk_tokens) and slice lazily at read time). */
+  def docChunks(spark: SparkSession, dir: String,
+                chunk: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+              posexplode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+                                  lit(stride))).as(Seq("chunk_id", "start")))
+      .select(
+        col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+        col("start").cast(LongType).as("start"),
+        least(lit(chunk), size(col("toks")) - col("start"))
+          .cast(LongType).as("chunk_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(chunk)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   // Defaults bound here match the oracle SQL below (quota 50, 80/10/10,
-  // budget 2000 / 8 workers).
+  // budget 2000 / 8 workers, chunk 32 / stride 24).
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean"      -> corpusClean _,
     "sample_stratified" -> ((s, d) => stratifiedSample(s, d)),
     "train_test_split"  -> ((s, d) => trainTestSplit(s, d)),
     "pack_shards"       -> ((s, d) => packShards(s, d)),
     "mixture_epochs"    -> mixtureEpochs _,
-    "length_buckets"    -> ((s, d) => lengthBuckets(s, d)))
+    "length_buckets"    -> ((s, d) => lengthBuckets(s, d)),
+    "doc_chunks"        -> ((s, d) => docChunks(s, d)))
 
   val oracles: Map[String, String] = Map(
     "corpus_clean" ->
@@ -259,6 +293,19 @@ object Corpus {
         |SELECT doc_id, lang, n_copies,
         |       unnest(range(n_copies)) AS copy_idx
         |FROM d WHERE n_copies > 0 ORDER BY doc_id, copy_idx""".stripMargin,
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, greatest(len(toks), 1), 24)) AS start
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(start // 24 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(least(32, len(toks) - start) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+        |    AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "train_test_split" ->
       """SELECT doc_id, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'

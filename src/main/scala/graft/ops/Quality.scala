@@ -100,6 +100,39 @@ object Quality {
       .orderBy(col("day"), col("event_type"), col("cohort"))
   }
 
+  /** Percentile winsorization — the outlier-clipping step a feature /
+    * metrics pipeline runs before training or aggregation: clamp each
+    * group's values into its [p05, p95] band and report how much was
+    * clipped. Quantiles are `percentile_disc` (actual data values, so
+    * the bounds are bit-identical across engines — [[Stats]] explains
+    * why interpolated quantiles can't face a hash gate).
+    *
+    * Scale shape: pass 1 computes the per-group bounds (one exchange;
+    * exact percentile buffers each group's values — at 100 TB swap in
+    * approx_percentile's mergeable t-digest, same plan shape); the
+    * bounds table is O(groups) and joins back BROADCAST, so the big
+    * table is never shuffled for the clamp; pass 2 is map-side-combined
+    * conditional aggregates. The clipped sum accumulates in DECIMAL
+    * (associative, order-insensitive) and is cast back to DOUBLE at the
+    * end — the [[Stats.profileStats]] determinism pattern. */
+  def winsorizeStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type")).agg(
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").as("lo"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("hi"))
+    val clipped = greatest(col("lo"), least(col("hi"), col("value")))
+    ev.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("lo")).as("lo"),
+        min(col("hi")).as("hi"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        sum(clipped.cast(DecimalType(28, 6))).cast(DoubleType)
+          .as("clipped_sum"))
+      .orderBy(col("event_type"))
+  }
+
   /** Attach the lineitem expectations to any lineitem-shaped frame as a
     * zero-cost observation: same conditional aggregates, no extra scan,
     * metrics arrive via QueryExecutionListener (or the returned frame's
@@ -115,9 +148,25 @@ object Quality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_checks" -> dqChecks _,
-    "coverage_gaps" -> ((s, d) => coverageGaps(s, d)))
+    "coverage_gaps" -> ((s, d) => coverageGaps(s, d)),
+    "winsorize_stats" -> winsorizeStats _)
 
   val oracles: Map[String, String] = Map(
+    "winsorize_stats" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_disc(value, 0.05) AS lo,
+        |    quantile_disc(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, min(b.lo) AS lo, min(b.hi) AS hi,
+        |  CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low,
+        |  CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high,
+        |  CAST(sum(CAST(greatest(b.lo, least(b.hi, e.value))
+        |                AS DECIMAL(28,6))) AS DOUBLE) AS clipped_sum
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "coverage_gaps" ->
       """WITH e AS (
         |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -56,10 +56,73 @@ object Sessionize {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Ordered funnel analysis — how many users progressed view → click →
+    * purchase IN ORDER (each step strictly after the previous one's
+    * first occurrence): the standard product-analytics companion to
+    * sessionization, and a sequence predicate no unordered groupBy can
+    * express.
+    *
+    * Shape: three chained per-user window minimums over the SAME
+    * partitioning — step N's timestamp is the earliest qualifying event
+    * strictly after step N−1's — so the whole funnel rides ONE hash
+    * exchange on user_id (EnsureRequirements inserts no exchange
+    * between the window passes), then collapses to a single row of
+    * step counts via map-side-combined partial aggregates. The
+    * self-join formulation ("events × events on later-ts") this
+    * replaces is a pair blow-up — the same anti-shape
+    * [[Sessionize.sessionize]] documents. Deeper funnels are the same
+    * plan with more chained windows: still one exchange. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("s1",
+        min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("s2",
+        min(when(col("event_type") === "click" && col("ts") > col("s1"),
+                 col("ts"))).over(byUser))
+      .withColumn("s3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("s2"),
+                 col("ts"))).over(byUser))
+      .agg(
+        countDistinct(when(col("s1").isNotNull, col("user_id")))
+          .as("step1_view_users"),
+        countDistinct(when(col("s2").isNotNull, col("user_id")))
+          .as("step2_click_users"),
+        countDistinct(when(col("s3").isNotNull, col("user_id")))
+          .as("step3_purchase_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sessionize" -> sessionize _)
+    "sessionize" -> sessionize _,
+    "funnel_steps" -> funnelSteps _)
 
   val oracles: Map[String, String] = Map(
+    "funnel_steps" ->
+      """WITH w1 AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    min(CASE WHEN event_type = 'view'
+        |             THEN CAST(ts AS TIMESTAMP) END)
+        |      OVER (PARTITION BY user_id) AS s1
+        |  FROM events),
+        |w2 AS (
+        |  SELECT *,
+        |    min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *,
+        |    min(CASE WHEN event_type = 'purchase' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3
+        |  FROM w2)
+        |SELECT
+        |  count(DISTINCT CASE WHEN s1 IS NOT NULL THEN user_id END)
+        |    AS step1_view_users,
+        |  count(DISTINCT CASE WHEN s2 IS NOT NULL THEN user_id END)
+        |    AS step2_click_users,
+        |  count(DISTINCT CASE WHEN s3 IS NOT NULL THEN user_id END)
+        |    AS step3_purchase_users
+        |FROM w3""".stripMargin,
     "sessionize" ->
       """WITH o AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
