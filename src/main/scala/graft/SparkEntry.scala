@@ -34,6 +34,7 @@ object SparkEntry {
     (ops.ZOrder.queries, ops.ZOrder.oracles),
     (ops.TypedAgg.queries, ops.TypedAgg.oracles),
     (ops.Windows.queries, ops.Windows.oracles),
+    (ops.Incremental.queries, ops.Incremental.oracles),
     (ext.Text.queries, ext.Text.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),
     (ext.Dedup.queries, ext.Dedup.oracles),
