@@ -28,8 +28,13 @@ object Bench {
     // min — an erroring query would masquerade as a speedup. Failures go
     // to an `errors` field instead; a query whose every repeat failed
     // reports no timing at all.
+    // Optional trailing query names restrict the run (fast local
+    // iteration on one query); the driver passes none → full suite.
+    val only = args.toSet
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       // One UNTIMED warmup execution per query (0 to repeats; run 0
       // discarded): a query's first execution pays janino compilation of
       // its generated code plus JIT of the fresh classes — seconds for
@@ -81,9 +86,12 @@ object Bench {
     // stdout tails get truncated (BENCH_r06 lost its per-query mins that
     // way) — the file copy is the loss-proof artifact and keeps the
     // per-query max−min spread the stdout line no longer has room for.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-      (json(s""","spread":$spread""") + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] write BENCH_LAST.json: $e") }
+    // A subset run is a scratch measurement — never let it clobber the
+    // full-suite artifact.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+        (json(s""","spread":$spread""") + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] write BENCH_LAST.json: $e") }
     spark.stop()
   }
 }

@@ -93,11 +93,43 @@ object Sessionize {
           .as("step3_purchase_users"))
   }
 
+  /** Cohort retention — the activity-over-time matrix behind every
+    * retention curve: users are grouped by their first-seen day (the
+    * cohort) and counted on each later active day as an offset from
+    * it. Rides the same single user-key exchange as the session ops
+    * (window min for the cohort day), then one O(cohorts × days)
+    * aggregation whose partials map-side-combine — shuffled bytes are
+    * O(distinct (user, day)), not O(events), because the per-user
+    * distinct day grid collapses before the final count. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort_day", min(col("day")).over(byUser))
+      .groupBy(col("cohort_day"),
+               datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize" -> sessionize _,
-    "funnel_steps" -> funnelSteps _)
+    "funnel_steps" -> funnelSteps _,
+    "cohort_retention" -> cohortRetention _)
 
   val oracles: Map[String, String] = Map(
+    "cohort_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM d)
+        |SELECT cohort_day,
+        |  CAST(day - cohort_day AS INTEGER) AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "funnel_steps" ->
       """WITH w1 AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,

@@ -113,6 +113,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(real.getLong(1) >= real.getLong(2))
   }
 
+  test("cohort retention: day-0 anchors each cohort, bounds hold") {
+    val rows = Sessionize.cohortRetention(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    val byCohort = rows.groupBy(_._1)
+    byCohort.values.foreach { rs =>
+      val day0 = rs.find(_._2 == 0)
+      assert(day0.isDefined) // every cohort has its defining day
+      // no later offset can exceed the cohort's founding size
+      rs.foreach { case (_, _, n) => assert(n <= day0.get._3) }
+      assert(rs.forall(_._2 >= 0))
+    }
+    // cohort sizes at day 0 partition the user base exactly
+    val totalUsers = Tables.events(spark, sfDir)
+      .select(countDistinct(col("user_id"))).as[Long].head()
+    assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum === totalUsers)
+  }
+
   test("fuzzy join: blocked result equals brute force; no cartesian") {
     val df = FuzzyJoin.fuzzyNamePairs(spark, sfDir)
     val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
