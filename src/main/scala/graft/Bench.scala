@@ -51,6 +51,13 @@ object Bench {
         // long bench session's storage memory stays flat instead of
         // accumulating never-unpersisted frames across 50+ queries.
         spark.catalog.clearCache()
+        // One untimed full GC per query (before its warmup rep): 100+
+        // queries in one JVM accumulate tenured garbage, and a query
+        // whose timed run inherits another query's heap debt reports
+        // the collector, not itself — measured r10: the dedup family
+        // read 2.5-3x slower IN-SUITE than in a fresh JVM on identical
+        // code, and the isolated number is the honest one.
+        if (rep == 0) System.gc()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
