@@ -34,11 +34,24 @@ import org.apache.spark.sql.types._
   *  - inner join with a conjunctive condition and NO cross-side equality
   *    conjunct (an equi-join never needs this, and the guard also makes
   *    the rule idempotent — the rewritten join has a bucket equality);
-  *  - a lower conjunct `x >= y` (or `y <= x`) on bare timestamp
-  *    attributes of opposite sides and equal types;
-  *  - an upper conjunct `x < y + INTERVAL w` (or `<=`, or mirrored) on
-  *    the SAME attribute pair, with a CONSTANT day-time interval w > 0
-  *    (a months-bearing interval has no fixed width — no bucketing).
+  *  - a lower conjunct `x >= y + lo` and an upper conjunct
+  *    `x <= y + hi` (strict variants and mirrored operand orders too) on
+  *    the SAME timestamp attribute pair of opposite sides, where lo/hi
+  *    are SIGNED constant offsets — a bare `y` is offset 0, so this
+  *    covers the leading form `y <= x < y + w` (lo=0, hi=w), the
+  *    trailing form `y - w <= x <= y` (lo=-w, hi=0) users write for
+  *    "events within w BEFORE each anchor", and centered windows;
+  *  - hi - lo > 0 and both offsets have FIXED width: ANSI day-time
+  *    interval literals, folded calendar intervals with months == 0
+  *    (a months-bearing interval has no fixed width — no bucketing),
+  *    or `timestampadd(unit, n, y)` with a sub-day unit.
+  *
+  * Generalized cover proof: W = hi - lo; x ∈ [y+lo, y+hi] implies
+  * x - (y+lo) ∈ [0, W], so ⌊x/W⌋ ∈ {⌊(y+lo)/W⌋, ⌊(y+lo)/W⌋ + 1} — the
+  * anchor explodes those two buckets, the bounded side keeps its home
+  * bucket, and the original condition stays as the residual filter
+  * (strict bounds are a subset of the closed cover, so they only ever
+  * filter more).
   *
   * Always-on when it matches (disable with
   * `spark.graft.rewriteRangeJoin.enabled=false`): even when one side is
@@ -70,8 +83,8 @@ class RewriteRangeJoin extends Rule[LogicalPlan] {
   private def isTs(t: DataType): Boolean =
     t == TimestampType || t == TimestampNTZType
 
-  /** Constant width in microseconds of `y + INTERVAL w`, when w is a
-    * fixed-length literal. */
+  /** SIGNED constant width in microseconds of an interval literal with
+    * fixed length (day-time, or calendar with months == 0). */
   private def constWidth(lit: Literal): Option[Long] = lit.dataType match {
     case _: DayTimeIntervalType => Some(lit.value.asInstanceOf[Long])
     case CalendarIntervalType =>
@@ -80,13 +93,31 @@ class RewriteRangeJoin extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** `y + <constant interval>` in either of the two analyzed forms
-    * (day-time interval → TimestampAddInterval; calendar interval →
-    * TimeAdd). */
+  /** Fixed µs per `timestampadd` unit. DAY and coarser are excluded:
+    * they add via the session-zone calendar, so their width varies
+    * across DST transitions — no fixed bucket. */
+  private val unitMicros = Map(
+    "MICROSECOND" -> 1L, "MILLISECOND" -> 1000L, "SECOND" -> 1000000L,
+    "MINUTE" -> 60000000L, "HOUR" -> 3600000000L)
+
+  /** `y + <signed constant offset>` in every analyzed form: a bare
+    * attribute (offset 0), `y ± INTERVAL` (TimestampAddInterval — ANSI
+    * intervals directly; calendar intervals once ConstantFolding, which
+    * shares the fixed-point batch, collapses them to a literal), or
+    * `timestampadd(unit, n, y)` with a fixed-width unit. */
   private object TsPlusConst {
-    def unapply(e: Expression): Option[(AttributeReference, Literal)] = e match {
-      case TimestampAddInterval(y: AttributeReference, l: Literal, _) => Some((y, l))
-      case _                                                          => None
+    def unapply(e: Expression): Option[(AttributeReference, Long)] = e match {
+      case y: AttributeReference => Some((y, 0L))
+      case TimestampAddInterval(y: AttributeReference, l: Literal, _) =>
+        constWidth(l).map((y, _))
+      case TimestampAdd(unit, Literal(n, ByteType | ShortType | IntegerType | LongType),
+                        y: AttributeReference, _) =>
+        val q = n.asInstanceOf[Number].longValue()
+        unitMicros.get(unit.toUpperCase(java.util.Locale.ROOT)).flatMap { u =>
+          try Some((y, Math.multiplyExact(q, u)))
+          catch { case _: ArithmeticException => None } // no fixed width that fits
+        }
+      case _ => None
     }
   }
 
@@ -102,40 +133,43 @@ class RewriteRangeJoin extends Rule[LogicalPlan] {
     }
     if (crossEquality) return None
 
-    // normalize: (bounded, anchor) candidates from `x >= y` / `y <= x`
+    // normalize: (bounded x, anchor y, signed offset) candidates.
+    // lowers: `x >= y + lo` (or strict, or mirrored) — a bare `y` is
+    // TsPlusConst offset 0, so the classic `x >= y` lands here too.
     val lowers = conjuncts.collect {
-      case GreaterThanOrEqual(x: AttributeReference, y: AttributeReference) => (x, y)
-      case LessThanOrEqual(y: AttributeReference, x: AttributeReference)    => (x, y)
-    }.filter { case (x, y) =>
+      case GreaterThanOrEqual(x: AttributeReference, TsPlusConst(y, lo)) => (x, y, lo)
+      case GreaterThan(x: AttributeReference, TsPlusConst(y, lo))        => (x, y, lo)
+      case LessThanOrEqual(TsPlusConst(y, lo), x: AttributeReference)    => (x, y, lo)
+      case LessThan(TsPlusConst(y, lo), x: AttributeReference)           => (x, y, lo)
+    }.filter { case (x, y, _) =>
       isTs(x.dataType) && x.dataType == y.dataType &&
         ((j.left.outputSet.contains(x) && j.right.outputSet.contains(y)) ||
          (j.right.outputSet.contains(x) && j.left.outputSet.contains(y)))
     }
-    // normalize: (bounded, anchor, width) from `x < y + w` / `x <= y + w`
-    // and mirrors
+    // uppers: `x <= y + hi` (or strict, or mirrored); side/type checks
+    // ride along from the paired lower via semanticEquals below.
     val uppers = conjuncts.collect {
-      case LessThan(x: AttributeReference, TsPlusConst(y, l))           => (x, y, l)
-      case LessThanOrEqual(x: AttributeReference, TsPlusConst(y, l))    => (x, y, l)
-      case GreaterThan(TsPlusConst(y, l), x: AttributeReference)        => (x, y, l)
-      case GreaterThanOrEqual(TsPlusConst(y, l), x: AttributeReference) => (x, y, l)
+      case LessThan(x: AttributeReference, TsPlusConst(y, hi))           => (x, y, hi)
+      case LessThanOrEqual(x: AttributeReference, TsPlusConst(y, hi))    => (x, y, hi)
+      case GreaterThan(TsPlusConst(y, hi), x: AttributeReference)        => (x, y, hi)
+      case GreaterThanOrEqual(TsPlusConst(y, hi), x: AttributeReference) => (x, y, hi)
     }
 
     val matched = for {
-      (x, y)       <- lowers
-      (x2, y2, l)  <- uppers
-      if x2.semanticEquals(x) && y2.semanticEquals(y)
-      w            <- constWidth(l)
-      if w > 0
-    } yield (x, y, w)
+      (x, y, lo)   <- lowers
+      (x2, y2, hi) <- uppers
+      if x2.semanticEquals(x) && y2.semanticEquals(y) && hi > lo
+    } yield (x, y, lo, hi - lo)
 
-    matched.headOption.map { case (x, y, w) =>
+    matched.headOption.map { case (x, y, lo, w) =>
       val tz = Option(conf.sessionLocalTimeZone)
       // INTEGER floor-division (pmod-floored numerator), never
       // floor(us / w) in doubles: double division drifts near 2^53 µs
       // and the two-bucket cover argument needs bucket math exact for
       // every representable timestamp
-      def bucket(ts: Expression): Expression = {
-        val us = UnixMicros(Cast(ts, TimestampType, tz))
+      def bucket(ts: Expression, shift: Long): Expression = {
+        val t = UnixMicros(Cast(ts, TimestampType, tz))
+        val us = if (shift == 0L) t else Add(t, Literal(shift))
         IntegralDivide(Subtract(us, Pmod(us, Literal(w))), Literal(w))
       }
 
@@ -143,15 +177,17 @@ class RewriteRangeJoin extends Rule[LogicalPlan] {
       val (anchorPlan, boundedPlan) =
         if (anchorIsLeft) (j.left, j.right) else (j.right, j.left)
 
-      // anchor: explode bucket(y) + {0, 1}
+      // anchor: explode bucket(y + lo) + {0, 1} — the interval's lower
+      // edge is the cover's base bucket
       val kAttr = AttributeReference("__graft_bucket_k", LongType, nullable = true)()
+      val base = bucket(y, lo)
       val gen = Generate(
-        Explode(CreateArray(Seq(bucket(y), Add(bucket(y), Literal(1L))))),
+        Explode(CreateArray(Seq(base, Add(base, Literal(1L))))),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(kAttr), child = anchorPlan)
 
       // bounded: home bucket
-      val hAlias = Alias(bucket(x), "__graft_bucket_h")()
+      val hAlias = Alias(bucket(x, 0L), "__graft_bucket_h")()
       val proj = Project(boundedPlan.output :+ hAlias, boundedPlan)
 
       val bucketEq = EqualTo(kAttr, hAlias.toAttribute)

@@ -103,6 +103,66 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("trailing-window form (BETWEEN y - w AND y) fires and matches naive") {
+    // "clicks within 10 minutes BEFORE each error" — lower bound carries
+    // the offset (lo = -w), upper bound is the bare anchor (hi = 0).
+    def trailing(): DataFrame = {
+      val ev = Tables.events(spark, sfDir)
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("err_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      e.join(c,
+        col("click_ts") >= col("err_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("click_ts") <= col("err_ts"))
+    }
+    withConf(Bcast -> "-1") {
+      val plan = trailing().queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+               !plan.contains("CartesianProduct"), s"rule did not fire:\n$plan")
+      assert(plan.contains("Generate explode"), plan)
+    }
+    val on = trailing().orderBy(col("err_id"), col("click_id")).collect()
+    val off = withConf2(Flag -> "false") {
+      trailing().orderBy(col("err_id"), col("click_id")).collect()
+    }
+    assert(on.length === off.length, s"on=${on.length} off=${off.length}")
+    assert(on.sameElements(off))
+    assert(on.nonEmpty)
+  }
+
+  test("timestampadd(MINUTE, n, ts) upper bound fires the rewrite") {
+    withConf(Bcast -> "-1") {
+      val ev = Tables.events(spark, sfDir)
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("err_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val j = e.join(c,
+        col("click_ts") >= col("err_ts") &&
+          col("click_ts") < expr("timestampadd(MINUTE, 10, err_ts)"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+               !plan.contains("CartesianProduct"), s"rule did not fire:\n$plan")
+      assert(plan.contains("Generate explode"), plan)
+      // DAY and coarser units are DST-variable → must NOT fire
+      val day = e.join(c,
+        col("click_ts") >= col("err_ts") &&
+          col("click_ts") < expr("timestampadd(DAY, 1, err_ts)"))
+      assert(!day.queryExecution.optimizedPlan.toString.contains("__graft_bucket"),
+             day.queryExecution.optimizedPlan.toString)
+    }
+  }
+
+  private def withConf2[A](kvs: (String, String)*)(body: => A): A = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("equi-joins and non-constant ranges are left untouched") {
     val ev = Tables.events(spark, sfDir)
     val a = ev.select(col("event_id").as("aid"), col("user_id").as("au"),
