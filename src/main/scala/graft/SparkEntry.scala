@@ -44,7 +44,9 @@ object SparkEntry {
     (ext.Privacy.queries, ext.Privacy.oracles),
     (ext.Decontam.queries, ext.Decontam.oracles),
     (ext.Relevance.queries, ext.Relevance.oracles),
-    (ext.FuzzyJoin.queries, ext.FuzzyJoin.oracles)
+    (ext.FuzzyJoin.queries, ext.FuzzyJoin.oracles),
+    (ext.Curation.queries, ext.Curation.oracles),
+    (ext.Graph.queries, ext.Graph.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

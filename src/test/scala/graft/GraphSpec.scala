@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Graph
+
+/** [[graft.ext.Graph.pageRank]] contract: ranks match a hand-iterated
+  * dense witness (same formulation: teleport + damped in-mass + uniform
+  * dangling redistribution), total mass is conserved, and edge hygiene
+  * (self-loops, duplicates) doesn't change the result. */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Dense reference power iteration over adjacency maps. */
+  private def witness(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                      iters: Int, d: Double = 0.85): Map[Long, Double] = {
+    val e = edges.filter { case (a, b) => a != b }.distinct
+    val out = e.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val in = e.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      r = nodes.map { v =>
+        val mass = in.getOrElse(v, Nil).map(u => r(u) / out(u)).sum
+        v -> ((1.0 - d) / n + d * (mass + dangling / n))
+      }.toMap
+    }
+    r
+  }
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                  iters: Int): Map[Long, Double] =
+    Graph.pageRank(nodes.toDF("id"), edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private def assertClose(a: Map[Long, Double], b: Map[Long, Double]): Unit = {
+    assert(a.keySet == b.keySet)
+    for (k <- a.keySet)
+      assert(math.abs(a(k) - b(k)) < 1e-9, s"node $k: ${a(k)} vs ${b(k)}")
+  }
+
+  test("ranks equal the dense witness on a graph with a sink and a hub") {
+    // 1,2,3 -> 4 (hub); 4 -> 5; 5 is a sink (dangling); 6 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val edges = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val got = run(nodes, edges, iters = 10)
+    assertClose(got, witness(nodes, edges, iters = 10))
+    // hub's feeder mass lands one hop later on the sink
+    assert(got(5L) > got(4L) && got(4L) > got(1L))
+  }
+
+  test("total rank mass is conserved at exactly 1 (within fp)") {
+    val nodes = (1L to 20L)
+    val edges = nodes.flatMap(i => Seq((i, i % 20 + 1), (i, (i * 7) % 20 + 1)))
+    val got = run(nodes, edges.distinct, iters = 5)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("self-loops and duplicate edges are ignored") {
+    val nodes = Seq(1L, 2L, 3L)
+    val clean = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val dirty = clean ++ Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 2L))
+    assertClose(run(nodes, dirty, iters = 6), run(nodes, clean, iters = 6))
+    // a 3-cycle is symmetric: all ranks equal 1/3
+    val got = run(nodes, clean, iters = 6)
+    for (v <- got.values) assert(math.abs(v - 1.0 / 3) < 1e-9)
+  }
+}
