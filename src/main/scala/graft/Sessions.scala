@@ -29,6 +29,21 @@ object Sessions {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The iterative operators (Graph.pageRank, Cluster.connectedComponents)
+    // free each superseded round's localCheckpoint blocks on purpose;
+    // Spark WARNs "cannot be recomputed after unpersisting" on every such
+    // unpersist, which would bury the bench's per-query attribution lines
+    // in the driver's log tail. Deliberate → not warn-worthy here.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    // Global-window scalars (PageRank's dangling mass, rank_pos) run on
+    // deliberately single-partition frames in the small-graph regime;
+    // WindowExec's per-execution "No Partition Defined" WARN would spam
+    // the bench log tail for a plan shape that is the intended one.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 }

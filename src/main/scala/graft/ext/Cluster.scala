@@ -1,8 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 
@@ -52,42 +51,80 @@ object Cluster {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxRounds: Int = 25): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+    // local-CHECKPOINTED, not merely persisted: a persisted frame still
+    // carries its full logical plan (here the LSH pipeline behind the
+    // pair list) and every round's plan embeds it, so Catalyst would
+    // re-analyze the whole upstream tree per round — measured in
+    // Graph.pageRank as the dominant per-round cost. A checkpoint leaf
+    // plans in microseconds.
+    val symAll = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    // Driver-side SCALARS (counts, never data rows) size the loop to the
+    // graph — the same iterative-loop hygiene as [[Graph.pageRank]]: a
+    // 500-node gate graph must not pay the session's shuffle width per
+    // round, and post-checkpoint frames have unknown stats (default:
+    // sort-merge) so the tiny-side joins pick the broadcast regime
+    // explicitly. ~1M graph rows per task at scale.
+    val nV = nodes.select(col("id")).distinct().count()
+    val nE = symAll.count()
+    val sessParts = nodes.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.min(sessParts.toLong, (nV max nE) / 1000000L + 1).toInt
+    // narrow merge of the cached blocks — no shuffle
+    val sym = if (parts < sessParts) symAll.coalesce(parts) else symAll
+    // Same two execution regimes as [[Graph.pageRank]]: on a small graph
+    // every iteration frame runs on ONE partition (SinglePartition
+    // satisfies every distribution requirement → zero exchanges) and
+    // `hint("merge")` keeps the planner from scheduling a
+    // BroadcastExchange sub-job per round; on a large graph the O(V)
+    // label frame broadcasts below the bound and shuffles above it.
+    val single = parts == 1
+    val small = nV <= 4000000L
+    def b(df: DataFrame): DataFrame =
+      if (single) df.hint("merge") else if (small) broadcast(df) else df
+    def one(df: DataFrame): DataFrame = if (single) df.coalesce(1) else df
+    // min-label propagation through graph neighbors AND the label
+    // pointer edges (id <-> current label, both directions) — the path-
+    // doubling step that makes convergence logarithmic
+    def step(labels: DataFrame): DataFrame = {
+      val ptr = labels.filter(col("id") =!= col("label"))
+      // a union concatenates partitions, so re-merge to one in the
+      // single regime or the next join/agg re-introduces an exchange
+      val hops = one(sym
+        .unionByName(ptr.select(col("id").as("src"), col("label").as("dst")))
+        .unionByName(ptr.select(col("label").as("src"), col("id").as("dst"))))
+      val viaNbr = hops
+        .join(b(labels.select(col("id").as("nid"), col("label"))),
+              col("dst") === col("nid"))
+        .select(col("src").as("id"), col("label"))
+      one(labels.unionByName(viaNbr))
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+    }
+    var labels = one(nodes.select(col("id"), col("id").as("label")))
       .localCheckpoint()
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
-      // pointer edges: id <-> current label, both directions — the path-
-      // doubling step that makes convergence logarithmic
-      val ptr = labels.filter(col("id") =!= col("label"))
-      val hops = sym
-        .unionByName(ptr.select(col("id").as("src"), col("label").as("dst")))
-        .unionByName(ptr.select(col("label").as("src"), col("id").as("dst")))
-      val viaNbr = hops
-        .join(labels.select(col("id").as("nid"), col("label")),
-              col("dst") === col("nid"))
-        .select(col("src").as("id"), col("label"))
-      val next = labels.unionByName(viaNbr)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val next = step(labels).localCheckpoint()
       // labels only ever decrease, so "any strictly smaller" is the
       // complete convergence test; one small count per round is the only
       // driver-side traffic
       changed = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .join(b(labels.select(col("id"), col("label").as("old"))), "id")
         .filter(col("label") < col("old")).count()
+      // `changed` above was the last reader of the superseded round —
+      // free its checkpoint blocks (Dataset.unpersist never covers
+      // checkpoint RDDs; r10 accumulated them across the whole bench)
+      Graph.freeCheckpoint(labels)
       labels = next
       round += 1
     }
-    sym.unpersist()
     // labels-only-decrease makes changed==0 a complete convergence
     // proof; returning unconverged labels would silently hand dedup a
     // wrong cluster assignment, so fail loudly instead
+    Graph.freeCheckpoint(symAll)
     require(changed == 0,
             s"connectedComponents did not converge in $maxRounds rounds " +
               s"($changed labels still moving) — raise maxRounds")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 
@@ -106,8 +107,14 @@ object Curation {
       .select(col("p.w1"), col("p.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= minPair)
+    // The vocabulary is probed TWICE (n1, n2) — persist it or Spark
+    // re-reads and re-tokenizes the whole corpus per probe (the shared-
+    // subplan recompute Dedup.dedupMinhashLsh documents as its single
+    // most expensive regression). O(vocabulary) memory, sub-linear in
+    // corpus size; the bench/gate clearCache() releases it per query.
     val uni = docs.select(explode(t).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n1"))), "w1")
       .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n2"))), "w2")
@@ -141,21 +148,23 @@ object Curation {
         |  FROM k)
         |SELECT event_id, ts, user_id, event_type, n_dupes
         |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // DuckDB rejects unnest() in a SELECT that also aggregates ("UNNEST
+    // not supported here"), so every unnest lives in its own subquery
+    // and the GROUP BY runs one level up (r10 gate failure; the rewrite
+    // was verified to return exactly Spark's 718 rows at sf0.01).
     "term_pmi" ->
       """WITH t AS (
         |  SELECT string_split(text, ' ') AS toks FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2),
         |bg AS (
-        |  SELECT
-        |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
-        |    unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
-        |  FROM t),
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
         |pc AS (
         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
         |  FROM bg GROUP BY w1, w2 HAVING count(*) >= 25),
         |uni AS (
-        |  SELECT unnest(toks) AS w, CAST(count(*) AS BIGINT) AS n
-        |  FROM t GROUP BY 1)
+        |  SELECT w, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1)
         |SELECT pc.w1, pc.w2, pc.pair_n, a.n AS n1, b.n AS n2
         |FROM pc JOIN uni a ON a.w = pc.w1 JOIN uni b ON b.w = pc.w2
         |ORDER BY pair_n DESC, w1, w2""".stripMargin)

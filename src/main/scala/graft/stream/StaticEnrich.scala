@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * ([[graft.ops.Bucketing]]).
   *
   * Left join keeps events with no dim row (the unenriched-but-kept
-  * contract a lossy feed needs); StaticEnrichSpec pins both the
+  * contract a lossy feed needs); IncrementalSpec pins both the
   * enrichment values and the no-state-store property.
   */
 object StaticEnrich {

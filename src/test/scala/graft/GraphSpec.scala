@@ -58,6 +58,18 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("edges with endpoints outside nodes are ignored (mass conserved)") {
+    // a foreign src would dilute node 1's out-degree, a foreign dst would
+    // swallow in-mass, and a fully-foreign edge is irrelevant — the
+    // closure semi-joins must make all three invisible
+    val nodes = Seq(1L, 2L, 3L)
+    val clean = Seq((1L, 2L), (2L, 3L))
+    val dirty = clean ++ Seq((1L, 99L), (99L, 2L), (98L, 97L))
+    val got = run(nodes, dirty, iters = 6)
+    assertClose(got, witness(nodes, clean, iters = 6))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
   test("self-loops and duplicate edges are ignored") {
     val nodes = Seq(1L, 2L, 3L)
     val clean = Seq((1L, 2L), (2L, 3L), (3L, 1L))
