@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -102,32 +103,43 @@ object Cluster {
       one(labels.unionByName(viaNbr))
         .groupBy(col("id")).agg(min(col("label")).as("label"))
     }
+    // Convergence rides the checkpoint job itself via Dataset.observe:
+    // labels only ever DECREASE (each round's label is a min over a set
+    // containing the current label), so the exact label-sum is monotone
+    // non-increasing and two equal consecutive sums prove no label moved
+    // — the complete convergence test, with ZERO extra jobs (the old
+    // join+count per round doubled the loop's job bill). The sum
+    // aggregates as DECIMAL(38,0): exact where a double would swallow a
+    // one-unit decrease past 2^53, and 38 digits cannot overflow on any
+    // real graph (1e9 nodes × the full long id range ≈ 1e28).
+    def lsum = sum(col("label").cast(DecimalType(38, 0))).as("lsum")
+    val obs0 = Observation()
     var labels = one(nodes.select(col("id"), col("id").as("label")))
+      .observe(obs0, lsum)
       .localCheckpoint()
+    var prevSum: Any = obs0.get("lsum")
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
-      val next = step(labels).localCheckpoint()
-      // labels only ever decrease, so "any strictly smaller" is the
-      // complete convergence test; one small count per round is the only
-      // driver-side traffic
-      changed = next
-        .join(b(labels.select(col("id"), col("label").as("old"))), "id")
-        .filter(col("label") < col("old")).count()
-      // `changed` above was the last reader of the superseded round —
-      // free its checkpoint blocks (Dataset.unpersist never covers
-      // checkpoint RDDs; r10 accumulated them across the whole bench)
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val obs = Observation()
+      val next = step(labels).observe(obs, lsum).localCheckpoint()
+      val curSum: Any = obs.get("lsum")
+      converged = curSum == prevSum
+      prevSum = curSum
+      // the superseded round has no readers left — free its checkpoint
+      // blocks (Dataset.unpersist never covers checkpoint RDDs; r10
+      // accumulated them across the whole bench)
       Graph.freeCheckpoint(labels)
       labels = next
       round += 1
     }
-    // labels-only-decrease makes changed==0 a complete convergence
-    // proof; returning unconverged labels would silently hand dedup a
-    // wrong cluster assignment, so fail loudly instead
+    // labels-only-decrease makes the equal-sum round a complete
+    // convergence proof; returning unconverged labels would silently
+    // hand dedup a wrong cluster assignment, so fail loudly instead
     Graph.freeCheckpoint(symAll)
-    require(changed == 0,
+    require(converged,
             s"connectedComponents did not converge in $maxRounds rounds " +
-              s"($changed labels still moving) — raise maxRounds")
+              "— raise maxRounds")
     labels
   }
 

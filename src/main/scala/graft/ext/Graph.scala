@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -100,18 +100,25 @@ object Graph {
     // embeds every input's plan — so Catalyst re-analyzes and
     // re-optimizes the complete upstream tree 10× over. Measured r11:
     // that planning debt, not execution, was most of the ~0.5 s/round.
-    // A checkpoint leaf plans in microseconds.
+    // A checkpoint leaf plans in microseconds. The node/edge counts the
+    // loop needs ride the SAME checkpoint jobs via Dataset.observe —
+    // no separate count jobs.
+    val obsV = Observation()
     val v = tdbg("v ckpt")(
-      nodes.select(col("id")).distinct().localCheckpoint())
+      nodes.select(col("id")).distinct()
+        .observe(obsV, count(lit(1)).as("n"))
+        .localCheckpoint())
+    val obsE = Observation()
     val e = tdbg("e ckpt")(edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .join(v.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(v.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .observe(obsE, count(lit(1)).as("n"))
       .localCheckpoint())
-    val n = tdbg("v.count")(v.count())
+    val n = obsV.get("n").asInstanceOf[Long]
     require(n > 0, "pageRank needs at least one node")
-    val nEdges = tdbg("e.count")(e.count())
+    val nEdges = obsE.get("n").asInstanceOf[Long]
     val sessParts = nodes.sparkSession.sessionState.conf.numShufflePartitions
     // ~1M graph rows per task; a 20-node gate graph iterates on ONE
     // partition instead of paying the session's shuffle width × rounds,
