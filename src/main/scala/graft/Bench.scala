@@ -64,7 +64,7 @@ object Bench {
       // steady-state variance signal (GC/scheduling) instead of a
       // compile-time echo. Cold-cache semantics are untouched — caches
       // are still cleared before every run, warmup included.
-      val times = (0 to repeats).flatMap { rep =>
+      def runOnce(timedRep: Boolean): Option[Double] = {
         // Caches are INTERNAL to a query (the dedup family persists its
         // shingle/band frames): release them before every run so
         // (a) each repeat measures the same cold-cache work, and (b) a
@@ -77,21 +77,36 @@ object Bench {
         // the collector, not itself — measured r10: the dedup family
         // read 2.5-3x slower IN-SUITE than in a fresh JVM on identical
         // code, and the isolated number is the honest one.
-        if (rep == 0) System.gc()
+        if (!timedRep) System.gc()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          if (rep == 0) None else Some((System.nanoTime() - t0) / 1e9)
+          if (timedRep) Some((System.nanoTime() - t0) / 1e9) else None
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name: $e")
           // a warmup-only (rep 0) failure with clean timed repeats is a
           // flake, not an untrustworthy timing — only timed-rep failures
           // land in the errors field
-          if (rep > 0)
+          if (timedRep)
             failed(name) = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
           None
         }
       }
+      val firstPass = (0 to repeats).flatMap(rep => runOnce(rep > 0))
+      // Host-stall rescue: this box runs on shared hardware whose
+      // neighbors steal CPU in bursts of tens of seconds, long enough to
+      // poison EVERY rep of whichever query is running (measured: a
+      // 0.8 s query min-of-3'd at 16.9 s — the min can't filter a stall
+      // that outlasts the whole rep loop). When the spread says the reps
+      // disagree wildly, take two more timed reps: if the stall has
+      // passed, the min recovers the steady-state number; if not,
+      // nothing is lost. Bounded, still cold-cache, still a min
+      // estimator — never rewrites a stable measurement.
+      val noisy = firstPass.nonEmpty &&
+        firstPass.max - firstPass.min > math.max(1.0, 2.0 * firstPass.min)
+      val times =
+        if (noisy) firstPass ++ (1 to 2).flatMap(_ => runOnce(timedRep = true))
+        else firstPass
       // One stderr line per query: when a run dies on the driver's
       // timeout, the log TAIL must name the query it died inside —
       // r10's rc=124 took judge archaeology to attribute.
