@@ -114,23 +114,29 @@ object Cluster {
     // real graph (1e9 nodes × the full long id range ≈ 1e28).
     def lsum = sum(col("label").cast(DecimalType(38, 0))).as("lsum")
     val obs0 = Observation()
-    var labels = one(nodes.select(col("id"), col("id").as("label")))
+    // a checkpoint leaf does not advertise SinglePartition, so the next
+    // round would re-insert exchanges (each an AQE job of its own) —
+    // `one()` re-asserts it at every use; the RAW checkpoint is kept
+    // aside because freeing blocks needs the LogicalRDD leaf itself
+    var labelsCk = one(nodes.select(col("id"), col("id").as("label")))
       .observe(obs0, lsum)
       .localCheckpoint()
+    var labels = one(labelsCk)
     var prevSum: Any = obs0.get("lsum")
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val obs = Observation()
-      val next = step(labels).observe(obs, lsum).localCheckpoint()
+      val nextCk = step(labels).observe(obs, lsum).localCheckpoint()
       val curSum: Any = obs.get("lsum")
       converged = curSum == prevSum
       prevSum = curSum
       // the superseded round has no readers left — free its checkpoint
       // blocks (Dataset.unpersist never covers checkpoint RDDs; r10
       // accumulated them across the whole bench)
-      Graph.freeCheckpoint(labels)
-      labels = next
+      Graph.freeCheckpoint(labelsCk)
+      labelsCk = nextCk
+      labels = one(nextCk)
       round += 1
     }
     // labels-only-decrease makes the equal-sum round a complete

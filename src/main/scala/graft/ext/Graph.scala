@@ -144,15 +144,24 @@ object Graph {
     // crossed in as a 1-row broadcast (a global window would funnel V
     // rows through one task — fine at gate scale, wrong at 100 TB).
     val single = parts == 1
+    // A checkpoint LEAF does not advertise SinglePartition (the AQE-
+    // executed plan checkpoints with unknown partitioning), so joins
+    // and aggregations over it would re-insert exchanges — and under
+    // AQE every exchange materializes as its own Spark job, exactly the
+    // per-round amplification this regime exists to kill (GraphSpec
+    // pins the job count). `one()` re-asserts the single partition with
+    // a narrow, shuffle-free coalesce at every use site.
+    def one(df: DataFrame): DataFrame = if (single) df.coalesce(1) else df
     val eIter = if (parts < sessParts) e.coalesce(parts) else e
     val small = n <= MaxBroadcastRows
     def b(df: DataFrame): DataFrame =
       if (single) df.hint("merge") else if (small) broadcast(df) else df
-    val vIter = if (single) v.coalesce(1) else v
-    val outDeg = tdbg("outDeg ckpt")(
+    val vIter = one(v)
+    val outDegCk = tdbg("outDeg ckpt")(
       eIter.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .withColumnRenamed("src", "id")
         .localCheckpoint())
+    val outDeg = one(outDegCk)
     // Every round materializes via localCheckpoint — lazily CHAINING
     // rounds between checkpoints was measured SLOWER: the rank frame is
     // referenced twice per round, so a k-round chain embeds ~2^k copies
@@ -167,41 +176,57 @@ object Graph {
     for (it <- 1 to iters) {
       // ONE pass over the rank frame yields both the per-edge shares and
       // the dangling total (rank stuck on sinks, redistributed uniformly
-      // — else total decays); r10 spent a separate anti-join job on it
-      val rd = ranks.join(b(outDeg), Seq("id"), "left")
+      // — else total decays); r10 spent a separate anti-join job on it.
+      // Every intermediate that feeds a join/agg is one()-normalized:
+      // join outputs advertise a PartitioningCollection that
+      // EnsureRequirements refuses to treat as co-partitioned, so
+      // without the narrow coalesce the next join hash-exchanges BOTH
+      // sides — 5 exchanges (= 5 AQE jobs) per round, probe-measured;
+      // with it, zero.
+      val rd = one(ranks.join(b(outDeg), Seq("id"), "left"))
       val shares = rd.filter(col("deg").isNotNull)
         .select(col("id").as("from"), (col("rank") / col("deg")).as("share"))
-      val inMass = eIter.join(b(shares), col("src") === col("from"))
-        .groupBy(col("dst")).agg(sum(col("share")).as("in_mass"))
-        .withColumnRenamed("dst", "id")
-      def newRank(dangling: Column): Column =
-        (lit((1.0 - damping) / n)
-          + lit(damping) * (coalesce(col("in_mass"), lit(0.0))
-                             + dangling / n)).as("rank")
       val nx = (if (single) {
-        // rd already carries (id, rank, deg) for every node — reuse it as
-        // the update spine and take the dangling total over the global
-        // window (exchange-free on the single partition)
-        rd.join(b(inMass), Seq("id"), "left")
-          .select(col("id"), newRank(
-            coalesce(sum(when(col("deg").isNull, col("rank"))).over(wAll),
-                     lit(0.0))))
+        // No join at all: rd already carries (id, rank, deg) for every
+        // node, so emit each node's base mass (teleport + its slice of
+        // the dangling total, taken over the global window) and each
+        // edge's damped contribution as ROWS, then fold with one
+        // union + groupBy-sum. Joining inMass back onto the spine
+        // instead is semantically identical but EnsureRequirements
+        // refuses to co-partition the two single-partition join inputs
+        // under the window and hash-exchanges both sides — 8 AQE stage
+        // jobs per round, probe-measured; this shape plans exchange-free.
+        val base = rd.select(col("id"),
+          (lit((1.0 - damping) / n)
+            + lit(damping) / n
+              * coalesce(sum(when(col("deg").isNull, col("rank"))).over(wAll),
+                         lit(0.0))).as("mass"))
+        val contrib = eIter.join(b(one(shares)), col("src") === col("from"))
+          .select(col("dst").as("id"), (lit(damping) * col("share")).as("mass"))
+        one(base.unionByName(contrib))
+          .groupBy(col("id")).agg(sum(col("mass")).as("rank"))
       } else {
+        val inMass = eIter.join(b(shares), col("src") === col("from"))
+          .groupBy(col("dst")).agg(sum(col("share")).as("in_mass"))
+          .withColumnRenamed("dst", "id")
         val dangling = rd.agg(
           coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0.0))
             .as("dangling"))
         v.join(b(inMass), Seq("id"), "left")
           .crossJoin(broadcast(dangling)) // 1 row — always broadcast
-          .select(col("id"), newRank(col("dangling")))
+          .select(col("id"),
+            (lit((1.0 - damping) / n)
+              + lit(damping) * (coalesce(col("in_mass"), lit(0.0))
+                                 + col("dangling") / n)).as("rank"))
       })
       ranks = {
         val ck = tdbg(s"round $it")(nx.localCheckpoint())
         lastCkpt.foreach(freeCheckpoint)
         lastCkpt = Some(ck)
-        ck
+        one(ck)
       }
     }
-    freeCheckpoint(e); freeCheckpoint(v); freeCheckpoint(outDeg)
+    freeCheckpoint(e); freeCheckpoint(v); freeCheckpoint(outDegCk)
     ranks
   }
 

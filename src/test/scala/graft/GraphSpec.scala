@@ -70,6 +70,44 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("small-graph regime runs ~one job per round, not r10's amplification") {
+    // r10 shipped 12 s isolated from ~5 jobs × 10 rounds × bench reps;
+    // the single-partition regime must hold the line at one
+    // checkpoint job per round plus a handful of setup jobs. The
+    // listener bus is async, so wait briefly and assert an UPPER bound
+    // (late events can only undercount, which never flakes the test).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        // suites share the session and may run in parallel — count only
+        // jobs tagged with this test's job group
+        if (j.properties != null &&
+            "graphspec-job-pin" == j.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup("graphspec-job-pin", "job-count pin")
+    try {
+      val nodes = (1L to 30L)
+      val edges = nodes.flatMap(i => Seq((i, i % 30 + 1), (i, (i * 7) % 30 + 1)))
+      run(nodes, edges.distinct, iters = 10)
+      Thread.sleep(500)
+      val n = jobs.get()
+      // The floor is ~3 jobs per localCheckpoint (eager action +
+      // checkpoint materialization) × 13 checkpoints, plus AQE stage
+      // jobs for the setup's distinct/semi-join exchanges and the
+      // collect ≈ 50. Before the exchange-free round shape this was 92
+      // (4 extra hash-exchange stage jobs per round), and r10's
+      // per-round crossJoin/anti-join shape was worse still.
+      assert(n <= 60, s"pageRank(iters=10) scheduled $n jobs — " +
+        "the iterative loop is amplifying jobs again (r10 regression)")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+  }
+
   test("self-loops and duplicate edges are ignored") {
     val nodes = Seq(1L, 2L, 3L)
     val clean = Seq((1L, 2L), (2L, 3L), (3L, 1L))
