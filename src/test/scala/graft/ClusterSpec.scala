@@ -91,4 +91,35 @@ class ClusterSpec extends AnyFunSuite {
     val keepers = rows.count(r => r.getLong(0) == r.getLong(1))
     assert(keepers == bySize.size)          // exactly one keeper/cluster
   }
+
+  test("CC loop stays near the per-checkpoint job floor (no amplification)") {
+    // mirror of GraphSpec's pageRank pin: ~3 jobs per localCheckpoint
+    // (eager action + checkpoint materialization) × (rounds + init + sym)
+    // + setup stage jobs + the collect. 64-chain = ~7 pointer-jumping
+    // rounds → measured 29 jobs; a return of per-round count-jobs or
+    // hash-exchange stage jobs would roughly double that.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+            "clusterspec-job-pin" == j.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup("clusterspec-job-pin", "job-count pin")
+    try {
+      val nodes = (1L to 64L)
+      val edges = (1L until 64L).map(i => (i, i + 1))
+      Cluster.connectedComponents(nodes.toDF("id"), edges.toDF("src", "dst"))
+        .collect()
+      Thread.sleep(500)
+      val n = jobs.get()
+      assert(n <= 45, s"connectedComponents scheduled $n jobs on a 64-chain" +
+        " — the iterative loop is amplifying jobs again")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+  }
 }

@@ -108,6 +108,19 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("syndication gate projection: dense positions, ppm mass conserved") {
+    // the gate emits integers only (r10's float ranks could only ride a
+    // rows-only check): positions must be dense 1..n under the pinned
+    // order and the ppm-quantized ranks must sum to ~1e6 (rounding slack
+    // of half a ppm per row)
+    val out = Graph.syndicationPagerank(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(1)).toSeq == (1L to out.length).toSeq)
+    val ppm = out.map(_.getLong(2)).sum
+    assert(math.abs(ppm - 1000000L) <= out.length,
+           s"rank_ppm sums to $ppm, expected ~1e6")
+  }
+
   test("self-loops and duplicate edges are ignored") {
     val nodes = Seq(1L, 2L, 3L)
     val clean = Seq((1L, 2L), (2L, 3L), (3L, 1L))
