@@ -20,6 +20,10 @@ object Bench {
     // re-paid. Restarts happen BETWEEN queries, so they cost untimed
     // wall-clock only, never a query's min. 0 disables.
     val restartEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RESTART", "30").toInt
+    // bench-scoped (JVM-global, survives the session restarts below):
+    // expected checkpoint-unpersist / tiny-window WARNs would bury the
+    // per-query attribution lines this harness prints for the driver
+    Sessions.quietBenchLogs()
     var spark = Sessions.local(cpus)
     // Warm the JVM/codegen/parquet-footer/page-cache paths for EVERY
     // input table once, so the first timed query touching a table

@@ -57,96 +57,119 @@ object Cluster {
     // pair list) and every round's plan embeds it, so Catalyst would
     // re-analyze the whole upstream tree per round — measured in
     // Graph.pageRank as the dominant per-round cost. A checkpoint leaf
-    // plans in microseconds.
+    // plans in microseconds. The node/edge counts the loop needs ride
+    // the SAME checkpoint jobs via Dataset.observe (driver-side SCALARS,
+    // never data rows — they size the loop: a 500-node gate graph must
+    // not pay the session's shuffle width per round, and post-checkpoint
+    // frames have unknown stats (default: sort-merge) so the tiny-side
+    // joins pick the broadcast regime explicitly; ~1M graph rows per
+    // task at scale).
+    val obsV = Observation()
+    val v = nodes.select(col("id")).distinct()
+      .observe(obsV, count(lit(1)).as("n"))
+      .localCheckpoint()
+    // Edges are restricted to `nodes × nodes` (two semi-joins), exactly
+    // like [[Graph.pageRank]]'s closure joins: the sum-equality
+    // convergence proof below is only sound when every label the loop
+    // ever emits belongs to a row of the label frame — a foreign
+    // endpoint would otherwise GROW the frame in round 1 (the groupBy
+    // union emits a label row for the foreign id), handing dedup a
+    // cluster assignment containing ids the caller never supplied. On
+    // closed-by-construction inputs ([[dedupClusters]]) the semi-joins
+    // are no-op probes of the already-checkpointed node frame.
+    val obsE = Observation()
     val symAll = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .join(v.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(v.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .observe(obsE, count(lit(1)).as("n"))
       .localCheckpoint()
-    // Driver-side SCALARS (counts, never data rows) size the loop to the
-    // graph — the same iterative-loop hygiene as [[Graph.pageRank]]: a
-    // 500-node gate graph must not pay the session's shuffle width per
-    // round, and post-checkpoint frames have unknown stats (default:
-    // sort-merge) so the tiny-side joins pick the broadcast regime
-    // explicitly. ~1M graph rows per task at scale.
-    val nV = nodes.select(col("id")).distinct().count()
-    val nE = symAll.count()
+    val nV = obsV.get("n").asInstanceOf[Long]
+    val nE = obsE.get("n").asInstanceOf[Long]
     val sessParts = nodes.sparkSession.sessionState.conf.numShufflePartitions
     val parts = math.min(sessParts.toLong, (nV max nE) / 1000000L + 1).toInt
-    // narrow merge of the cached blocks — no shuffle
-    val sym = if (parts < sessParts) symAll.coalesce(parts) else symAll
-    // Same two execution regimes as [[Graph.pageRank]]: on a small graph
-    // every iteration frame runs on ONE partition (SinglePartition
-    // satisfies every distribution requirement → zero exchanges) and
-    // `hint("merge")` keeps the planner from scheduling a
-    // BroadcastExchange sub-job per round; on a large graph the O(V)
-    // label frame broadcasts below the bound and shuffles above it.
-    val single = parts == 1
-    val small = nV <= 4000000L
-    def b(df: DataFrame): DataFrame =
-      if (single) df.hint("merge") else if (small) broadcast(df) else df
-    def one(df: DataFrame): DataFrame = if (single) df.coalesce(1) else df
-    // min-label propagation through graph neighbors AND the label
-    // pointer edges (id <-> current label, both directions) — the path-
-    // doubling step that makes convergence logarithmic
-    def step(labels: DataFrame): DataFrame = {
-      val ptr = labels.filter(col("id") =!= col("label"))
-      // a union concatenates partitions, so re-merge to one in the
-      // single regime or the next join/agg re-introduces an exchange
-      val hops = one(sym
-        .unionByName(ptr.select(col("id").as("src"), col("label").as("dst")))
-        .unionByName(ptr.select(col("label").as("src"), col("id").as("dst"))))
-      val viaNbr = hops
-        .join(b(labels.select(col("id").as("nid"), col("label"))),
-              col("dst") === col("nid"))
-        .select(col("src").as("id"), col("label"))
-      one(labels.unionByName(viaNbr))
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+    // Two execution regimes, same split as [[Graph.pageRank]]:
+    //
+    // LOCAL (parts == 1): the graph fits one partition, so one task runs
+    // path-compressed union-find in memory ([[Iterate.ccLocal]]) — exact
+    // closure, zero rounds, ~3 jobs total. The r11 regime here
+    // (exchange-free single-partition DataFrame rounds) still paid one
+    // checkpoint job per pointer-jumping round; specs force the
+    // distributed loop via [[Iterate.LocalSolveConf]] to keep it covered.
+    //
+    // DISTRIBUTED: pointer-jumping min-label rounds; the O(V) label
+    // frame broadcasts below the bound and shuffles above it.
+    if (parts == 1 && Iterate.localSolveEnabled(nodes.sparkSession)) {
+      // checkpoint the O(V) result so v/sym blocks can be freed now —
+      // the returned frame must not re-read them after unpersist
+      val out = Iterate.ccLocal(v, symAll).localCheckpoint()
+      Graph.freeCheckpoint(symAll); Graph.freeCheckpoint(v)
+      out
+    } else {
+      // narrow merge of the cached blocks — no shuffle
+      val sym = if (parts < sessParts) symAll.coalesce(parts) else symAll
+      val small = nV <= 4000000L
+      def b(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+      // min-label propagation through graph neighbors AND the label
+      // pointer edges (id <-> current label, both directions) — the path-
+      // doubling step that makes convergence logarithmic
+      def step(labels: DataFrame): DataFrame = {
+        val ptr = labels.filter(col("id") =!= col("label"))
+        val hops = sym
+          .unionByName(ptr.select(col("id").as("src"), col("label").as("dst")))
+          .unionByName(ptr.select(col("label").as("src"), col("id").as("dst")))
+        val viaNbr = hops
+          .join(b(labels.select(col("id").as("nid"), col("label"))),
+                col("dst") === col("nid"))
+          .select(col("src").as("id"), col("label"))
+        labels.unionByName(viaNbr)
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+      }
+      // Convergence rides the checkpoint job itself via Dataset.observe:
+      // labels only ever DECREASE (each round's label is a min over a set
+      // containing the current label), so the exact label-sum is monotone
+      // non-increasing and two equal consecutive sums prove no label moved
+      // — the complete convergence test, with ZERO extra jobs (the old
+      // join+count per round doubled the loop's job bill). The sum
+      // aggregates as DECIMAL(38,0): exact where a double would swallow a
+      // one-unit decrease past 2^53, and 38 digits cannot overflow on any
+      // real graph (1e9 nodes × the full long id range ≈ 1e28).
+      def lsum = sum(col("label").cast(DecimalType(38, 0))).as("lsum")
+      val obs0 = Observation()
+      // the RAW checkpoint is kept aside because freeing blocks needs the
+      // LogicalRDD leaf itself
+      var labelsCk = v.select(col("id"), col("id").as("label"))
+        .observe(obs0, lsum)
+        .localCheckpoint()
+      var labels = labelsCk
+      var prevSum: Any = obs0.get("lsum")
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        val obs = Observation()
+        val nextCk = step(labels).observe(obs, lsum).localCheckpoint()
+        val curSum: Any = obs.get("lsum")
+        converged = curSum == prevSum
+        prevSum = curSum
+        // the superseded round has no readers left — free its checkpoint
+        // blocks (Dataset.unpersist never covers checkpoint RDDs; r10
+        // accumulated them across the whole bench)
+        Graph.freeCheckpoint(labelsCk)
+        labelsCk = nextCk
+        labels = nextCk
+        round += 1
+      }
+      // labels-only-decrease makes the equal-sum round a complete
+      // convergence proof; returning unconverged labels would silently
+      // hand dedup a wrong cluster assignment, so fail loudly instead
+      Graph.freeCheckpoint(symAll); Graph.freeCheckpoint(v)
+      require(converged,
+              s"connectedComponents did not converge in $maxRounds rounds " +
+                "— raise maxRounds")
+      labels
     }
-    // Convergence rides the checkpoint job itself via Dataset.observe:
-    // labels only ever DECREASE (each round's label is a min over a set
-    // containing the current label), so the exact label-sum is monotone
-    // non-increasing and two equal consecutive sums prove no label moved
-    // — the complete convergence test, with ZERO extra jobs (the old
-    // join+count per round doubled the loop's job bill). The sum
-    // aggregates as DECIMAL(38,0): exact where a double would swallow a
-    // one-unit decrease past 2^53, and 38 digits cannot overflow on any
-    // real graph (1e9 nodes × the full long id range ≈ 1e28).
-    def lsum = sum(col("label").cast(DecimalType(38, 0))).as("lsum")
-    val obs0 = Observation()
-    // a checkpoint leaf does not advertise SinglePartition, so the next
-    // round would re-insert exchanges (each an AQE job of its own) —
-    // `one()` re-asserts it at every use; the RAW checkpoint is kept
-    // aside because freeing blocks needs the LogicalRDD leaf itself
-    var labelsCk = one(nodes.select(col("id"), col("id").as("label")))
-      .observe(obs0, lsum)
-      .localCheckpoint()
-    var labels = one(labelsCk)
-    var prevSum: Any = obs0.get("lsum")
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      val obs = Observation()
-      val nextCk = step(labels).observe(obs, lsum).localCheckpoint()
-      val curSum: Any = obs.get("lsum")
-      converged = curSum == prevSum
-      prevSum = curSum
-      // the superseded round has no readers left — free its checkpoint
-      // blocks (Dataset.unpersist never covers checkpoint RDDs; r10
-      // accumulated them across the whole bench)
-      Graph.freeCheckpoint(labelsCk)
-      labelsCk = nextCk
-      labels = one(nextCk)
-      round += 1
-    }
-    // labels-only-decrease makes the equal-sum round a complete
-    // convergence proof; returning unconverged labels would silently
-    // hand dedup a wrong cluster assignment, so fail loudly instead
-    Graph.freeCheckpoint(symAll)
-    require(converged,
-            s"connectedComponents did not converge in $maxRounds rounds " +
-              "— raise maxRounds")
-    labels
   }
 
   /** Gate query: cluster assignment over the Jaccard-VERIFIED MinHash-LSH
@@ -154,7 +177,7 @@ object Cluster {
     * (singletons are their own representative, size 1). Downstream
     * "keep one per cluster" is `WHERE doc_id = cluster_rep`. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Dedup.dedupMinhashLsh(spark, dir)
+    val edges = Dedup.lshPairs(spark, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
     val lbl = connectedComponents(nodes, edges)

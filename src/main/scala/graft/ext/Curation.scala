@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 
@@ -107,14 +106,19 @@ object Curation {
       .select(col("p.w1"), col("p.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= minPair)
-    // The vocabulary is probed TWICE (n1, n2) — persist it or Spark
-    // re-reads and re-tokenizes the whole corpus per probe (the shared-
-    // subplan recompute Dedup.dedupMinhashLsh documents as its single
-    // most expensive regression). O(vocabulary) memory, sub-linear in
-    // corpus size; the bench/gate clearCache() releases it per query.
+    // The vocabulary is probed TWICE (n1, n2) — materialize it once or
+    // Spark re-reads and re-tokenizes the whole corpus per probe (the
+    // shared-subplan recompute Dedup.dedupMinhashLsh documents as its
+    // single most expensive regression). An eager localCheckpoint, NOT a
+    // persist: a persisted frame this function can never unpersist (its
+    // consumers live in the returned plan) would sit in the CacheManager
+    // for the session's lifetime — the r12-flagged leak — while
+    // checkpoint blocks are reclaimed by the ContextCleaner when the
+    // frame is dropped. O(vocabulary) rows, sub-linear in corpus size;
+    // still exactly one corpus pass (the checkpoint job).
     val uni = docs.select(explode(t).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     pairs
       .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n1"))), "w1")
       .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n2"))), "w2")

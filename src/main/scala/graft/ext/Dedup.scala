@@ -150,10 +150,11 @@ object Dedup {
     * text once — strictly cheaper than serializing the hash work. It is
     * CONDITIONAL ([[Tables.spreadForCpu]]): a production-scale scan with
     * thousands of splits is already parallel and skips the shuffle. */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+  private def shingleSets(spark: SparkSession, dir: String,
+                          extra: Seq[String] = Nil): DataFrame =
     Tables.spreadForCpu(Tables.documents(spark, dir), col("doc_id"))
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), shinglesFromToks.as("ss"))
+      .select(col("doc_id") +: extra.map(col) :+ toks.as("toks"): _*)
+      .select(col("doc_id") +: extra.map(col) :+ shinglesFromToks.as("ss"): _*)
 
   /** The LSH BUILD step: per-doc banded signature (doc_id, b0..b3). In
     * production this table is computed once at ingest and persisted —
@@ -208,44 +209,57 @@ object Dedup {
   def lshCandidates(sig: DataFrame): DataFrame =
     pairsFromBands(bandsOf(sig)).orderBy(col("doc_a"), col("doc_b"))
 
-  def dedupMinhashLsh(spark: SparkSession, dir: String,
-                      jaccardMin: Double = 0.5): DataFrame = {
-    // The shingle-set frame has THREE consumers in this plan: the
-    // signature build and the x/y sides of the Jaccard verify. Spark
-    // re-executes a shared subplan once per reference, so without the
-    // persist the corpus is tokenized+shingled+md5'd three times — it was
-    // the single most expensive query in BENCH_r04 (5.3 s) purely from
-    // that recompute; persisted, the texts are read once (~2.5 s at
-    // sf0.1, roughly half of it fixed codegen cost). This is also the
-    // production economics: `minhashSignatures` is the persisted ingest
-    // artifact, and the probe reads it — never the texts — until the
-    // final per-candidate verify.
-    val sh = shingleSets(spark, dir)
+  /** Shared LSH core: persisted shingle frame → persisted bands →
+    * candidate pairs → Jaccard verify, with the shingle-side PAYLOAD
+    * columns (`extra`, e.g. `source` for the syndication graph) carried
+    * through to the verified pairs as `x_<c>` / `y_<c>` — consumers that
+    * need per-endpoint attributes read them here instead of joining the
+    * corpus back on doc_id twice (two broadcast joins + a corpus scan
+    * each, measured ~0.3 s of the syndication gate).
+    *
+    * The shingle-set frame has THREE consumers in this plan: the
+    * signature build and the x/y sides of the Jaccard verify. Spark
+    * re-executes a shared subplan once per reference, so without the
+    * persist the corpus is tokenized+shingled+md5'd three times — it was
+    * the single most expensive query in BENCH_r04 (5.3 s) purely from
+    * that recompute; persisted, the texts are read once (~2.5 s at
+    * sf0.1, roughly half of it fixed codegen cost). This is also the
+    * production economics: `minhashSignatures` is the persisted ingest
+    * artifact, and the probe reads it — never the texts — until the
+    * final per-candidate verify.
+    *
+    * Bands are BOTH sides of the candidate self-join — persist them too,
+    * or each side re-runs the md5 signature pass over the cached
+    * shingles. ~(docs × NumBands) narrow rows: tiny. The single eager
+    * count() (a) fills BOTH caches exactly once — lazily-populated
+    * caches whose consumer stages get scheduled concurrently compute the
+    * same partitions repeatedly (observed as BlockManager "already
+    * exists; not re-adding" races) — and (b) leaves the final action
+    * nothing but cache reads plus the candidate join itself.
+    *
+    * Cand is pinned as the build side: candidates after banding are
+    * usually O(near-dups) — tiny — while sh carries every doc's shingle
+    * array. Left to statistics the planner builds the hash side from SH
+    * (collecting + broadcasting the whole shingle corpus, the exact
+    * thing the LSH design avoids shipping). pinBuildSide broadcasts only
+    * under a hard row ceiling and degrades to a distributed shuffle-hash
+    * join above it — a skewed bucket on a duplicate-heavy corpus can
+    * make Σ bucket² big enough to kill the driver if broadcast blindly.
+    */
+  private def lshVerifiedPairs(spark: SparkSession, dir: String,
+                               jaccardMin: Double,
+                               extra: Seq[String] = Nil): DataFrame = {
+    val sh = shingleSets(spark, dir, extra)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Bands are BOTH sides of the candidate self-join — persist them too,
-    // or each side re-runs the md5 signature pass over the cached
-    // shingles. ~(docs × NumBands) narrow rows: tiny. The single eager
-    // count() (a) fills BOTH caches exactly once — lazily-populated
-    // caches whose consumer stages get scheduled concurrently compute the
-    // same partitions repeatedly (observed as BlockManager "already
-    // exists; not re-adding" races) — and (b) leaves the final action
-    // nothing but cache reads plus the candidate join itself.
     val bands = bandsOf(signaturesFrom(sh))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.count()
     val cand = pairsFromBands(bands)
-    val x = sh.select(col("doc_id").as("xid"), col("ss").as("xss"))
-    val y = sh.select(col("doc_id").as("yid"), col("ss").as("yss"))
-    // Pin cand as the build side: candidates after banding are usually
-    // O(near-dups) — tiny — while sh carries every doc's shingle array.
-    // Left to statistics the planner builds the hash side from SH
-    // (collecting + broadcasting the whole shingle corpus, the exact
-    // thing the LSH design avoids shipping). pinBuildSide broadcasts only
-    // under a hard row ceiling and degrades to a distributed shuffle-hash
-    // join above it — a skewed bucket on a duplicate-heavy corpus can
-    // make Σ bucket² big enough to kill the driver if broadcast blindly.
-    val candB = pinBuildSide(cand)
-    candB
+    val x = sh.select(col("doc_id").as("xid") +: col("ss").as("xss") +:
+      extra.map(c => col(c).as(s"x_$c")): _*)
+    val y = sh.select(col("doc_id").as("yid") +: col("ss").as("yss") +:
+      extra.map(c => col(c).as(s"y_$c")): _*)
+    pinBuildSide(cand)
       .join(x, col("doc_a") === col("xid"))
       .join(y, col("doc_b") === col("yid"))
       // fused set-overlap — no materialized intersect/union arrays per
@@ -254,9 +268,33 @@ object Dedup {
       .withColumn("jaccard",
         graft.functions.JaccardSim(col("xss"), col("yss")))
       .filter(col("jaccard") >= jaccardMin)
+  }
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String,
+                      jaccardMin: Double = 0.5): DataFrame =
+    lshVerifiedPairs(spark, dir, jaccardMin)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
+
+  /** Verified near-dup pairs lifted to SOURCE pairs — the syndication-
+    * graph edge input ([[Graph.syndicationPagerank]]): `source` rides the
+    * shingle frame through the verify, so no doc_id→source join ever
+    * touches the corpus again. Unaggregated and directionless on purpose
+    * (the graph builder symmetrizes + dedups as part of its own edge
+    * hygiene). */
+  private[ext] def lshSourcePairs(spark: SparkSession, dir: String,
+                                  jaccardMin: Double = 0.5): DataFrame =
+    lshVerifiedPairs(spark, dir, jaccardMin, extra = Seq("source"))
+      .select(col("x_source").as("src"), col("y_source").as("dst"))
+
+  /** Verified near-dup pairs without the gate query's global sort — the
+    * duplicate-cluster builder's edge input ([[Cluster.dedupClusters]]),
+    * whose groupBy/checkpoint consumers would pay for an ordering and
+    * immediately destroy it. */
+  private[ext] def lshPairs(spark: SparkSession, dir: String,
+                            jaccardMin: Double = 0.5): DataFrame =
+    lshVerifiedPairs(spark, dir, jaccardMin)
+      .select(col("doc_a"), col("doc_b"))
 
   /** Distinct character 3-gram set over a MATERIALIZED `chars` column
     * (split(text, "")) — the edit-robust granularity for

@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -120,114 +120,86 @@ object Graph {
     require(n > 0, "pageRank needs at least one node")
     val nEdges = obsE.get("n").asInstanceOf[Long]
     val sessParts = nodes.sparkSession.sessionState.conf.numShufflePartitions
-    // ~1M graph rows per task; a 20-node gate graph iterates on ONE
-    // partition instead of paying the session's shuffle width × rounds,
-    // while a billion-edge graph still spreads across the cluster
+    // ~1M graph rows per task; a 20-node gate graph must not pay the
+    // session's shuffle width × rounds, while a billion-edge graph still
+    // spreads across the cluster
     val parts = math.min(sessParts.toLong, (n max nEdges) / 1000000L + 1).toInt
     // Two execution regimes, picked by the counted size (the same
     // measured-switch discipline as Dedup's bounded-broadcast joins):
     //
-    // SINGLE (parts == 1, the gate + any sub-~1M-row graph): every
-    // iteration frame is coalesced to ONE partition. SinglePartition
-    // satisfies every clustering/all-tuples distribution requirement, so
-    // joins, aggregations, and the global window plan with ZERO
-    // exchanges; `hint("merge")` stops the planner scheduling
-    // BroadcastExchange sub-jobs for the tiny cached sides. Net: each
-    // round is ONE Spark job with single-digit tasks — measured, this is
-    // what takes a round from ~0.5 s of job/broadcast scheduling
-    // overhead to ~tens of ms (r10 shipped 12 s isolated from exactly
-    // this overhead × 10 rounds × bench reps).
+    // LOCAL (parts == 1, the gate + any sub-~1M-row graph): the whole
+    // graph fits ONE partition, so the fastest correct plan is ONE task
+    // that runs the power iteration in memory ([[Iterate.pageRankLocal]])
+    // — genuine per-partition imperative logic, the one place
+    // mapPartitions beats every declarative shape. The previous regime
+    // here (exchange-free single-partition DataFrame rounds, r11) had
+    // the right PLAN per round but still paid one checkpoint job per
+    // round — measured 0.10–0.13 s × 10 rounds of pure job-scheduling
+    // overhead on a 20-node graph vs ~0.1 s total for the local solve.
+    // The distributed loop below stays the scale path; specs force it
+    // via [[Iterate.LocalSolveConf]] to keep both regimes covered.
     //
     // LARGE: edges keep their scan/shuffle parallelism, the O(V) frames
     // ride broadcast joins below MaxBroadcastRows and the planner's
     // shuffle strategies above, and the dangling scalar is an agg
     // crossed in as a 1-row broadcast (a global window would funnel V
     // rows through one task — fine at gate scale, wrong at 100 TB).
-    val single = parts == 1
-    // A checkpoint LEAF does not advertise SinglePartition (the AQE-
-    // executed plan checkpoints with unknown partitioning), so joins
-    // and aggregations over it would re-insert exchanges — and under
-    // AQE every exchange materializes as its own Spark job, exactly the
-    // per-round amplification this regime exists to kill (GraphSpec
-    // pins the job count). `one()` re-asserts the single partition with
-    // a narrow, shuffle-free coalesce at every use site.
-    def one(df: DataFrame): DataFrame = if (single) df.coalesce(1) else df
-    val eIter = if (parts < sessParts) e.coalesce(parts) else e
-    val small = n <= MaxBroadcastRows
-    def b(df: DataFrame): DataFrame =
-      if (single) df.hint("merge") else if (small) broadcast(df) else df
-    val vIter = one(v)
-    val outDegCk = tdbg("outDeg ckpt")(
-      eIter.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .withColumnRenamed("src", "id")
-        .localCheckpoint())
-    val outDeg = one(outDegCk)
-    // Every round materializes via localCheckpoint — lazily CHAINING
-    // rounds between checkpoints was measured SLOWER: the rank frame is
-    // referenced twice per round, so a k-round chain embeds ~2^k copies
-    // of the base plan and Catalyst's per-round planning grows faster
-    // than the saved job overhead. One round per job, every plan rooted
-    // at checkpoint leaves, measured fastest (per-round planning 0.02 s;
-    // the remainder is irreducible per-job overhead).
-    var ranks = vIter.select(col("id"), lit(1.0 / n).as("rank"))
-    var lastCkpt: Option[DataFrame] = None
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    for (it <- 1 to iters) {
-      // ONE pass over the rank frame yields both the per-edge shares and
-      // the dangling total (rank stuck on sinks, redistributed uniformly
-      // — else total decays); r10 spent a separate anti-join job on it.
-      // Every intermediate that feeds a join/agg is one()-normalized:
-      // join outputs advertise a PartitioningCollection that
-      // EnsureRequirements refuses to treat as co-partitioned, so
-      // without the narrow coalesce the next join hash-exchanges BOTH
-      // sides — 5 exchanges (= 5 AQE jobs) per round, probe-measured;
-      // with it, zero.
-      val rd = one(ranks.join(b(outDeg), Seq("id"), "left"))
-      val shares = rd.filter(col("deg").isNotNull)
-        .select(col("id").as("from"), (col("rank") / col("deg")).as("share"))
-      val nx = (if (single) {
-        // No join at all: rd already carries (id, rank, deg) for every
-        // node, so emit each node's base mass (teleport + its slice of
-        // the dangling total, taken over the global window) and each
-        // edge's damped contribution as ROWS, then fold with one
-        // union + groupBy-sum. Joining inMass back onto the spine
-        // instead is semantically identical but EnsureRequirements
-        // refuses to co-partition the two single-partition join inputs
-        // under the window and hash-exchanges both sides — 8 AQE stage
-        // jobs per round, probe-measured; this shape plans exchange-free.
-        val base = rd.select(col("id"),
-          (lit((1.0 - damping) / n)
-            + lit(damping) / n
-              * coalesce(sum(when(col("deg").isNull, col("rank"))).over(wAll),
-                         lit(0.0))).as("mass"))
-        val contrib = eIter.join(b(one(shares)), col("src") === col("from"))
-          .select(col("dst").as("id"), (lit(damping) * col("share")).as("mass"))
-        one(base.unionByName(contrib))
-          .groupBy(col("id")).agg(sum(col("mass")).as("rank"))
-      } else {
+    if (parts == 1 && Iterate.localSolveEnabled(nodes.sparkSession)) {
+      // The solve output is checkpointed so v/e blocks can be freed NOW
+      // (the returned frame must not re-read them after unpersist);
+      // O(V) rows, same pinned-until-GC lifecycle as the loop's result.
+      val out = tdbg("local solve")(
+        Iterate.pageRankLocal(v, e, n, iters, damping).localCheckpoint())
+      freeCheckpoint(e); freeCheckpoint(v)
+      out
+    } else {
+      val eIter = if (parts < sessParts) e.coalesce(parts) else e
+      val small = n <= MaxBroadcastRows
+      def b(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+      val outDegCk = tdbg("outDeg ckpt")(
+        eIter.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .withColumnRenamed("src", "id")
+          .localCheckpoint())
+      val outDeg = outDegCk
+      // Every round materializes via localCheckpoint — lazily CHAINING
+      // rounds between checkpoints was measured SLOWER: the rank frame is
+      // referenced twice per round, so a k-round chain embeds ~2^k copies
+      // of the base plan and Catalyst's per-round planning grows faster
+      // than the saved job overhead. One round per job, every plan rooted
+      // at checkpoint leaves, measured fastest (per-round planning 0.02 s;
+      // the remainder is irreducible per-job overhead).
+      var ranks = v.select(col("id"), lit(1.0 / n).as("rank"))
+      var lastCkpt: Option[DataFrame] = None
+      for (it <- 1 to iters) {
+        // ONE pass over the rank frame yields both the per-edge shares
+        // and the dangling total (rank stuck on sinks, redistributed
+        // uniformly — else total decays); r10 spent a separate anti-join
+        // job on it.
+        val rd = ranks.join(b(outDeg), Seq("id"), "left")
+        val shares = rd.filter(col("deg").isNotNull)
+          .select(col("id").as("from"), (col("rank") / col("deg")).as("share"))
         val inMass = eIter.join(b(shares), col("src") === col("from"))
           .groupBy(col("dst")).agg(sum(col("share")).as("in_mass"))
           .withColumnRenamed("dst", "id")
         val dangling = rd.agg(
           coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0.0))
             .as("dangling"))
-        v.join(b(inMass), Seq("id"), "left")
+        val nx = v.join(b(inMass), Seq("id"), "left")
           .crossJoin(broadcast(dangling)) // 1 row — always broadcast
           .select(col("id"),
             (lit((1.0 - damping) / n)
               + lit(damping) * (coalesce(col("in_mass"), lit(0.0))
                                  + col("dangling") / n)).as("rank"))
-      })
-      ranks = {
-        val ck = tdbg(s"round $it")(nx.localCheckpoint())
-        lastCkpt.foreach(freeCheckpoint)
-        lastCkpt = Some(ck)
-        one(ck)
+        ranks = {
+          val ck = tdbg(s"round $it")(nx.localCheckpoint())
+          lastCkpt.foreach(freeCheckpoint)
+          lastCkpt = Some(ck)
+          ck
+        }
       }
+      freeCheckpoint(e); freeCheckpoint(v); freeCheckpoint(outDegCk)
+      ranks
     }
-    freeCheckpoint(e); freeCheckpoint(v); freeCheckpoint(outDegCk)
-    ranks
   }
 
   /** Gate query: PageRank over the content-SYNDICATION graph — sources
@@ -246,17 +218,21 @@ object Graph {
     * documents they aggregate.
     */
   def syndicationPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val docSrc = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"))
-    val pairs = Dedup.dedupMinhashLsh(spark, dir)
-      .join(docSrc.select(col("doc_id").as("doc_a"), col("source").as("src")),
-            "doc_a")
-      .join(docSrc.select(col("doc_id").as("doc_b"), col("source").as("dst")),
-            "doc_b")
-      .select(col("src"), col("dst"))
-    val edges = pairs.unionByName(
-      pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val nodes = docSrc.select(col("source").as("id")).distinct()
+    // Edge input comes straight from the LSH verify with `source` carried
+    // through the shingle frame (Dedup.lshSourcePairs) — the previous
+    // shape ran the generic dedup gate (ordered, jaccard-projected) and
+    // joined doc→source TWICE, re-scanning the corpus for an attribute
+    // the verify already held. Symmetrization is ONE explode over each
+    // verified pair, not a union of two copies of the verify subplan —
+    // a shared subplan re-executes per reference, so the union shape
+    // paid the verify join twice inside the edge checkpoint.
+    val edges = Dedup.lshSourcePairs(spark, dir)
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val nodes = Tables.documents(spark, dir)
+      .select(col("source").as("id")).distinct()
     val w = Window.orderBy(col("rank_ppm").desc, col("source"))
     pageRank(nodes, edges)
       .select(col("id").as("source"),
@@ -270,17 +246,21 @@ object Graph {
     "syndication_pagerank" -> syndicationPagerank _)
 
   /** One unrolled damped-PageRank round in DuckDB SQL: the same
-    * recurrence as the Spark loop (teleport literal spelled `(1 - 0.85)`
-    * so both engines derive the coefficient with the same double ops;
-    * dangling mass from a left-anti over out-degrees; in-mass as
-    * share-sum grouped by dst). Unrolled rather than recursive-CTE'd:
-    * the iteration count is fixed at 10 and DuckDB's recursive form
-    * restricts aggregates in the recursive term. */
+    * recurrence as the Spark loop (teleport coefficient spelled
+    * `(1 - CAST(0.85 AS DOUBLE))` — bare `(1 - 0.85)` is DECIMAL-exact
+    * in DuckDB (0.15) while Scala's `1.0 - 0.85` is a double subtraction
+    * (0.15000000000000002, ~2 ULP apart), and a rank within ~1e-9 of a
+    * 0.5-ppm quantization boundary could flip the integer gate; the cast
+    * forces the identical double op in both engines. Dangling mass from
+    * a left-anti over out-degrees; in-mass as share-sum grouped by dst.)
+    * Unrolled rather than recursive-CTE'd: the iteration count is fixed
+    * at 10 and DuckDB's recursive form restricts aggregates in the
+    * recursive term. */
   private def prRoundSql(k: Int): String =
     s"""r$k AS MATERIALIZED (
        |  SELECT v.id,
-       |    (1 - 0.85) / nn.n + 0.85 * (coalesce(im.mass, 0) + dg.m / nn.n)
-       |      AS rank
+       |    (1 - CAST(0.85 AS DOUBLE)) / nn.n
+       |      + 0.85 * (coalesce(im.mass, 0) + dg.m / nn.n) AS rank
        |  FROM nd v
        |  CROSS JOIN nn
        |  CROSS JOIN (SELECT coalesce(sum(r.rank), 0) AS m FROM r${k - 1} r

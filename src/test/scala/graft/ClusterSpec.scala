@@ -35,6 +35,16 @@ class ClusterSpec extends AnyFunSuite {
         n.toDF("id"), e.toDF("src", "dst"), maxRounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** Run with the one-task local solve disabled — covers the distributed
+    * pointer-jumping loop (the ≥1M-row scale path) on test-sized graphs;
+    * the round-budget contract only exists on this path. */
+  private def runDistributed(n: Seq[Long], e: Seq[(Long, Long)],
+                             maxRounds: Int = 25): Map[Long, Long] = {
+    spark.conf.set(graft.ext.Iterate.LocalSolveConf, "false")
+    try run(n, e, maxRounds)
+    finally spark.conf.unset(graft.ext.Iterate.LocalSolveConf)
+  }
+
   test("labels equal the union-find witness on a mixed graph") {
     // two cliques, a bridge, a chain, isolated nodes, a self-loop, dup +
     // reversed edges — every structural case at once
@@ -59,13 +69,15 @@ class ClusterSpec extends AnyFunSuite {
     assert(run(nodes, edges) === witness(nodes, edges))
   }
 
-  test("a 64-node chain converges within the log-round budget") {
+  test("distributed loop: a 64-node chain converges within the log budget") {
     // pure min-propagation needs 63 rounds on a 64-chain; pointer jumping
     // must close it in <= 8 (log2 64 = 6, +2 slack for the final
-    // no-change detection round)
+    // no-change detection round). Forced distributed — the default
+    // small-graph path is the exact one-task union-find, which has no
+    // rounds to budget.
     val nodes = (0L until 64L)
     val edges = (0L until 63L).map(i => (i, i + 1))
-    val got = run(nodes, edges, maxRounds = 8)
+    val got = runDistributed(nodes, edges, maxRounds = 8)
     assert(got === nodes.map(_ -> 0L).toMap)
   }
 
@@ -73,9 +85,22 @@ class ClusterSpec extends AnyFunSuite {
     val nodes = (0L until 64L)
     val edges = (0L until 63L).map(i => (i, i + 1))
     val e = intercept[IllegalArgumentException] {
-      run(nodes, edges, maxRounds = 2)
+      runDistributed(nodes, edges, maxRounds = 2)
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("distributed loop matches the witness; foreign endpoints ignored") {
+    // closure semi-joins: a foreign endpoint must neither relabel a real
+    // node nor LEAK a label row for an id the caller never supplied (the
+    // round-1 groupBy union would otherwise emit one) — and both regimes
+    // must agree exactly
+    val nodes = (0L to 8L)
+    val clean = Seq[(Long, Long)]((1, 2), (2, 3), (5, 6))
+    val dirty = clean ++ Seq[(Long, Long)]((1, 99), (99, 2), (98, 97))
+    val want = witness(nodes, clean)
+    assert(runDistributed(nodes, dirty) === want)
+    assert(run(nodes, dirty) === want)
   }
 
   test("dedup_clusters: keepers partition the corpus and sizes add up") {
@@ -92,12 +117,12 @@ class ClusterSpec extends AnyFunSuite {
     assert(keepers == bySize.size)          // exactly one keeper/cluster
   }
 
-  test("CC loop stays near the per-checkpoint job floor (no amplification)") {
-    // mirror of GraphSpec's pageRank pin: ~3 jobs per localCheckpoint
-    // (eager action + checkpoint materialization) × (rounds + init + sym)
-    // + setup stage jobs + the collect. 64-chain = ~7 pointer-jumping
-    // rounds → measured 29 jobs; a return of per-round count-jobs or
-    // hash-exchange stage jobs would roughly double that.
+  test("CC small-graph path stays near the job floor (no amplification)") {
+    // mirror of GraphSpec's pageRank pin: the default path is the
+    // one-task local union-find — 3 eager localCheckpoints (v, sym,
+    // result) ≈ 3 jobs each + setup stage jobs + the collect. r11's
+    // per-round shape measured 29 on this chain; a return of per-round
+    // jobs in the small-graph path lands back there.
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val l = new SparkListener {
@@ -115,8 +140,8 @@ class ClusterSpec extends AnyFunSuite {
         .collect()
       Thread.sleep(500)
       val n = jobs.get()
-      assert(n <= 45, s"connectedComponents scheduled $n jobs on a 64-chain" +
-        " — the iterative loop is amplifying jobs again")
+      assert(n <= 25, s"connectedComponents scheduled $n jobs on a 64-chain" +
+        " — the small-graph path is amplifying jobs again")
     } finally {
       spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(l)

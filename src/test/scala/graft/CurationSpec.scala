@@ -67,4 +67,14 @@ class CurationSpec extends AnyFunSuite {
     val expected = pairs.filter(_._2 >= 5)
     assert(got.length === expected.size)
   }
+
+  test("termPmi leaves no cached frames behind (r12 ADVICE leak)") {
+    // the vocabulary materialization must not register anything with the
+    // CacheManager — a library caller has no handle to unpersist it, so
+    // a persist here would live for the whole session
+    spark.catalog.clearCache()
+    Curation.termPmi(spark, dir, minPair = 5).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+           "termPmi left a frame registered in the CacheManager")
+  }
 }
