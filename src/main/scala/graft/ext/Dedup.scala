@@ -61,41 +61,7 @@ object Dedup {
   private val NumHashes = 8
   private val NumBands  = 4 // rows per band = 2
 
-  /** MinHash j: the 8 hash lanes are SLICES of 2 md5 digests — lane j
-    * uses 32 bits (8 hex chars) of md5("⌊j/4⌋:" ++ shingle). One 128-bit
-    * digest yields 4 independent-enough minhash lanes, so the dominant
-    * cost (md5 per shingle) drops 4× versus one digest per lane, with
-    * measured identical candidate quality on this corpus (26 candidates /
-    * 25 verified vs 28/25). String min over hex is identical in Spark and
-    * DuckDB.
-    *
-    * The slicing only pays if the digest arrays are MATERIALIZED columns
-    * (`hs0`/`hs1`): a lane written as `transform(ss, s => substring(md5(
-    * …), …))` re-hashes every shingle per lane — 8 md5 passes instead of
-    * 2 (the duplicated-expression trap; CollapseProject keeps multiply-
-    * referenced non-cheap aliases un-inlined, so the column form is
-    * computed once).
-    *
-    * All 4 lane-mins of one digest column come from a SINGLE struct-
-    * accumulator fold ([[laneMins]]) rather than 4 × array_min(transform):
-    * the transform form materializes an intermediate substring array per
-    * lane per doc (8 arrays/doc) — the fold allocates none and measured
-    * ~10% faster at sf0.1. "~" (0x7E) sorts after every hex char, so the
-    * seed never survives a non-empty fold; an EMPTY shingle array (docs
-    * with < 3 tokens — shinglesFromToks' otherwise branch) must yield a
-    * NULL struct, not the seed, so the bands stay null exactly like
-    * `array_min` of an empty transform (and like the oracle's list_min
-    * over []) — otherwise every short doc would share the constant
-    * md5("~|~") band key and bucket together. */
-  private def laneMins(hsCol: String): Column = when(size(col(hsCol)) > 0,
-    aggregate(col(hsCol),
-      struct(lit("~").as("m0"), lit("~").as("m1"),
-             lit("~").as("m2"), lit("~").as("m3")),
-      (acc, h) => struct(
-        least(acc.getField("m0"), h.substr(lit(1), lit(8))).as("m0"),
-        least(acc.getField("m1"), h.substr(lit(9), lit(8))).as("m1"),
-        least(acc.getField("m2"), h.substr(lit(17), lit(8))).as("m2"),
-        least(acc.getField("m3"), h.substr(lit(25), lit(8))).as("m3"))))
+  // (The MinHash lane math lives in signaturesFrom — see its scaladoc.)
 
   /** Driver-safety ceiling for broadcasting candidate frames: above this
     * many rows the build side stays DISTRIBUTED (shuffled hash join) —
@@ -127,11 +93,12 @@ object Dedup {
 
   /** A1 of the dedup family: exact duplicate groups by content digest. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .groupBy(md5(col("text")).as("text_md5"))
-      .agg(min(col("doc_id")).as("keeper_doc_id"),
-           count(lit(1)).as("n_copies"))
-      .orderBy(col("text_md5"))
+    graft.Present.sorted(
+      Tables.documents(spark, dir)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+             count(lit(1)).as("n_copies")),
+      col("text_md5"))
 
   /** MinHash + banded LSH near-dup pairs, Jaccard-verified.
     *
@@ -162,23 +129,56 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     signaturesFrom(shingleSets(spark, dir))
 
-  private def signaturesFrom(sh: DataFrame): DataFrame =
-    sh.withColumn("hs0", transform(col("ss"), s => md5(concat(lit("0:"), s))))
-      .withColumn("hs1", transform(col("ss"), s => md5(concat(lit("1:"), s))))
-      .withColumn("l0", laneMins("hs0"))
-      .withColumn("l1", laneMins("hs1"))
-      .select(
-        (col("doc_id") +:
-          (0 until NumBands).map { b =>
-            // band b pairs lanes 2b and 2b+1: lanes 0-3 are l0.m0-m3
-            // (digest "0:"), lanes 4-7 are l1.m0-m3 (digest "1:")
-            val l = if (b < 2) "l0" else "l1"
-            md5(concat(col(s"$l.m${2 * b % 4}"), lit("|"),
-                       col(s"$l.m${(2 * b + 1) % 4}"))).as(s"b$b")
-          }): _*)
+  /** MinHash lanes: the 8 hash lanes are SLICES of 2 md5 digests — lane j
+    * uses 32 bits (8 hex chars) of md5("⌊j/4⌋:" ++ shingle). One 128-bit
+    * digest yields 4 independent-enough minhash lanes, so the dominant
+    * cost (md5 per shingle) is 2 digests, not 8, with measured identical
+    * candidate quality on this corpus (26 candidates / 25 verified vs
+    * 28/25). String min over hex is identical in Spark and DuckDB.
+    *
+    * Shape: EXPLODE the shingle set and take 8 plain `min` aggregates
+    * over digest slices — NOT per-lane folds with the `aggregate` /
+    * `transform` higher-order functions. Spark's HOF expressions are
+    * CodegenFallback: a fold-built signature runs its entire hot loop
+    * interpreted (measured at sf0.1: zero WholeStageCodegen spans and
+    * ~2× the runtime of this form — 0.86 s vs 0.67 s for the signature
+    * table, with far worse ratios on the wider simhash folds). The
+    * exploded pipeline is generator → project → hash-aggregate, codegen
+    * end to end, and partial aggregation means the per-shingle rows
+    * never cross the wire: since [[shingleSets]] hash-partitions by
+    * doc_id ([[Tables.spreadForCpu]]) the groupBy inserts NO exchange at
+    * test scale, and when the spread is skipped (an already-parallel
+    * production scan) the exchange carries O(docs × 64 B) partial
+    * signature rows, never shingle text.
+    *
+    * explode_outer keeps empty-shingle docs (< 3 tokens): their single
+    * NULL row hashes to null, `min` ignores nulls, and the band keys
+    * stay NULL — never a shared constant that would bucket every short
+    * doc of a corpus together (pinned by ShortDocSpec; same contract as
+    * the oracle's list_min over []). */
+  private def signaturesFrom(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode_outer(col("ss")).as("s"))
+      .withColumn("h0", md5(concat(lit("0:"), col("s"))))
+      .withColumn("h1", md5(concat(lit("1:"), col("s"))))
+    // lane j: 8 hex chars of digest ⌊j/4⌋ at offset (j%4)·8
+    val mins = ex.groupBy(col("doc_id")).agg(
+      min(col("h0").substr(lit(1), lit(8))).as("m0"),
+      min(col("h0").substr(lit(9), lit(8))).as("m1"),
+      min(col("h0").substr(lit(17), lit(8))).as("m2"),
+      min(col("h0").substr(lit(25), lit(8))).as("m3"),
+      min(col("h1").substr(lit(1), lit(8))).as("m4"),
+      min(col("h1").substr(lit(9), lit(8))).as("m5"),
+      min(col("h1").substr(lit(17), lit(8))).as("m6"),
+      min(col("h1").substr(lit(25), lit(8))).as("m7"))
+    // band b pairs lanes 2b and 2b+1
+    mins.select(
+      (col("doc_id") +: (0 until NumBands).map(b =>
+        md5(concat(col(s"m${2 * b}"), lit("|"),
+                   col(s"m${2 * b + 1}"))).as(s"b$b"))): _*)
+  }
 
   private def minhashSigQuery(spark: SparkSession, dir: String): DataFrame =
-    minhashSignatures(spark, dir).orderBy(col("doc_id"))
+    graft.Present.sorted(minhashSignatures(spark, dir), col("doc_id"))
 
   /** (doc_id, band_id, bkey) rows from a signature table. */
   private def bandsOf(sig: DataFrame): DataFrame =
@@ -207,7 +207,8 @@ object Dedup {
     * never touches document texts. Verified equivalent to the
     * text-derived probe in DedupArtifactSpec via a parquet round trip. */
   def lshCandidates(sig: DataFrame): DataFrame =
-    pairsFromBands(bandsOf(sig)).orderBy(col("doc_a"), col("doc_b"))
+    graft.Present.sorted(pairsFromBands(bandsOf(sig)),
+      col("doc_a"), col("doc_b"))
 
   /** Shared LSH core: persisted shingle frame → persisted bands →
     * candidate pairs → Jaccard verify, with the shingle-side PAYLOAD
@@ -272,9 +273,10 @@ object Dedup {
 
   def dedupMinhashLsh(spark: SparkSession, dir: String,
                       jaccardMin: Double = 0.5): DataFrame =
-    lshVerifiedPairs(spark, dir, jaccardMin)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    graft.Present.sorted(
+      lshVerifiedPairs(spark, dir, jaccardMin)
+        .select(col("doc_a"), col("doc_b"), col("jaccard")),
+      col("doc_a"), col("doc_b"))
 
   /** Verified near-dup pairs lifted to SOURCE pairs — the syndication-
     * graph edge input ([[Graph.syndicationPagerank]]): `source` rides the
@@ -352,12 +354,12 @@ object Dedup {
     val x = cgDocs.select(col("doc_id").as("xid"), col("cg").as("xcg"))
     val y = cgDocs.select(col("doc_id").as("yid"), col("cg").as("ycg"))
     // Same driver-safety shape as dedupMinhashLsh's verify join.
-    pinBuildSide(cand)
+    val scored = pinBuildSide(cand)
       .join(x, col("doc_a") === col("xid"))
       .join(y, col("doc_b") === col("yid"))
       .select(col("doc_a"), col("doc_b"),
         graft.functions.JaccardSim(col("xcg"), col("ycg")).as("ngram_jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    graft.Present.sorted(scored, col("doc_a"), col("doc_b"))
   }
 
   /** 16-bit SimHash signature per document over distinct tokens: bit j is
@@ -373,48 +375,36 @@ object Dedup {
     * band), verified by `bit_count(sig_a ^ sig_b) <= k` — the same
     * banded-bucket join shape [[dedupMinhashLsh]] executes. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // FOUR packed folds (one per hex digit of the md5 prefix) instead of
-    // sixteen per-bit vote folds — the dominant per-token substr+conv
-    // work drops 4×. Each fold packs its digit's four bit-COUNTS into
-    // 32-bit lanes spread over a struct of TWO Long accumulators (bits
-    // 3/2 in hi, bits 1/0 in lo): counts are bounded by the array size
-    // (< 2^31), so a 32-bit lane can never overflow or carry — exact for
-    // ANY document, unlike a single-Long 16-bit-lane packing whose top
-    // lane overflows the signed accumulator at 32768 set bits (an
-    // ANSI-mode runtime error). The emitted bit is unchanged: vote sum
-    // positive ⇔ 2·count > n (the same identity the 64-bit pairing
-    // uses); the count columns must be MATERIALIZED, or CollapseProject
-    // re-inlines each fold per extracted bit (the duplicated-expression
-    // trap — see lane()).
-    def packed(p: Int): Column = aggregate(col("hs"),
-      struct(lit(0L).as("hi"), lit(0L).as("lo")),
-      (acc, h) => {
-        val d = conv(h.substr(lit(p + 1), lit(1)), 16, 10).cast(IntegerType)
-        struct(
-          (acc.getField("hi") +
-            shiftright(d, 3).bitwiseAND(lit(1)).cast(LongType) * lit(1L << 32) +
-            shiftright(d, 2).bitwiseAND(lit(1))).as("hi"),
-          (acc.getField("lo") +
-            shiftright(d, 1).bitwiseAND(lit(1)).cast(LongType) * lit(1L << 32) +
-            d.bitwiseAND(lit(1))).as("lo"))
-      })
-    val counted = Tables.spreadForCpu( // hash folds per doc — spread a
+    // EXPLODE the distinct-token set and take 16 plain `sum` aggregates
+    // of single bits — not per-digit folds over a hash array: Spark's
+    // HOF expressions (transform/aggregate) are CodegenFallback, so a
+    // fold-built signature runs its whole hot loop interpreted (see
+    // signaturesFrom; measured 2× there and worse here). Exploded, the
+    // pipeline is generator → project (one md5 + one conv per token) →
+    // hash-aggregate, codegen end to end; plain Long sums also retire
+    // the packed-lane overflow arithmetic the fold needed. Partial
+    // aggregation keeps the exchange at O(docs × 17 longs) — and the
+    // spreadForCpu hash-partitioning elides it entirely at test scale.
+    // Bit j of the signature = bit (3 − j%4) of md5 hex digit ⌊j/4⌋;
+    // one conv turns the 4-digit prefix into a 16-bit word, and bit
+    // (3 − j%4) of digit p sits at word bit 4·(3 − p) + (3 − j%4).
+    val words = Tables.spreadForCpu( // per-token hashing — spread a
         Tables.documents(spark, dir), col("doc_id")) // single-split scan
+      .select(col("doc_id"), explode(array_distinct(toks)).as("t"))
       .select(col("doc_id"),
-              transform(array_distinct(toks), t => md5(t)).as("hs"))
-      .select((col("doc_id") +: size(col("hs")).as("n") +:
-        (0 until 4).map(p => packed(p).as(s"cnt$p"))): _*)
-    val sim = (0 until 16).map { j =>
-      // digit bit b = 3 − j%4: bits 3/2 live in hi, 1/0 in lo; the odd
-      // bit of each pair (3 and 1) sits in the upper 32-bit lane
-      val acc  = col(s"cnt${j / 4}").getField(if (j % 4 <= 1) "hi" else "lo")
-      val cnt  = shiftright(acc, if (j % 4 % 2 == 0) 32 else 0)
-        .bitwiseAND(lit(0xFFFFFFFFL))
-      when(cnt * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    counted
-      .select(col("doc_id"), sim.as("simhash16"))
-      .orderBy(col("doc_id"))
+        conv(md5(col("t")).substr(lit(1), lit(4)), 16, 10)
+          .cast(LongType).as("u"))
+    val counts = words.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n"),
+      (0 until 16).map(j =>
+        sum(shiftright(col("u"), 4 * (3 - j / 4) + (3 - j % 4))
+          .bitwiseAND(lit(1L))).as(s"c$j")): _*)
+    // vote sum positive ⇔ 2·count > n — same rule as the 64-bit pairing
+    val sim = (0 until 16).map(j =>
+      when(col(s"c$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    graft.Present.sorted(
+      counts.select(col("doc_id"), sim.as("simhash16")), col("doc_id"))
   }
 
   // ---- SimHash PAIRING (the production 64-bit banded Hamming join) ----
@@ -452,14 +442,20 @@ object Dedup {
     *    is deliberately ORDER-INDEPENDENT — vote sums commute — so the
     *    DuckDB oracle reproduces signatures bit-for-bit.)
     *
-    * Signature build: one fold per md5-hex position (16, not 64 — each
-    * fold packs its digit's FOUR bit-counts into 8-bit lanes of one
-    * BIGINT; exact while distinct-token count ≤ 255, enforced by filter)
-    * — the per-token work is 16 substr+conv ops instead of 64, the
-    * dominant cost at corpus scale. Bit j is set iff 2·count_j > n
-    * (⇔ the ±1 vote sum is positive — same rule as [[dedupSimhash]]).
-    * Bit 63's weight is Long.MinValue, so the signature occupies the
-    * full signed BIGINT in both engines.
+    * Signature build: explode the distinct-token set and take 64 plain
+    * `sum`-of-bit aggregates — generator → project (one salted md5 + two
+    * conv words per token) → hash-aggregate, whole-stage-codegen end to
+    * end. The previous shape (16 HOF folds packing bit-counts into 8-bit
+    * lanes of a BIGINT) ran interpreted — Spark's higher-order
+    * aggregate/transform are CodegenFallback — and cost 1.75 s at sf0.1
+    * against 0.57 s for this one, with bit-identical output. Partial
+    * aggregation keeps the exchange at O(docs × 65 longs); the twin
+    * derivation needs no second pass over the corpus (each token row
+    * fans out to its base id, plus the twin id unless it carries the
+    * dropped max token). Bit j is set iff 2·count_j > n (⇔ the ±1 vote
+    * sum is positive — same rule as [[dedupSimhash]]). Bit 63's weight
+    * is Long.MinValue, so the signature occupies the full signed BIGINT
+    * in both engines.
     *
     * Pairing: explode the signature into 4 16-bit band keys
     * ((sig >> 16b) & 0xFFFF — arithmetic shift then mask is engine-
@@ -470,60 +466,48 @@ object Dedup {
     * the same bounded-bucket economics as [[dedupMinhashLsh]]. */
   def dedupSimhashPairs(spark: SparkSession, dir: String,
                         hammingMax: Int = SimPairHammingMax): DataFrame = {
-    val base = Tables.spreadForCpu( // hash folds — spread a single-split scan
-        Tables.documents(spark, dir), col("doc_id"))
+    // One pass: tokens explode once, each token row hashes once (base
+    // and twin share the salted md5), and a second explode fans the row
+    // out to the ids it votes in — its base doc, plus the twin unless it
+    // carries the dropped max token. No persisted intermediate, no
+    // second corpus scan for the twin leg.
+    val pre = Tables.spreadForCpu( // per-token hashing — spread a
+        Tables.documents(spark, dir), col("doc_id")) // single-split scan
       .select(col("doc_id"), md5(col("text")).as("salt"),
               array_distinct(toks).as("dt"))
-      .filter(size(col("dt")) <= 255) // packed 8-bit counts stay exact
-    // Hash each BASE doc's tokens once; a twin's hash array is DERIVED —
-    // array_remove of the dropped token's single hash — instead of
-    // re-hashing its whole token set, halving the salted-md5 work (the
-    // hash build is the dominant pre-fold cost at corpus scale). Safe
-    // because dt is distinct (distinct tokens ⇒ distinct md5s, so
-    // array_remove drops exactly the one slot) and every downstream fold
-    // is order-independent.
-    // based has TWO consumers (the base leg of the union and the twin
-    // derivation) and shared subplans re-execute per reference — persist
-    // + one eager count, or the hash build runs twice and the derivation
-    // saves nothing (same pattern as dedupMinhashLsh's shingle frame).
-    val based = base.select(col("doc_id"), col("salt"), col("dt"),
-      transform(col("dt"), t => md5(concat(col("salt"), lit(":"), t))).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    based.count()
-    val twins = based.filter(size(col("dt")) >= 5)
-      .select(twinId(col("doc_id")).as("doc_id"),
-        array_remove(col("hs"),
-          md5(concat(col("salt"), lit(":"), array_max(col("dt"))))).as("hs"))
-    val corpus = based.select(col("doc_id"), col("hs")).unionByName(twins)
-    // cnt_p MUST be materialized columns: referenced 4× each by the sig
-    // terms, inlined they'd re-run the fold per bit (the duplicated-
-    // expression trap — see lane()). One fold per hex digit, packing the
-    // digit's four bit-counts into 8-bit lanes of a Long (exact under
-    // the ≤ 255 distinct-token filter above; the accumulator is LongType
-    // because an IntegerType fold overflows the 2^24-weighted lane at
-    // 128 set bits — an ANSI-mode runtime error). A 2-digits-per-fold
-    // variant (8 folds × 8 lanes) was MEASURED SLOWER at sf0.1
-    // (2.7 s vs 2.5 s): the deeper per-element term chain costs more
-    // than the halved substr+conv saves.
-    def packedCounts(p: Int): Column = aggregate(col("hs"), lit(0L), (acc, h) => {
-      val d = conv(h.substr(lit(p + 1), lit(1)), 16, 10).cast(IntegerType)
-      acc + shiftright(d, 3).bitwiseAND(lit(1)) * lit(1L << 24) +
-            shiftright(d, 2).bitwiseAND(lit(1)) * lit(1L << 16) +
-            shiftright(d, 1).bitwiseAND(lit(1)) * lit(1L << 8) +
-            d.bitwiseAND(lit(1))
-    })
-    val counted = corpus.select(
-      (col("doc_id") +: size(col("hs")).as("n") +:
-        (0 until 16).map(p => packedCounts(p).as(s"cnt$p"))): _*)
+      // The ≤ 255-distinct-token gate is retained semantics (the oracle
+      // mirrors it): it came from the packed-lane fold this build
+      // replaced, where it was an exactness bound. Plain Long sums have
+      // no such bound — the filter now just pins the published contract.
+      .filter(size(col("dt")) <= 255)
+      .select(col("doc_id"), col("salt"), array_max(col("dt")).as("mx"),
+              (size(col("dt")) >= 5).as("big"), explode(col("dt")).as("t"))
+    val words = pre
+      .withColumn("h", md5(concat(col("salt"), lit(":"), col("t"))))
+      .select(col("doc_id"), col("mx"), col("big"), col("t"),
+        conv(col("h").substr(lit(1), lit(8)), 16, 10).cast(LongType).as("u0"),
+        conv(col("h").substr(lit(9), lit(8)), 16, 10).cast(LongType).as("u1"))
+      .select(explode(when(col("big") && col("t") =!= col("mx"),
+          array(col("doc_id"), twinId(col("doc_id"))))
+        .otherwise(array(col("doc_id")))).as("id"),
+        col("u0"), col("u1"))
+    // count_j = Σ bit j over a doc's token hashes: bit (3 − j%4) of hex
+    // digit ⌊j/4⌋, i.e. word ⌊j/32⌋ bit 4·(7 − (j/4)%8) + (3 − j%4).
+    def cnt(j: Int): Column = {
+      val p = j / 4
+      sum(shiftright(col(if (p < 8) "u0" else "u1"),
+            4 * (7 - p % 8) + (3 - j % 4))
+          .bitwiseAND(lit(1L))).as(s"c$j")
+    }
+    val counts = words.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), (0 until 64).map(cnt): _*)
     val sig = (0 until 64).map { j =>
-      val cnt = shiftright(col(s"cnt${j / 4}"), 8 * (3 - j % 4))
-        .bitwiseAND(lit(255L))
-      when(cnt * 2 > col("n"),
+      when(col(s"c$j") * 2 > col("n"),
         lit(if (j == 63) Long.MinValue else 1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     // sigs is BOTH band-join sides AND both verify sides — persist like
     // the LSH bands (harnesses clearCache between queries).
-    val sigs = counted.select(col("doc_id"), sig.as("sig"))
+    val sigs = counts.select(col("id").as("doc_id"), sig.as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count() // one pass fills the cache — see dedupMinhashLsh
     val bands = sigs.select(col("doc_id"),
@@ -532,14 +516,14 @@ object Dedup {
         .as(Seq("band_id", "bkey")))
     val x = sigs.select(col("doc_id").as("xid"), col("sig").as("sig_a"))
     val y = sigs.select(col("doc_id").as("yid"), col("sig").as("sig_b"))
-    pinBuildSide(pairsFromBands(bands))
+    val verified = pinBuildSide(pairsFromBands(bands))
       .join(x, col("doc_a") === col("xid"))
       .join(y, col("doc_b") === col("yid"))
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(IntegerType))
       .filter(col("hamming") <= hammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    graft.Present.sorted(verified, col("doc_a"), col("doc_b"))
   }
 
   /** Sorted-neighborhood block width for [[dedupEmbedding]]: each vector
@@ -596,12 +580,13 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nn_id"))
-    pairs
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("nn_id"), col("cosine"),
-              (col("cosine") >= nearDupMin).cast(IntegerType).as("is_near_dup"))
-      .orderBy(col("vec_id"))
+    graft.Present.sorted(
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("nn_id"), col("cosine"),
+                (col("cosine") >= nearDupMin).cast(IntegerType).as("is_near_dup")),
+      col("vec_id"))
   }
 
   // Parameterized entry points bind their library DEFAULTS here — the

@@ -10,7 +10,9 @@ import graft.ext.Dedup
   * constant. A constant band key would bucket every short doc of a
   * corpus together and regrow the all-pairs blowup the banded design
   * exists to avoid (null keys never equi-join). Regression for the
-  * laneMins fold, whose seed must not survive an empty fold. */
+  * signature build's explode_outer + min-aggregate path: the short doc's
+  * single NULL shingle row must survive to the groupBy (explode would
+  * drop it) and hash to NULL, never to a constant. */
 class ShortDocSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
