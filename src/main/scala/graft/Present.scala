@@ -26,4 +26,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Present {
   def sorted(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** `df.presentSorted(cols…)` — chainable spelling of [[sorted]], so a
+    * terminal `.orderBy(…)` migrates without restructuring the chain. */
+  implicit class PresentOps(private val df: DataFrame) extends AnyVal {
+    def presentSorted(cols: Column*): DataFrame = Present.sorted(df, cols: _*)
+  }
 }

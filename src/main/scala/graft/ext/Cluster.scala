@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Duplicate-CLUSTER assignment — the step that turns near-dup PAIRS
   * (the output of [[Dedup.dedupMinhashLsh]] / [[Dedup.dedupSimhashPairs]])
@@ -185,7 +186,7 @@ object Cluster {
     lbl.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_rep"),
               col("cluster_size"))
-      .orderBy(col("doc_id"))
+      .presentSorted(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Composed corpus hygiene — the first-pass clean a training-data
   * pipeline actually runs as ONE plan, proving the extension operators
@@ -40,7 +41,7 @@ object Corpus {
           .otherwise(lit(0.0))))
     kept
       .filter(col("quality_score") >= 0.5)
-      .orderBy(col("doc_id"))
+      .presentSorted(col("doc_id"))
   }
 
   /** Stratified subsample: a deterministic per-stratum quota (50 docs per
@@ -57,7 +58,7 @@ object Corpus {
       .select(col("doc_id"), col("lang"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= quota)
-      .orderBy(col("doc_id"))
+      .presentSorted(col("doc_id"))
   }
 
   /** Deterministic train/validation/test assignment by content-stable
@@ -80,7 +81,7 @@ object Corpus {
           .otherwise(when(col("bucket") < trainPct + validationPct, lit("validation"))
           .otherwise(lit("test"))))
       .select(col("doc_id"), col("bucket"), col("split"))
-      .orderBy(col("doc_id"))
+      .presentSorted(col("doc_id"))
   }
 
   /** Token-budget shard packing — assign each document to a training
@@ -110,7 +111,7 @@ object Corpus {
       .withColumn("shard_id",
         floor((col("cum_tokens") - col("n_tokens")) / lit(budget.toDouble))
           .cast(LongType))
-      .orderBy(col("doc_id"))
+      .presentSorted(col("doc_id"))
   }
 
   /** Domain-mixture epoch weighting — materialize a training mix where
@@ -146,7 +147,7 @@ object Corpus {
       .filter(col("n_copies") > 0)
       .select(col("doc_id"), col("lang"), col("n_copies"),
               explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
-      .orderBy(col("doc_id"), col("copy_idx"))
+      .presentSorted(col("doc_id"), col("copy_idx"))
   }
 
   /** Length bucketing for padding-efficient batching: group docs of
@@ -171,7 +172,7 @@ object Corpus {
       .withColumn("bucket_max", max(col("n_tokens")).over(inBucket))
       .withColumn("pad_waste",
                   lit(1.0) - col("n_tokens").cast(DoubleType) / col("bucket_max"))
-      .orderBy(col("doc_id"))
+      .presentSorted(col("doc_id"))
   }
 
   /** Fixed-size token-window document chunking with overlap — the step
@@ -204,7 +205,7 @@ object Corpus {
           .cast(LongType).as("chunk_tokens"),
         array_join(slice(col("toks"), col("start") + 1, lit(chunk)), " ")
           .as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_id"))
+      .presentSorted(col("doc_id"), col("chunk_id"))
   }
 
   // Defaults bound here match the oracle SQL below (quota 50, 80/10/10,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Corpus-curation operators a crawl-scale training pipeline runs between
   * cleaning and mixing: per-domain document caps, first-capture temporal
@@ -48,7 +49,7 @@ object Curation {
       .withColumn("rnk", row_number().over(global).cast(LongType))
       .filter(col("rnk") <= cap)
       .select(col("doc_id"), col("source"), col("n_chars"), col("rnk"))
-      .orderBy(col("source"), col("rnk"))
+      .presentSorted(col("source"), col("rnk"))
   }
 
   /** First-capture temporal dedup — incremental-crawl semantics: the same
@@ -74,7 +75,7 @@ object Curation {
       .filter(col("rn") === 1)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
               col("n_dupes"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
   }
 
   /** Adjacent-bigram co-occurrence counts — the integer INGREDIENTS of
@@ -123,7 +124,7 @@ object Curation {
       .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n1"))), "w1")
       .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n2"))), "w2")
       .select(col("w1"), col("w2"), col("pair_n"), col("n1"), col("n2"))
-      .orderBy(col("pair_n").desc, col("w1"), col("w2"))
+      .presentSorted(col("pair_n").desc, col("w1"), col("w2"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

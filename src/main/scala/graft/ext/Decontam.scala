@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Eval-set decontamination — flag training documents whose word
   * 3-grams overlap a held-out benchmark set. The hygiene pass every
@@ -55,7 +56,7 @@ object Decontam {
       .withColumn("contaminated",
                   when(col("shared_shingles") >= Threshold, 1).otherwise(0)
                     .cast(IntegerType))
-      .orderBy(col("doc_id"))
+      .presentSorted(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

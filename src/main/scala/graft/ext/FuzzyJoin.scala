@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Edit-distance record linkage WITHOUT a quadratic candidate space —
   * the fuzzy self-join a cleaning pipeline runs to reconcile
@@ -55,7 +56,7 @@ object FuzzyJoin {
       .select(col("name_a"), col("name_b"))
       .distinct()                     // pairs sharing several variants
       .filter(levenshtein(col("name_a"), col("name_b")) === 1)
-      .orderBy(col("name_a"), col("name_b"))
+      .presentSorted(col("name_a"), col("name_b"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

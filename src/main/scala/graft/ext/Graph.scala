@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Link-graph analytics for corpus curation — PageRank as iterated
   * join + aggregate, the power-iteration form that scales: each round is
@@ -239,7 +240,7 @@ object Graph {
               round(col("rank") * 1e6).cast(LongType).as("rank_ppm"))
       .withColumn("rank_pos", row_number().over(w).cast(LongType))
       .select(col("source"), col("rank_pos"), col("rank_ppm"))
-      .orderBy(col("rank_pos"))
+      .presentSorted(col("rank_pos"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Multimodal column handling — the training-data-pipeline surface for
   * image/audio/video payloads (BASELINE.json north_star).
@@ -67,7 +68,7 @@ object Multimodal {
         // hex chars.)
         hex(substring(col("payload"), 1, 4)).as("header_hex"),
         fakeLuma(col("payload")))
-      .orderBy(col("doc_id"))
+      .presentSorted(col("doc_id"))
 
   /** Resize: pure metadata transform — new dimensions at target width
     * 64 preserving aspect ratio (integer floor, like a real thumbnailer
@@ -79,7 +80,7 @@ object Multimodal {
         lit(64).as("new_width"),
         expr("(height * 64) DIV width").as("new_height"),
         (col("width").cast(DoubleType) / col("height")).as("aspect"))
-      .orderBy(col("doc_id"))
+      .presentSorted(col("doc_id"))
 
   /** Frame sampling: every 4th frame index per "video", one output row
     * per sampled frame with a per-frame signature (decode-stub again).
@@ -93,7 +94,7 @@ object Multimodal {
         col("doc_id"), col("n_frames"), col("frame_idx"),
         md5(concat(col("doc_id").cast(StringType), lit(":"),
                    col("frame_idx").cast(StringType))).as("frame_sig"))
-      .orderBy(col("doc_id"), col("frame_idx"))
+      .presentSorted(col("doc_id"), col("frame_idx"))
 
   /** One media row as the partition-decode path sees it. */
   case class MediaRow(doc_id: Long, payload: Array[Byte], format: String,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** PII redaction over the `documents` table — the compliance pass every
   * training-data pipeline runs before a corpus leaves quarantine (no
@@ -67,7 +68,7 @@ object Privacy {
         countMatches(col("txt"), PhonePattern).as("n_phones"),
         countMatches(col("txt"), Ipv4Pattern).as("n_ips"),
         md5(redact(col("txt"))).as("redacted_md5"))
-      .orderBy(col("doc_id"))
+      .presentSorted(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

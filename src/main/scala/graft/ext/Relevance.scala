@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Corpus-statistics relevance ranking (TF-IDF) — the classic retrieval
   * scoring a training-data pipeline uses for keyword extraction, corpus
@@ -56,7 +57,7 @@ object Relevance {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"),
               col("tf"), col("doc_freq"))
-      .orderBy(col("doc_id"), col("rank"))
+      .presentSorted(col("doc_id"), col("rank"))
   }
 
   // k = 3 bound in the oracle below.

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Approximate-nearest-neighbor search over the `embeddings` table —
   * training-data-pipeline surface (BASELINE.json north_star).
@@ -47,7 +48,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nn_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+      .presentSorted(col("query_id"), col("rank"))
   }
 
   /** Exact brute-force cosine top-k: broadcast the query set, stream the
@@ -92,7 +93,7 @@ object Similarity {
               col("n"))
 
   def knnIvfCentroids(spark: SparkSession, dir: String): DataFrame =
-    centroidRows(spark, dir).orderBy(col("cell"), col("dim"))
+    centroidRows(spark, dir).presentSorted(col("cell"), col("dim"))
 
   /** Default number of centroid-ranked cells probed by [[knnIvfProbe2]]
     * (the query's own cell is always unioned in on top). */
@@ -155,7 +156,7 @@ object Similarity {
         when(col("hi") === col("lo"), lit(0))
           .otherwise(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 255))
           .cast(IntegerType).as("code"))
-      .orderBy(col("vec_id"), col("dim"))
+      .presentSorted(col("vec_id"), col("dim"))
   }
 
   /** ANN over the QUANTIZED corpus — asymmetric distance computation

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Text analysis over the `documents` table — the training-data-pipeline
   * surface (BASELINE.json north_star; no reference-repo counterpart: the
@@ -49,7 +50,7 @@ object Text {
         when(col("word_count") >= 40 && col("ttr") >= 0.3, lit(1.0))
           .otherwise(when(col("word_count") >= 15, lit(0.5))
           .otherwise(lit(0.0))))
-      .orderBy(col("doc_id"))
+      .presentSorted(col("doc_id"))
   }
 
   /** Language-ID heuristic: function-word marker counts per language
@@ -65,7 +66,7 @@ object Text {
       .withColumn("predicted_lang",
         when(col("score_en") >= col("score_de"), lit("en")).otherwise(lit("de")))
       .withColumn("is_match", (col("predicted_lang") === col("lang")).cast(IntegerType))
-      .orderBy(col("doc_id"))
+      .presentSorted(col("doc_id"))
 
   /** Token counting: whitespace tokens plus a BPE-ish regexp pass
     * (letter runs / digit runs / single other chars — the pre-tokenizer
@@ -78,7 +79,7 @@ object Text {
         size(regexp_extract_all(col("text"),
              lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
           .cast(LongType).as("bpe_tokens"))
-      .orderBy(col("doc_id"))
+      .presentSorted(col("doc_id"))
 
   /** Document fingerprinting: min-hash over character 8-gram shingles at
     * stride 4 (the columnar form of a strided rolling-hash fingerprint —
@@ -87,16 +88,24 @@ object Text {
     * oracle must reproduce the value bit-for-bit; swap for xxhash64 where
     * the fingerprint never leaves Spark. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    // Strided positions EXPLODE to rows and the min-hash is a plain
+    // `min` aggregate — not array_min(transform(…)): the HOF pair is
+    // CodegenFallback, so the ~len/4 md5 calls per doc ran interpreted
+    // (same trap as Dedup.signaturesFrom). Exploded, the scan is
+    // generator → md5 → hash-aggregate, codegen end to end; md5(text)
+    // sits BELOW the generator, so it hashes once per doc, not per
+    // position, and the spreadForCpu hash-partitioning makes the
+    // groupBy exchange-free.
     val n = greatest(length(col("text")) - 7, lit(1))
     Tables.spreadForCpu(Tables.documents(spark, dir), // ~len/4 md5 calls
       col("doc_id"))               // per doc off a potentially-single split
-      .select(
-        col("doc_id"),
-        md5(col("text")).as("text_md5"),
-        array_min(transform(sequence(lit(1), n, lit(4)),
-                            i => md5(col("text").substr(i, lit(8)))))
-          .as("shingle_fingerprint"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), md5(col("text")).as("text_md5"), col("text"),
+              explode(sequence(lit(1), n, lit(4))).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("text_md5")).as("text_md5"), // group-constant
+           min(md5(col("text").substr(col("i"), lit(8))))
+             .as("shingle_fingerprint"))
+      .presentSorted(col("doc_id"))
   }
 
   /** Repetition-ratio quality signals (the Gopher-style repetitiousness
@@ -141,7 +150,7 @@ object Text {
       .groupBy(col("doc_id"))
       .agg((max(col("n")).cast(DoubleType) / sum(col("n")))
              .as("top_word_ratio"))
-    perRow.join(topWord, "doc_id").orderBy(col("doc_id"))
+    perRow.join(topWord, "doc_id").presentSorted(col("doc_id"))
   }
 
   /** Corpus vocabulary heavy hitters: tokens carrying ≥ `minShare` of
@@ -167,7 +176,7 @@ object Text {
                   col("n").cast(DoubleType) / sum(col("n")).over(total)
                     .cast(DoubleType))
       .filter(col("share") >= minShare)
-      .orderBy(col("n").desc, col("word"))
+      .presentSorted(col("n").desc, col("word"))
   }
 
   /** Canonical text normalization — the step every dedup/fingerprint
@@ -184,7 +193,7 @@ object Text {
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
           " +", " ")).as("norm_text"))
       .withColumn("norm_len", length(col("norm_text")).cast(LongType))
-      .orderBy(col("doc_id"))
+      .presentSorted(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"       -> textStats _,

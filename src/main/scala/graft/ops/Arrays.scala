@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Array higher-order functions — C13/C14 of SURVEY.md §2.
   *
@@ -56,7 +57,7 @@ object Arrays {
         col("col.bid_prices").as("bid_price"),
         col("col.ask_prices").as("ask_price"),
         col("depth"))
-      .orderBy(col("event_id"), col("pos"))
+      .presentSorted(col("event_id"), col("pos"))
 
   /** C14: aggregate folds with the reference's sentinel seeds, plus the
     * guarded array_max/array_min variants (reference:
@@ -76,7 +77,7 @@ object Arrays {
           .as("best_ask_sentinel"),
         array_max(col("bid_prices")).as("best_bid_guarded"),
         array_min(col("ask_prices")).as("best_ask_guarded"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hof_transform" -> hofTransform _,

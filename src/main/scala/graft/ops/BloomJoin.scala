@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Bloom-filter semi-join reduction — prune the FACT side of a
   * selective join before its shuffle, with a compact filter built in
@@ -69,7 +70,7 @@ object BloomJoin {
       .agg(count(lit(1)).as("n_items"),
            sum(col("l_quantity").cast(DecimalType(28, 6))).cast(DoubleType)
              .as("sum_qty"))
-      .orderBy(col("l_returnflag"))
+      .presentSorted(col("l_returnflag"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

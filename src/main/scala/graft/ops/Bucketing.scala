@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Bucketed (pre-partitioned) tables — the storage-layout answer to the
   * shuffle problem. ops/Joins shows the right DYNAMIC strategies (shuffle
@@ -109,7 +110,7 @@ object Bucketing {
       .agg(count(lit(1)).as("n_items"),
            sum(col("rev").cast(DecimalType(28, 6))).cast(DoubleType)
              .as("revenue"))
-      .orderBy(col("o_orderpriority"))
+      .presentSorted(col("o_orderpriority"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

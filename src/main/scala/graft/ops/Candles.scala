@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Tumbling-window OHLC candle aggregation — the reference engine's core
   * (reference: data_processor.py:144-165, SURVEY.md §2.E).
@@ -79,7 +80,7 @@ object Candles {
     val ev = Tables.events(spark, dir)
     ohlc(ev, col("ts"), col("event_id"), col("value"),
          Seq("event_type" -> col("event_type")), "1 minute")
-      .orderBy(col("window_start"), col("event_type"))
+      .presentSorted(col("window_start"), col("event_type"))
   }
 
   /** 5-minute variant (the reference documents 5/15-minute configs,
@@ -90,7 +91,7 @@ object Candles {
     val ev = Tables.events(spark, dir)
     ohlc(ev, col("ts"), col("event_id"), col("value"),
          Seq("event_type" -> col("event_type")), "5 minutes")
-      .orderBy(col("window_start"), col("event_type"))
+      .presentSorted(col("window_start"), col("event_type"))
   }
 
   /** Sliding-window OHLC: `window(ts, "5 minutes", "1 minute")` — each
@@ -120,7 +121,7 @@ object Candles {
               col("window.end").as("window_end"), col("event_type"),
               col("open"), col("high"), col("low"), col("close"),
               col("volume"), col("n_trades"))
-      .orderBy(col("window_start"), col("event_type"))
+      .presentSorted(col("window_start"), col("event_type"))
   }
 
   /** Session-window candles: `session_window(ts, "15 minutes")` — a
@@ -145,7 +146,7 @@ object Candles {
       .select(col("session_window.start").as("session_start"),
               col("session_window.end").as("session_end"), col("event_type"),
               col("n_events"), col("low"), col("high"), col("volume"))
-      .orderBy(col("session_start"), col("event_type"))
+      .presentSorted(col("session_start"), col("event_type"))
   }
 
   /** C18: window-struct field access surfaced directly
@@ -156,7 +157,7 @@ object Candles {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"),
               col("window.end").as("window_end"), col("n"))
-      .orderBy(col("window_start"))
+      .presentSorted(col("window_start"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "candles_1m"      -> candles1m _,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** CDC merge (SCD type-1 upsert-with-tombstones) — the batch op that
   * folds a changelog into a snapshot: for every key keep the HIGHEST-
@@ -54,7 +55,7 @@ object Cdc {
              col("event_type") === "error")
       .select(col("user_id"), col("ts").as("ver_ts"),
               col("value").as("latest_value"))
-      .orderBy(col("user_id"))
+      .presentSorted(col("user_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

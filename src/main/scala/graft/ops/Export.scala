@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** B5: CSV batch export — `coalesce(1).write.csv(header=True)`
   * (reference: README.md:402).
@@ -61,7 +62,7 @@ object Export {
       StructField("event_type", StringType),
       StructField("value", DoubleType)))
     spark.read.schema(schema).option("header", "true").csv(out)
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
   }
 
   /** JSON-lines round trip — the interchange format every ingest edge
@@ -80,7 +81,7 @@ object Export {
       StructField("event_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType)))
-    spark.read.schema(schema).json(out).orderBy(col("event_id"))
+    spark.read.schema(schema).json(out).presentSorted(col("event_id"))
   }
 
   /** ORC round trip — the second columnar format a warehouse must read
@@ -94,7 +95,7 @@ object Export {
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"), col("ts"))
       .write.mode("overwrite").orc(out)
-    spark.read.orc(out).orderBy(col("event_id"))
+    spark.read.orc(out).presentSorted(col("event_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

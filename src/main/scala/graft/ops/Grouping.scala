@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Multi-level aggregation surface: grouping sets (ROLLUP/CUBE), pivot,
   * and the salted two-stage aggregation that keeps a skewed key from
@@ -53,7 +54,7 @@ object Grouping {
            count(lit(1)).as("n_rows"),
            sum(col("qty_dec")).cast(DoubleType).as("sum_qty"),
            sum(col("rev_dec")).cast(DoubleType).as("revenue"))
-      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+      .presentSorted(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
   /** CUBE over (orderstatus, orderpriority): all 4 grouping sets from
     * the same single Expand + shuffle. */
@@ -63,7 +64,7 @@ object Grouping {
       .agg(grouping_id().as("gid"),
            count(lit(1)).as("n_orders"),
            dsum(col("o_totalprice")).as("total_price"))
-      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+      .presentSorted(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
 
   /** Wide-format export: one row per returnflag, one column pair per
     * linestatus. The value list is PINNED (F/O) so the plan is a single
@@ -73,7 +74,7 @@ object Grouping {
       .groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
-      .orderBy(col("l_returnflag"))
+      .presentSorted(col("l_returnflag"))
 
   /** Long-format inverse of [[pivotStatus]] — native `unpivot`/melt
     * (Spark 3.4+), the wide→long reshape every reporting export needs
@@ -91,7 +92,7 @@ object Grouping {
       .select(col("l_returnflag"),
               substring(col("melted"), 1, 1).as("l_linestatus"),
               col("n"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .presentSorted(col("l_returnflag"), col("l_linestatus"))
 
   /** Number of salt shards for [[saltedAgg]]. 16 shards × 5 event types
     * = 80 partial groups — enough to spread a hot key across a 32-core
@@ -122,7 +123,7 @@ object Grouping {
       .agg(sum(col("pn")).as("n_events"),
            sum(col("psum")).cast(DoubleType).as("sum_value"))
       .withColumn("avg_value", col("sum_value") / col("n_events"))
-      .orderBy(col("event_type"))
+      .presentSorted(col("event_type"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rollup_revenue" -> rollupRevenue _,

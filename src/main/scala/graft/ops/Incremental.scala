@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Incremental aggregation by partial-state merge — the pattern that
   * lets a 100 TB pipeline maintain a monthly rollup WITHOUT rescanning
@@ -58,7 +59,7 @@ object Incremental {
               col("sum_v").cast(DoubleType).as("sum_v"),
               col("min_v"), col("max_v"))
       .withColumn("avg_v", col("sum_v") / col("n"))
-      .orderBy(col("month"), col("event_type"))
+      .presentSorted(col("month"), col("event_type"))
 
   def incrementalMonthly(spark: SparkSession, dir: String): DataFrame =
     mergeToMonthly(dailyPartials(spark, dir))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Join surface over the star-schema tables. The reference itself has NO
   * joins (SURVEY.md §2.G) — these exist because a real analytics engine
@@ -47,7 +48,7 @@ object Joins {
       .agg(count(lit(1)).as("n_lineitems"),
            sum(col("rev").cast(DecimalType(28, 6))).cast(DoubleType)
              .as("revenue"))
-      .orderBy(col("region"), col("nation"))
+      .presentSorted(col("region"), col("nation"))
   }
 
   /** Broadcast-pruned dimension filter: fact rows for one market
@@ -63,7 +64,7 @@ object Joins {
       .agg(count(lit(1)).as("n_orders"),
            sum(col("o_totalprice").cast(DecimalType(28, 6))).cast(DoubleType)
              .as("total_price"))
-      .orderBy(col("o_orderpriority"))
+      .presentSorted(col("o_orderpriority"))
   }
 
   /** EXISTS as a left-SEMI join: customers with at least one urgent
@@ -83,7 +84,7 @@ object Joins {
       .agg(count(lit(1)).as("n_customers"),
            sum(col("c_acctbal").cast(DecimalType(28, 6))).cast(DoubleType)
              .as("sum_acctbal"))
-      .orderBy(col("c_mktsegment"))
+      .presentSorted(col("c_mktsegment"))
   }
 
   /** NOT EXISTS as a left-ANTI join: customers who never placed an
@@ -99,7 +100,7 @@ object Joins {
     Tables.customer(spark, dir)
       .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .orderBy(col("c_custkey"))
+      .presentSorted(col("c_custkey"))
   }
 
   /** Correlated scalar subquery, written the way a SQL user writes it —

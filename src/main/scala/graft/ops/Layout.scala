@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Storage-layout maintenance: compaction with range-clustered, in-file
   * sorted output — the op every streaming ingest needs scheduled behind
@@ -51,7 +52,7 @@ object Layout {
       .agg(count(lit(1)).as("n"),
            min(col("ts")).as("ts_min"),
            max(col("ts")).as("ts_max"))
-      .orderBy(col("event_type"))
+      .presentSorted(col("event_type"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

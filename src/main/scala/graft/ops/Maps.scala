@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Map-typed column operators — C6-C8 of SURVEY.md §2 in dedicated form
   * (they are also exercised in context by graft.ops.Parse).
@@ -25,7 +26,7 @@ object Maps {
   def mapExplode(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"), explode(feedsMap).as(Seq("instrument", "price")))
-      .orderBy(col("event_id"), col("instrument"))
+      .presentSorted(col("event_id"), col("instrument"))
 
   /** C7: map_keys + array index — first instrument id of the feeds map
     * (reference: tick_to_hdfs.py:47). */
@@ -33,7 +34,7 @@ object Maps {
     Tables.events(spark, dir)
       .select(col("event_id"),
               element_at(map_keys(feedsMap), 1).as("instrument"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
 
   /** C8: map lookup subscripted by a COLUMN, not a literal
     * (reference: tick_to_hdfs.py:48). */
@@ -41,7 +42,7 @@ object Maps {
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"),
               element_at(feedsMap, col("event_type")).as("price"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "map_explode"    -> mapExplode _,

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.schema.Schemas
 import graft.sources.TickGen
+import graft.Present.PresentOps
 
 /** Quote-rule orderflow classification and the full tick→candle pipeline —
   * C15/C16 + §3.1 of SURVEY.md.
@@ -45,7 +46,7 @@ object OrderFlow {
         col("value") + lit(1.0) + (col("ltq") % lit(3)).cast(DoubleType))
     classify(df)
       .select("event_id", "ltp", "ltq", "buy_volume", "sell_volume", "delta")
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
   }
 
   /** The reference's entire §3.1 lifecycle as one batch query:
@@ -116,7 +117,7 @@ object OrderFlow {
               col("instrument"), col("open"), col("high"), col("low"),
               col("close"), col("buy_volume"), col("sell_volume"),
               col("total_volume"), col("delta"), col("tbq"), col("tsq"))
-      .orderBy(col("window_start"), col("instrument"))
+      .presentSorted(col("window_start"), col("instrument"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.schema.Schemas
 import graft.sources.TickGen
+import graft.Present.PresentOps
 
 /** JSON parse surface — C1-C5, C9, C11, C12 of SURVEY.md §2.
   *
@@ -63,7 +64,7 @@ object Parse {
         col("feed.fullFeed.requestMode").as("request_mode"),
         col("data.type").as("msg_type"),
         col("data.currentTs").as("current_ts"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
   }
 
   /** Partial-schema parse (reference: tick_to_hdfs.py:28,45-51): same JSON,
@@ -84,7 +85,7 @@ object Parse {
           / 1000).cast(LongType)).cast(TimestampNTZType))
       .withColumn("date", to_date(col("tick_time")))
       .select("event_id", "instrument", "tick_time", "date")
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
   }
 
   /** Flat candle parse (reference: candle_to_hdfs.py:45-47): 13 typed
@@ -93,7 +94,7 @@ object Parse {
     val js = TickGen.candleJsonFromEvents(parallelEvents(spark, dir))
     js.select(col("event_id"), from_json(col("json_str"), Schemas.candle).as("c"))
       .select(col("event_id"), col("c.*"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
   }
 
   /** Corrupt-record quarantine — the malformed-feed path every
@@ -122,7 +123,7 @@ object Parse {
       .select(col("id").as("event_id"),
               when(col("p.event_id").isNull, 1).otherwise(0)
                 .cast(IntegerType).as("quarantined"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Data-quality expectation suite — the dbt-test / Deequ-style
   * constraint checks a production pipeline runs on every load before
@@ -64,7 +65,7 @@ object Quality {
       .withColumn("passed",
                   when(col("n_violations") === 0L, 1).otherwise(0)
                     .cast(IntegerType))
-      .orderBy(col("check_name"))
+      .presentSorted(col("check_name"))
   }
 
   /** Data-completeness audit: which (day × event_type × user-cohort)
@@ -97,7 +98,7 @@ object Quality {
       .crossJoin(observed.select(col("event_type")).distinct())
       .crossJoin(spark.range(cohorts).select(col("id").as("cohort")))
     spine.join(observed, Seq("day", "event_type", "cohort"), "left_anti")
-      .orderBy(col("day"), col("event_type"), col("cohort"))
+      .presentSorted(col("day"), col("event_type"), col("cohort"))
   }
 
   /** Percentile winsorization — the outlier-clipping step a feature /
@@ -130,7 +131,7 @@ object Quality {
         sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_high"),
         sum(clipped.cast(DecimalType(28, 6))).cast(DoubleType)
           .as("clipped_sum"))
-      .orderBy(col("event_type"))
+      .presentSorted(col("event_type"))
   }
 
   /** Attach the lineitem expectations to any lineitem-shaped frame as a

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** The dashboard's gold layer as first-class engine queries — E10-E12 and
   * F1-F3 of SURVEY.md §2 (reference: data_plotter.py:159-197,274-295,
@@ -61,7 +62,7 @@ object Rollups {
           .otherwise(lit("red")).as("candle_color"),
         when(col("buy_volume") - col("sell_volume") >= 0, lit("green"))
           .otherwise(lit("red")).as("delta_color"))
-      .orderBy(col("window_start"), col("event_type"))
+      .presentSorted(col("window_start"), col("event_type"))
   }
 
   /** E12: session price change per series — last close minus first open
@@ -78,7 +79,7 @@ object Rollups {
         when(col("open") =!= 0.0,
              (col("close") - col("open")) / col("open") * 100)
           .otherwise(lit(null)).as("pct_change"))
-      .orderBy(col("event_type"))
+      .presentSorted(col("event_type"))
   }
 
   /** F1: global ascending sort by event time (the reference's intent at

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Scalar/temporal expressions and filters — C9-C12, C17, D1, D2, A4 of
   * SURVEY.md §2. All per-row codegen'd expressions except `scan_pruned`,
@@ -27,7 +28,7 @@ object Scalars {
               col("ltq_str"),
               col("ltq_str").cast(IntegerType).as("ltq"),
               col("user_id").cast(StringType).as("user_str"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
 
   /** C10: epoch-ms → timestamp, MILLISECOND precision preserved
     * (reference: data_processor.py:113-114 — their float `/1000` path;
@@ -37,7 +38,7 @@ object Scalars {
     Tables.events(spark, dir)
       .select(col("event_id"), lttMs.as("ltt_ms"),
               timestamp_millis(lttMs).cast(TimestampNTZType).as("event_time"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
 
   /** C11: to_timestamp((ltt/1000) CAST LONG) — truncates to WHOLE SECONDS
     * (cast before to_timestamp), deliberately coarser than C10
@@ -47,13 +48,13 @@ object Scalars {
       .select(col("event_id"),
               timestamp_seconds((lttMs.cast(DoubleType) / 1000).cast(LongType))
                 .cast(TimestampNTZType).as("tick_time"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
 
   /** C12: to_date for partition derivation (reference: tick_to_hdfs.py:51). */
   def toDateOp(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"), to_date(col("ts")).as("date"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
 
   /** C17: to_json(struct(*)) whole-row serialization for the Kafka sink
     * path (reference: data_processor.py:175). Integer/string fields only —
@@ -63,7 +64,7 @@ object Scalars {
       .select(col("event_id"),
               to_json(struct(col("event_id"), col("event_type"), col("user_id")))
                 .as("value"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
 
   /** D1: IS NOT NULL conjunction filter (reference: data_processor.py:115).
     * Nulls are derived (k%7==0 → NULL) so the filter actually drops rows. */
@@ -77,7 +78,7 @@ object Scalars {
       .select(col("event_id"), ltq.as("ltq"), ltp.as("ltp"), col("ts"))
       .filter(col("ltq").isNotNull && col("ltp").isNotNull && col("ts").isNotNull)
       .select("event_id", "ltq", "ltp")
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
   }
 
   /** D2: market-hours gate — 09:15-15:30 wall clock, Monday-Friday —
@@ -89,7 +90,7 @@ object Scalars {
       .filter(minuteOfDay.between(9 * 60 + 15, 15 * 60 + 30) &&
               weekday(col("ts")) <= 4)
       .select(col("event_id"), col("ts"), col("event_type"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
   }
 
   /** A4: batch parquet scan with a time-range filter + narrow projection —
@@ -116,7 +117,7 @@ object Scalars {
         raw.filter(col("ts") >= lit(java.sql.Timestamp.from(lo)) &&
                    col("ts") <  lit(java.sql.Timestamp.from(hi)))
     }
-    filtered.select(col("event_id"), col("value")).orderBy(col("event_id"))
+    filtered.select(col("event_id"), col("value")).presentSorted(col("event_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

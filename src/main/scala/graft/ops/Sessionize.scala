@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Batch sessionization (gaps-and-islands) — the BATCH twin of the
   * streaming session window ([[Candles]]' `candles_session` /
@@ -53,7 +54,7 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"),
            min(col("ts")).as("sess_start"),
            max(col("ts")).as("sess_end"))
-      .orderBy(col("user_id"), col("session_idx"))
+      .presentSorted(col("user_id"), col("session_idx"))
   }
 
   /** Ordered funnel analysis — how many users progressed view → click →
@@ -109,7 +110,7 @@ object Sessionize {
       .groupBy(col("cohort_day"),
                datediff(col("day"), col("cohort_day")).as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
-      .orderBy(col("cohort_day"), col("day_offset"))
+      .presentSorted(col("cohort_day"), col("day_offset"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** SQL set operations (EXCEPT / INTERSECT) — cohort algebra. The
   * reference has none (SURVEY §2.G); any audience-building or eval-set
@@ -28,13 +29,13 @@ object SetOps {
   def exceptCohort(spark: SparkSession, dir: String): DataFrame =
     hiValueUsers(spark, dir, "click")
       .except(hiValueUsers(spark, dir, "purchase"))
-      .orderBy(col("user_id"))
+      .presentSorted(col("user_id"))
 
   /** Users in BOTH high-value cohorts. */
   def intersectCohort(spark: SparkSession, dir: String): DataFrame =
     hiValueUsers(spark, dir, "click")
       .intersect(hiValueUsers(spark, dir, "purchase"))
-      .orderBy(col("user_id"))
+      .presentSorted(col("user_id"))
 
   /** Schema-evolution union: two batches of the same logical table where
     * one predates a column — the everyday shape of a long-lived parquet
@@ -49,7 +50,7 @@ object SetOps {
     val legacy = ev.filter(col("event_id") % 2 === 1)
       .select(col("event_id"), col("event_type"))
     withValue.unionByName(legacy, allowMissingColumns = true)
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

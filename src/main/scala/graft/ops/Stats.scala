@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Cardinality and quantile surface.
   *
@@ -37,7 +38,7 @@ object Stats {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            countDistinct(col("user_id")).as("n_users"))
-      .orderBy(col("event_type"))
+      .presentSorted(col("event_type"))
 
   /** Per-series quartiles of `value` via discrete percentiles. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
@@ -48,7 +49,7 @@ object Stats {
            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("q50"),
            expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("q75"),
            max(col("value")).as("v_max"))
-      .orderBy(col("event_type"))
+      .presentSorted(col("event_type"))
 
   /** Column profile (n / mean / variance / stddev) with DETERMINISTIC
     * moments: both engines' `var_pop`/`stddev` accumulate doubles in
@@ -69,7 +70,7 @@ object Stats {
       .withColumn("var_pop",
         col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
       .withColumn("stddev_pop", sqrt(col("var_pop")))
-      .orderBy(col("event_type"))
+      .presentSorted(col("event_type"))
   }
 
   /** Nested-type aggregation output: the distinct event-type SET per
@@ -88,7 +89,7 @@ object Stats {
            concat_ws(",",
              sort_array(array_distinct(collect_list(col("event_type")))))
              .as("event_types"))
-      .orderBy(col("user_id"))
+      .presentSorted(col("user_id"))
 
   /** Calendar-bucketed reporting rollup: events per (day, type).
     * date_trunc keeps the column a timestamp (partition-pruning-friendly
@@ -99,7 +100,7 @@ object Stats {
       .groupBy(date_trunc("day", col("ts")).cast(TimestampNTZType).as("day"),
                col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("day"), col("event_type"))
+      .presentSorted(col("day"), col("event_type"))
 
   /** Fixed-width histogram of `value` — bucket index from integer-exact
     * arithmetic (floor of a clean division; both engines agree bit-wise,
@@ -109,7 +110,7 @@ object Stats {
     Tables.events(spark, dir)
       .groupBy(floor(col("value") / 10.0).cast(LongType).as("bucket"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("bucket"))
+      .presentSorted(col("bucket"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "distinct_counts" -> distinctCounts _,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Temporal joins — the two join shapes every market-data stack needs and
   * vanilla Spark SQL has no operator for (SURVEY §2.G notes the reference
@@ -80,7 +81,7 @@ object TimeJoins {
     val quotes = ev.filter(col("event_type") === "click")
     val trades = ev.filter(col("event_type") === "purchase")
     asofJoin(trades, quotes, "user_id")
-      .orderBy(col("user_id"), col("trade_ts"), col("trade_id"))
+      .presentSorted(col("user_id"), col("trade_ts"), col("trade_id"))
   }
 
   private val WindowUs = 10L * 60L * 1000000L // 10 minutes, integer µs
@@ -125,7 +126,7 @@ object TimeJoins {
         "left")
       .groupBy(col("err_id"), col("err_ts"))
       .agg(count(col("click_id")).as("n_clicks_10m"))
-      .orderBy(col("err_id"))
+      .presentSorted(col("err_id"))
   }
 
   /** Gate query: the NAIVE inequality-only range join — the formulation
@@ -147,7 +148,7 @@ object TimeJoins {
           col("click_ts") < col("err_ts") + expr("INTERVAL 10 MINUTES"))
       .groupBy(col("err_id"), col("err_ts"))
       .agg(count(lit(1)).as("n_clicks_10m"))
-      .orderBy(col("err_id"))
+      .presentSorted(col("err_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Typed-Dataset custom aggregation — the `Aggregator`/UDAF corner of
   * SURVEY §2.G, exercised on the one aggregate every market-data system
@@ -64,7 +65,7 @@ object TypedAgg {
               col("v.sum_pv").as("sum_pv"),
               col("v.sum_qty").as("sum_qty"),
               col("v.vwap").as("vwap"))
-      .orderBy(col("l_returnflag"))
+      .presentSorted(col("l_returnflag"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Analytic window functions — the engine-side form of the dashboard's
   * rolling-tail statistics (SURVEY §2.E10: the reference computes them
@@ -36,7 +37,7 @@ object Windows {
           .cast(DoubleType).as("rolling_sum"),
         count(lit(1)).over(w).as("rolling_n"))
       .withColumn("rolling_avg", col("rolling_sum") / col("rolling_n"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
   }
 
   /** [[rollingStats]] over a HIGH-CARDINALITY series key.
@@ -64,7 +65,7 @@ object Windows {
         sum(col("value").cast(DecimalType(18, 2))).over(w)
           .cast(DoubleType).as("rolling_sum"),
         count(lit(1)).over(w).as("rolling_n"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
   }
 
   /** Group-wise top-n: the 3 highest-value events per series via
@@ -76,7 +77,7 @@ object Windows {
       .select(col("event_type"), col("event_id"), col("value"),
               row_number().over(w).as("rnk"))
       .filter(col("rnk") <= 3)
-      .orderBy(col("event_type"), col("rnk"))
+      .presentSorted(col("event_type"), col("rnk"))
   }
 
   /** Per-series offset access — lag/lead returns, the first derived
@@ -93,7 +94,7 @@ object Windows {
               lag(col("value"), 1).over(w).as("prev_value"),
               lead(col("value"), 1).over(w).as("next_value"))
       .withColumn("delta_prev", col("value") - col("prev_value"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
   }
 
   /** Rank-family surface over one shared exchange: quartile bucketing
@@ -114,7 +115,7 @@ object Windows {
               rank().over(byVal).as("rnk"),
               dense_rank().over(byVal).as("drnk"),
               percent_rank().over(byVal).as("prnk"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
   }
 
   /** TIME-range window frame — "everything in the trailing hour",
@@ -137,7 +138,7 @@ object Windows {
               count(lit(1)).over(w).as("n_1h"),
               sum(col("value").cast(DecimalType(28, 6))).over(w)
                 .cast(DoubleType).as("sum_1h"))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

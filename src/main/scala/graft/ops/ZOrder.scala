@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.Tables
+import graft.Present.PresentOps
 
 /** Z-order (Morton-curve) layout — MULTI-dimension zone-map pruning,
   * where [[Layout.compactSorted]] is the single-dimension answer.
@@ -116,7 +117,7 @@ object ZOrder {
       .select(col("event_id"), col("user_id"),
               floor(col("value")).cast(LongType).as("vb"))
       .withColumn("zval", zValue(col("user_id"), col("vb")))
-      .orderBy(col("event_id"))
+      .presentSorted(col("event_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_key" -> zorderKey _)
