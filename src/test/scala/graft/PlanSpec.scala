@@ -209,6 +209,47 @@ class PlanSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(plan).nonEmpty, plan)
   }
 
+  test("hash-sketch signature builders never fold with CodegenFallback HOFs") {
+    // Spark's higher-order aggregate() is CodegenFallback: a signature
+    // built from per-lane array folds runs its whole hot loop
+    // interpreted (measured r13: 1.75 s vs 0.57 s for the 64-bit simhash
+    // count pass at sf0.1, zero WholeStageCodegen spans). The kernels
+    // must keep the per-token/per-shingle work in the explode →
+    // hash-aggregate shape. (transform() for shingle CONSTRUCTION is
+    // fine — it runs once per doc, not once per lane per element.)
+    for ((name, df) <- Seq[(String, org.apache.spark.sql.DataFrame)](
+        "minhash signatures" -> ext.Dedup.minhashSignatures(spark, sfDir),
+        "simhash16"          -> ext.Dedup.dedupSimhash(spark, sfDir))) {
+      val plan = planOf(df)
+      assert(!plan.contains("aggregate(lambdafunction"),
+             s"$name folds with an interpreted HOF:\n$plan")
+      // HashAggregate for the Long-sum kernels; the string-min minhash
+      // lanes legitimately plan as SortAggregate (string agg buffers
+      // aren't hash-table mutable) — still whole-stage codegen'd
+      assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+             s"$name lost its explode+aggregate shape:\n$plan")
+    }
+  }
+
+  test("presentation sorts are single-partition local sorts, never sampling range sorts") {
+    // A terminal orderBy's range exchange SAMPLES its child to pick
+    // bounds — re-executing the entire upstream plan once (measured r13:
+    // +0.7 s on dedup_minhash_sig alone; ~20% of the whole suite).
+    // Gate-sized results must sort via one single-partition exchange.
+    for ((name, df) <- Seq[(String, org.apache.spark.sql.DataFrame)](
+        "candles_1m"        -> ops.Candles.candles1m(spark, sfDir),
+        "dedup_minhash_sig" -> ext.Dedup.minhashSignatures(spark, sfDir)
+          .transform(d => graft.Present.sorted(d, org.apache.spark.sql.functions.col("doc_id"))),
+        "text_normalize"    -> ext.Text.normalize(spark, sfDir))) {
+      val plan = planOf(df)
+      assert(!plan.contains("rangepartitioning"),
+             s"$name still range-sorts (sampling pass!):\n$plan")
+      assert(plan.contains("SinglePartition") ||
+             plan.contains("RoundRobinPartitioning(1)"),
+             s"$name lost its single-partition presentation sort:\n$plan")
+    }
+  }
+
   test("range join is a bucketed equi-join — never a nested-loop/cartesian") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)
