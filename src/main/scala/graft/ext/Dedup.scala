@@ -32,10 +32,16 @@ import graft.Tables
   *                candidates are BOUNDED (≤ 3·BlockW − 1), so even a
   *                popular cell never degenerates to an all-pairs join.
   *
-  * Everything is codegen'd — built-ins (HOFs, md5, joins, window) plus
-  * the engine's native expressions (graft.functions.JaccardSim for the
-  * verify stages); no UDFs, no collect. The only driver-side actions are
-  * the eager cache materializations documented at their persist sites.
+  * Everything stays inside codegen'd operators — generators, projections
+  * (md5/conv), hash/sort aggregates, joins, windows, plus the engine's
+  * native expressions (graft.functions.JaccardSim for the verify stages);
+  * no UDFs, no collect. The hash-sketch kernels deliberately avoid
+  * higher-order transform/aggregate folds in their per-element hot loops:
+  * Spark's HOFs are CodegenFallback, and a fold-built signature runs
+  * interpreted at 2–3× the cost (SURVEY §4; pinned in PlanSpec). HOFs
+  * remain only where they run once per row (shingle construction). The
+  * only driver-side actions are the eager cache materializations
+  * documented at their persist sites.
   */
 object Dedup {
 
