@@ -25,7 +25,7 @@ import graft.Present.PresentOps
   * deterministic email / phone / IPv4 per document (derived from
   * `doc_id`, identically spelled in the oracle SQL) and then proves the
   * redactor strips all three: the match counts come from the pre-image,
-  * the digest from the post-image, and [[PrivacySpec]] pins
+  * the digest from the post-image, and PipelineOpsSpec pins
   * idempotence (redacting twice == redacting once) plus zero residual
   * matches after one pass.
   */

@@ -11,7 +11,7 @@ import graft.Present.PresentOps
   * SURVEY.md §2. All per-row codegen'd expressions except `scan_pruned`,
   * which exists to keep the parquet-scan pushdown surface honest (its
   * filter and 3-column projection must reach the file source — see
-  * ExplainSpec).
+  * PlanSpec's scan_pruned pin).
   */
 object Scalars {
 
