@@ -304,24 +304,15 @@ object Dedup {
     lshVerifiedPairs(spark, dir, jaccardMin)
       .select(col("doc_a"), col("doc_b"))
 
-  /** Distinct character 3-gram set over a MATERIALIZED `chars` column
-    * (split(text, "")) — the edit-robust granularity for
-    * [[dedupNgramJaccard]] (word shingles miss single-character edits
-    * inside words; char 3-grams catch them).
-    *
-    * Same O(n²) trap as [[shinglesFromToks]], one level down: written as
-    * `substr(text, i, 3)` the gram build is quadratic per doc, because
-    * substr on a STRING has to scan to the i-th char's UTF-8 byte offset
-    * every call (measured 3.1 s for the pass alone at sf0.1 vs 0.4 s in
-    * this form); element_at on the char array is O(1). */
-  private def charGramsFromChars: Column = {
-    val ch = col("chars")
-    when(size(ch) >= 3,
-      array_distinct(transform(sequence(lit(1), size(ch) - 2),
-        i => concat(element_at(ch, i), element_at(ch, i + 1),
-                    element_at(ch, i + 2)))))
-      .otherwise(array(concat_ws("", ch)))
-  }
+  // Char 3-grams — the edit-robust verify granularity for
+  // dedupNgramJaccard (word shingles miss single-character edits inside
+  // words) — come from the native graft.functions.CharNGrams expression:
+  // one codegen'd pass over the UTF-8 bytes. The composed form (split
+  // into a per-char array → HOF transform+concat → array_distinct) paid
+  // three materializations per row with the transform loop interpreted,
+  // and a naive substr(text, i, 3) form is quadratic per doc (substr
+  // re-seeks the i-th char's byte offset every call — measured 3.1 s at
+  // sf0.1). Value-identical to both (CharNGramsSpec).
 
   /** N-gram Jaccard near-dup scoring: the word-shingle banded LSH
     * generates the candidate pairs (same bounded bucket-join shape as
@@ -355,8 +346,8 @@ object Dedup {
       .select(col("doc_id")).distinct()
     val cgDocs = Tables.documents(spark, dir)
       .join(pinBuildSide(candDocs), "doc_id")
-      .select(col("doc_id"), split(col("text"), "").as("chars"))
-      .select(col("doc_id"), charGramsFromChars.as("cg"))
+      .select(col("doc_id"),
+              graft.functions.CharNGrams(col("text"), lit(3)).as("cg"))
     val x = cgDocs.select(col("doc_id").as("xid"), col("cg").as("xcg"))
     val y = cgDocs.select(col("doc_id").as("yid"), col("cg").as("ycg"))
     // Same driver-safety shape as dedupMinhashLsh's verify join.
