@@ -43,8 +43,7 @@ object Decontam {
     * which is what keeps the aggregation small. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(Dedup.shinglesFromToks).as("shingle"))
+      .select(col("doc_id"), explode(Dedup.shingles).as("shingle"))
     val bench = sh.filter(col("doc_id") % BenchMod === BenchRem)
       .select(col("doc_id").as("bench_id"), col("shingle"))
     sh.filter(col("doc_id") % BenchMod =!= BenchRem)

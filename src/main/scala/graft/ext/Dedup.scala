@@ -47,22 +47,20 @@ object Dedup {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** Word 3-gram shingle set (distinct) over a MATERIALIZED `toks`
-    * column. The lambda must index an attribute, not `split(text)`
-    * directly — inlined, the split would re-run for every array element
-    * (O(words²) per doc; measured 4.3 s vs 0.3 s for the shingle build at
-    * sf0.1). Chosen over unigrams because a small vocabulary saturates
-    * unigram sets and degenerates LSH into one giant bucket (measured: a
-    * 317-doc bucket on this corpus) — the classic LSH skew failure;
-    * 3-grams keep buckets tight. */
-  private[ext] def shinglesFromToks: Column = {
-    val t = col("toks")
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ",
-          element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  /** Word 3-gram shingle set (distinct, first-occurrence order) — the
+    * native [[graft.functions.WordNGrams]] expression: one codegen'd
+    * byte walk, gram slices sharing the text's byte array. Value-
+    * identical to the composed split→transform(concat_ws)→distinct
+    * chain it replaced (WordNGramsSpec), which paid a token-array
+    * materialization plus an interpreted HOF loop per row — and was
+    * quadratic per doc if the split was ever inlined into the lambda
+    * (the duplicated-expression trap; measured 4.3 s vs 0.3 s at
+    * sf0.1). Word 3-grams, not unigrams, because a small vocabulary
+    * saturates unigram sets and degenerates LSH into one giant bucket
+    * (measured: a 317-doc bucket on this corpus) — the classic LSH
+    * skew failure; 3-grams keep buckets tight. */
+  private[ext] def shingles: Column =
+    graft.functions.WordNGrams(col("text"), lit(3))
 
   private val NumHashes = 8
   private val NumBands  = 4 // rows per band = 2
@@ -126,8 +124,7 @@ object Dedup {
   private def shingleSets(spark: SparkSession, dir: String,
                           extra: Seq[String] = Nil): DataFrame =
     Tables.spreadForCpu(Tables.documents(spark, dir), col("doc_id"))
-      .select(col("doc_id") +: extra.map(col) :+ toks.as("toks"): _*)
-      .select(col("doc_id") +: extra.map(col) :+ shinglesFromToks.as("ss"): _*)
+      .select(col("doc_id") +: extra.map(col) :+ shingles.as("ss"): _*)
 
   /** The LSH BUILD step: per-doc banded signature (doc_id, b0..b3). In
     * production this table is computed once at ingest and persisted —

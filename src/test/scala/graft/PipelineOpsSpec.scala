@@ -125,7 +125,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("repetition bigram lambda indexes a materialized toks attribute") {
     // if CollapseProject re-inlines split(text) into the transform
     // lambda, the split re-runs per ARRAY ELEMENT (O(words²) per doc —
-    // the measured 14× trap documented in Dedup.shinglesFromToks).
+    // the measured 14× trap the native WordNGrams builder retired).
     // Per-ROW split copies in pushed-down filters are fine; a split
     // inside a lambdafunction(...) is the quadratic signature (each
     // optimized-plan node prints on one line, so line-local co-
