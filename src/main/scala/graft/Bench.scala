@@ -74,6 +74,9 @@ object Bench {
         // (a) each repeat measures the same cold-cache work, and (b) a
         // long bench session's storage memory stays flat instead of
         // accumulating never-unpersisted frames across 50+ queries.
+        // CacheScope.release also empties the pin ledger (clearCache
+        // drops the cache entries; release drops the DataFrame refs).
+        CacheScope.release(spark)
         spark.catalog.clearCache()
         // One untimed full GC per query (before its warmup rep): 100+
         // queries in one JVM accumulate tenured garbage, and a query

@@ -15,9 +15,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      // Caches are internal to a query (the dedup family persists its
+      // Caches are internal to a query (the dedup family pins its
       // shingle/band frames) — release them between queries so the gate
       // run's storage memory stays flat over 50+ queries.
+      CacheScope.release(spark)
       spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -2,7 +2,6 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.Present.PresentOps
@@ -102,7 +101,13 @@ object Cluster {
     //
     // DISTRIBUTED: pointer-jumping min-label rounds; the O(V) label
     // frame broadcasts below the bound and shuffles above it.
-    if (parts == 1 && Iterate.localSolveEnabled(nodes.sparkSession)) {
+    // Heap-bounded like [[Graph.pageRank]]'s switch: the local solver
+    // materializes the graph boxed in one task (~120–180 B/row), so the
+    // ceiling is [[Iterate.LocalSolveMaxRowsConf]], not the 1M/task
+    // partition heuristic.
+    if (parts == 1 &&
+        (nV max nE) <= Iterate.localSolveMaxRows(nodes.sparkSession) &&
+        Iterate.localSolveEnabled(nodes.sparkSession)) {
       // checkpoint the O(V) result so v/sym blocks can be freed now —
       // the returned frame must not re-read them after unpersist
       val out = Iterate.ccLocal(v, symAll).localCheckpoint()
@@ -116,6 +121,12 @@ object Cluster {
       // min-label propagation through graph neighbors AND the label
       // pointer edges (id <-> current label, both directions) — the path-
       // doubling step that makes convergence logarithmic
+      // Each round's aggregate carries the id's PREVIOUS label alongside
+      // the new min: labels rows are tagged with `cur = label`, neighbor
+      // rows with `cur = null`, and since every id has exactly one labels
+      // row, `max(cur)` recovers the old label inside the same min-
+      // aggregate — no extra join, no extra shuffle.
+      val lblType = v.schema("id").dataType
       def step(labels: DataFrame): DataFrame = {
         val ptr = labels.filter(col("id") =!= col("label"))
         val hops = sym
@@ -125,41 +136,37 @@ object Cluster {
           .join(b(labels.select(col("id").as("nid"), col("label"))),
                 col("dst") === col("nid"))
           .select(col("src").as("id"), col("label"))
-        labels.unionByName(viaNbr)
-          .groupBy(col("id")).agg(min(col("label")).as("label"))
+        labels.withColumn("cur", col("label"))
+          .unionByName(viaNbr.withColumn("cur", lit(null).cast(lblType)))
+          .groupBy(col("id"))
+          .agg(min(col("label")).as("label"), max(col("cur")).as("prev"))
       }
       // Convergence rides the checkpoint job itself via Dataset.observe:
-      // labels only ever DECREASE (each round's label is a min over a set
-      // containing the current label), so the exact label-sum is monotone
-      // non-increasing and two equal consecutive sums prove no label moved
-      // — the complete convergence test, with ZERO extra jobs (the old
-      // join+count per round doubled the loop's job bill). The sum
-      // aggregates as DECIMAL(38,0): exact where a double would swallow a
-      // one-unit decrease past 2^53, and 38 digits cannot overflow on any
-      // real graph (1e9 nodes × the full long id range ≈ 1e28).
-      def lsum = sum(col("label").cast(DecimalType(38, 0))).as("lsum")
-      val obs0 = Observation()
+      // the round is converged iff NO id's label changed, and the changed
+      // count is an exact observation over (label, prev) — complete for
+      // every label type (longs, strings, …; r13's label-SUM checksum
+      // cast to DECIMAL and ANSI-failed on string ids), with ZERO extra
+      // jobs (the old join+count per round doubled the loop's job bill).
+      def changed = sum(when(col("label") === col("prev"), 0L)
+        .otherwise(1L)).as("changed")
       // the RAW checkpoint is kept aside because freeing blocks needs the
       // LogicalRDD leaf itself
       var labelsCk = v.select(col("id"), col("id").as("label"))
-        .observe(obs0, lsum)
         .localCheckpoint()
       var labels = labelsCk
-      var prevSum: Any = obs0.get("lsum")
       var round = 0
       var converged = false
       while (!converged && round < maxRounds) {
         val obs = Observation()
-        val nextCk = step(labels).observe(obs, lsum).localCheckpoint()
-        val curSum: Any = obs.get("lsum")
-        converged = curSum == prevSum
-        prevSum = curSum
+        val nextCk = step(labels).observe(obs, changed).localCheckpoint()
+        val ch = obs.get("changed") // null on an empty label frame = done
+        converged = ch == null || ch.asInstanceOf[Long] == 0L
         // the superseded round has no readers left — free its checkpoint
         // blocks (Dataset.unpersist never covers checkpoint RDDs; r10
         // accumulated them across the whole bench)
         Graph.freeCheckpoint(labelsCk)
         labelsCk = nextCk
-        labels = nextCk
+        labels = nextCk.select(col("id"), col("label"))
         round += 1
       }
       // labels-only-decrease makes the equal-sum round a complete

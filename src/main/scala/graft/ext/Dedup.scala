@@ -87,11 +87,14 @@ object Dedup {
     * from `df`, and nothing ever lands on the driver.
     *
     * Cache ownership: the persist is deliberately NOT unpersisted here —
-    * the frame is consumed downstream of the returned plan. Bench/Verify
-    * release it via `spark.catalog.clearCache()` between queries; library
-    * callers building many dedup plans own cache release the same way. */
+    * the frame is consumed downstream of the returned plan. It is pinned
+    * through [[graft.CacheScope]], so release is enforceable, not prose:
+    * wrap plan construction + action in `CacheScope.scoped(spark){…}` (or
+    * call `CacheScope.release(spark)` between queries, as Bench/Verify
+    * do). DedupArtifactSpec asserts a scoped run leaves the session
+    * CacheManager empty. */
   private def pinBuildSide(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = graft.CacheScope.pin(df)
     if (p.count() <= MaxBroadcastRows) broadcast(p) else p.hint("shuffle_hash")
   }
 
@@ -253,10 +256,8 @@ object Dedup {
   private def lshVerifiedPairs(spark: SparkSession, dir: String,
                                jaccardMin: Double,
                                extra: Seq[String] = Nil): DataFrame = {
-    val sh = shingleSets(spark, dir, extra)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = bandsOf(signaturesFrom(sh))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.CacheScope.pin(shingleSets(spark, dir, extra))
+    val bands = graft.CacheScope.pin(bandsOf(signaturesFrom(sh)))
     bands.count()
     val cand = pairsFromBands(bands)
     val x = sh.select(col("doc_id").as("xid") +: col("ss").as("xss") +:
@@ -325,8 +326,8 @@ object Dedup {
     // nothing, and caching the char-gram arrays costs more (columnar
     // encode of ~|text| strings per doc) than the two cheap md5-free
     // recomputes on the x/y verify streams.
-    val bands = bandsOf(signaturesFrom(shingleSets(spark, dir)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = graft.CacheScope.pin(
+      bandsOf(signaturesFrom(shingleSets(spark, dir))))
     bands.count() // one pass fills the cache — see dedupMinhashLsh
     val cand = pairsFromBands(bands)
     // Verify cost is O(CANDIDATES), not O(corpus): prune documents to
@@ -499,10 +500,10 @@ object Dedup {
       when(col(s"c$j") * 2 > col("n"),
         lit(if (j == 63) Long.MinValue else 1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    // sigs is BOTH band-join sides AND both verify sides — persist like
-    // the LSH bands (harnesses clearCache between queries).
-    val sigs = counts.select(col("id").as("doc_id"), sig.as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sigs is BOTH band-join sides AND both verify sides — pin like the
+    // LSH bands (released via CacheScope.scoped/release).
+    val sigs = graft.CacheScope.pin(
+      counts.select(col("id").as("doc_id"), sig.as("sig")))
     sigs.count() // one pass fills the cache — see dedupMinhashLsh
     val bands = sigs.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>

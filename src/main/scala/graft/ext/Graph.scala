@@ -145,7 +145,13 @@ object Graph {
     // shuffle strategies above, and the dangling scalar is an agg
     // crossed in as a 1-row broadcast (a global window would funnel V
     // rows through one task — fine at gate scale, wrong at 100 TB).
-    if (parts == 1 && Iterate.localSolveEnabled(nodes.sparkSession)) {
+    // localSolveMaxRows is a STRICTER ceiling than parts == 1: the local
+    // solver holds the graph as boxed values in one task's heap
+    // (~120–180 B/row — see [[Iterate.LocalSolveMaxRowsConf]]), so the
+    // regime switch is bounded by heap, not just by partition math.
+    if (parts == 1 &&
+        (n max nEdges) <= Iterate.localSolveMaxRows(nodes.sparkSession) &&
+        Iterate.localSolveEnabled(nodes.sparkSession)) {
       // The solve output is checkpointed so v/e blocks can be freed NOW
       // (the returned frame must not re-read them after unpersist);
       // O(V) rows, same pinned-until-GC lifecycle as the loop's result.

@@ -40,13 +40,40 @@ private[graft] object Iterate {
   def localSolveEnabled(spark: SparkSession): Boolean =
     spark.conf.get(LocalSolveConf, "true").toBoolean
 
-  /** External-row values of every orderable Spark SQL type (numerics,
-    * String, Decimal, Date, Timestamp) implement Comparable, and their
-    * natural order is the order Spark's `min` uses — the local
-    * [[ccLocal]] min-label must agree with the distributed loop's
-    * `min(col("label"))` exactly. */
-  private def cmp(a: Any, b: Any): Int =
-    a.asInstanceOf[Comparable[Any]].compareTo(b)
+  /** Row ceiling for the local regime, DISTINCT from (and stricter than)
+    * the generic ~1M-rows-per-task partition heuristic the distributed
+    * loops size themselves by. The solvers hold the whole graph as boxed
+    * values in one task's heap — ids + edge endpoints + two HashMaps ≈
+    * 120–180 bytes/row — so 1M rows would be ~150 MB of single-task heap:
+    * survivable on this harness's executors, but an avoidable OOM risk on
+    * small-executor deployments sitting just below the regime switch. At
+    * the 200k default the local graph is ≤ ~35 MB and the job-count
+    * saving the regime exists for (0.10–0.13 s/round of scheduling
+    * overhead) is already fully captured — gate graphs are O(100–10k)
+    * rows, and a graph above 200k rows amortizes round-job overhead fine
+    * distributed. Conf'd for operators who have measured their heap. */
+  val LocalSolveMaxRowsConf = "spark.graft.iterative.localSolveMaxRows"
+
+  def localSolveMaxRows(spark: SparkSession): Long =
+    spark.conf.get(LocalSolveMaxRowsConf, "200000").toLong
+
+  /** External-row values of orderable Spark SQL types (numerics, Decimal,
+    * Date, Timestamp) implement Comparable with the natural order Spark's
+    * `min` uses — EXCEPT String: `java.lang.String.compareTo` orders by
+    * UTF-16 code unit, while Spark's `min` on StringType orders by UTF-8
+    * byte (= code point). The two disagree exactly when one side holds an
+    * astral-plane char (surrogate pair, code units 0xD800–0xDFFF) and the
+    * other a BMP char in [U+E000, U+FFFF] — "" < "𐀀" in UTF-16 but
+    * > in UTF-8. The local [[ccLocal]] min-label must agree with the
+    * distributed loop's `min(col("label"))` exactly, so Strings compare
+    * through UTF8String (ClusterSpec pins the astral case). */
+  private def cmp(a: Any, b: Any): Int = a match {
+    case s: String =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(b.asInstanceOf[String]))
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
 
   /** (tag=0, id, null) node rows ++ (tag=1, src, dst) edge rows, merged
     * narrowly onto one partition. */

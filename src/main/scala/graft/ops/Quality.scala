@@ -87,11 +87,11 @@ object Quality {
               (col("user_id") % cohorts).as("cohort"))
     // ONE scan of the big table; bounds and the type domain are
     // derivable from the distinct-slot frame (min/max/distinct survive
-    // the distinct), which is O(slots) — persist it because three plan
-    // branches consume it and Spark shares no DAG between branches
-    // (the eager count prevents the concurrent-materialization race)
-    val observed = ev.distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the distinct), which is O(slots) — pin it (CacheScope-released)
+    // because three plan branches consume it and Spark shares no DAG
+    // between branches (the eager count prevents the concurrent-
+    // materialization race)
+    val observed = graft.CacheScope.pin(ev.distinct())
     observed.count()
     val spine = observed.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))

@@ -103,6 +103,29 @@ class ClusterSpec extends AnyFunSuite {
     assert(run(nodes, dirty) === want)
   }
 
+  test("string ids: local min-label agrees with Spark's UTF-8 byte order") {
+    // U+10000 is F0 90 80 80 in UTF-8 but a 0xD800 surrogate in UTF-16;
+    // U+E000 is EE 80 80 / code unit 0xE000 — the two orders DISAGREE on
+    // this pair (UTF-16: astral < U+E000; UTF-8: astral > U+E000). Both
+    // regimes must pick Spark's min (UTF-8 byte order ⇒ U+E000), so a
+    // java.lang.String.compareTo in the local solver is a labeling bug.
+    val astral = new String(Character.toChars(0x10000))
+    val bmp = ""
+    assert(astral.compareTo(bmp) < 0,       // precondition: orders differ
+           "JVM UTF-16 order no longer disagrees — test needs new chars")
+    val nodes = Seq(bmp, astral).toDF("id")
+    val edges = Seq((astral, bmp)).toDF("src", "dst")
+    def labels(): Map[String, String] =
+      Cluster.connectedComponents(nodes, edges)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = labels()
+    spark.conf.set(graft.ext.Iterate.LocalSolveConf, "false")
+    val dist = try labels()
+               finally spark.conf.unset(graft.ext.Iterate.LocalSolveConf)
+    assert(local === dist)
+    assert(local.values.toSet === Set(bmp)) // the UTF-8 minimum, not UTF-16's
+  }
+
   test("dedup_clusters: keepers partition the corpus and sizes add up") {
     // structural invariants on the real gate query (values are pinned by
     // the DuckDB oracle; this guards the Spark-side plumbing)

@@ -37,4 +37,27 @@ class DedupArtifactSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("CacheScope.scoped releases every internal dedup pin — CacheManager empty") {
+    // The cache-ownership contract, enforced: a library caller composing
+    // dedup plans inside CacheScope.scoped must leave the session with
+    // ZERO cached frames — no clearCache() folklore required. A new
+    // persist added anywhere in the family without a CacheScope.pin
+    // fails here, not in review.
+    CacheScope.release(spark)
+    spark.catalog.clearCache() // isolate from earlier suites' leftovers
+    CacheScope.scoped(spark) {
+      // the heaviest pinners: LSH verify (sh + bands + build side) and
+      // the simhash signature path
+      Dedup.dedupMinhashLsh(spark, sfDir).write.format("noop")
+        .mode("overwrite").save()
+      Dedup.dedupSimhashPairs(spark, sfDir).write.format("noop")
+        .mode("overwrite").save()
+      assert(CacheScope.livePinned(spark) > 0,
+        "expected the dedup family to pin caches inside the scope")
+    }
+    assert(CacheScope.livePinned(spark) === 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "scoped dedup run left frames in the session CacheManager")
+  }
 }
