@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe data generator: writes a `factor`-times-larger copy of a
+  * test SF directory, preserving each table's distributional shape —
+  * the input of BASELINE.md's empirical sf0.1→sf1 scale curve.
+  *
+  * Method: `factor` disjoint copies of every scaling table, keys shifted
+  * per copy by the table's key span so referential joins stay consistent
+  * WITHIN a copy and never collide across copies (exactly how a bigger
+  * corpus grows: more orders from more customers, not the same orders
+  * twice). Two deliberate choices keep the workload's shape honest:
+  *
+  *  - `documents.text` is letter-ROTATED per copy (translate with a
+  *    copy-specific rotated alphabet): word/shingle structure, lengths,
+  *    and the per-copy near-duplicate graph are isomorphic to the
+  *    original, but vocabularies are disjoint across copies — so LSH
+  *    bucket sizes scale like a real 10× corpus (10× more buckets of the
+  *    same size). Naive replication with UNCHANGED texts would put every
+  *    text in the same bucket 10 times: candidate pairs would grow ×100
+  *    by construction and the probe would measure the fixture, not the
+  *    plan.
+  *  - `documents.source` gets a per-copy suffix, so the syndication
+  *    graph gains 10× the nodes/edges rather than 10× the edge
+  *    multiplicity on a fixed node set.
+  *
+  * `region`/`nation` stay fixed (TPC-H-style dimension semantics).
+  * `events.ts` rides through as the raw nanos BIGINT (the session reads
+  * TIMESTAMP(NANOS) as LongType; Tables.load converts either spelling).
+  *
+  * Usage: `runMain graft.ScaleUp <srcDir> <dstDir> [factor=10]`.
+  */
+object ScaleUp {
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+
+  private def rot(s: String, k: Int): String = {
+    val n = ((k % s.length) + s.length) % s.length
+    s.drop(n) + s.take(n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    def raw(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+
+    /** Key span = max+1, so `id + c*span` never collides across copies. */
+    def span(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).collect()(0).getLong(0) + 1L
+
+    /** Union of `factor` transformed copies; `f(df, c)` builds copy c. */
+    def scaled(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = raw(name)
+      val out = (0 until factor).map(c => f(base, c)).reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      System.err.println(s"[scaleup] $name -> ${factor}x")
+    }
+
+    def copyAsIs(name: String): Unit = {
+      raw(name).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      System.err.println(s"[scaleup] $name -> 1x (dimension)")
+    }
+
+    val ck = span(raw("customer"), "c_custkey")
+    val sk = span(raw("supplier"), "s_suppkey")
+    val pk = span(raw("part"), "p_partkey")
+    val ok = span(raw("orders"), "o_orderkey")
+    val ek = span(raw("events"), "event_id")
+    val uk = span(raw("events"), "user_id")
+    val dk = span(raw("documents"), "doc_id")
+    val vk = span(raw("embeddings"), "vec_id")
+
+    copyAsIs("region")
+    copyAsIs("nation")
+    scaled("customer")((df, c) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(c * ck)))
+    scaled("supplier")((df, c) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(c * sk)))
+    scaled("part")((df, c) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(c * pk)))
+    scaled("orders")((df, c) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(c * ok))
+        .withColumn("o_custkey", col("o_custkey") + lit(c * ck)))
+    scaled("lineitem")((df, c) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(c * ok))
+        .withColumn("l_partkey", col("l_partkey") + lit(c * pk))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(c * sk)))
+    scaled("events")((df, c) =>
+      df.withColumn("event_id", col("event_id") + lit(c * ek))
+        .withColumn("user_id", col("user_id") + lit(c * uk)))
+    scaled("documents") { (df, c) =>
+      val from = Lower + Lower.toUpperCase
+      val to = rot(Lower, c) + rot(Lower.toUpperCase, c)
+      df.withColumn("doc_id", col("doc_id") + lit(c * dk))
+        .withColumn("text", translate(col("text"), from, to))
+        .withColumn("source", concat(col("source"), lit(s"-c$c")))
+    }
+    // Vectors are dimension-ROTATED per copy (same reasoning as the text
+    // rotation): a shared permutation of dimensions leaves every
+    // within-copy dot product / norm bit-identical — the per-copy
+    // neighbor graph is isomorphic to the original — while cross-copy
+    // cosines decorrelate, so ANN cells and embedding-dedup blocks grow
+    // in COUNT (like a real 10× corpus), not in per-block size. Naive
+    // replication would put `factor` verbatim copies of every vector in
+    // the same block and the quadratic verify step would measure the
+    // fixture, not the plan.
+    val dim = raw("embeddings")
+      .select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+    scaled("embeddings") { (df, c) =>
+      val r = c % dim
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r),
+                    slice(col("embedding"), 1, r))
+      df.withColumn("vec_id", col("vec_id") + lit(c * vk))
+        .withColumn("embedding", rotated)
+    }
+
+    spark.stop()
+  }
+}
