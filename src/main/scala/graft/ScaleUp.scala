@@ -27,8 +27,12 @@ import org.apache.spark.sql.functions._
   *    multiplicity on a fixed node set.
   *
   * `region`/`nation` stay fixed (TPC-H-style dimension semantics).
-  * `events.ts` rides through as the raw nanos BIGINT (the session reads
-  * TIMESTAMP(NANOS) as LongType; Tables.load converts either spelling).
+  * `events.ts` is written as microsecond TIMESTAMP_NTZ, not the source's
+  * TIMESTAMP(NANOS): the session reads nanos as a raw BIGINT
+  * (`nanosAsLong`), Spark cannot write nanos back, and the DuckDB oracle
+  * cannot `CAST(BIGINT AS TIMESTAMP)`. Semantics are identical on both
+  * sides — Tables.load itself truncates nanos to micros, and the oracle's
+  * `CAST(ts AS TIMESTAMP)` on TIMESTAMP_NS does the same truncation.
   *
   * Usage: `runMain graft.ScaleUp <srcDir> <dstDir> [factor=10]`.
   */
@@ -93,7 +97,9 @@ object ScaleUp {
         .withColumn("l_suppkey", col("l_suppkey") + lit(c * sk)))
     scaled("events")((df, c) =>
       df.withColumn("event_id", col("event_id") + lit(c * ek))
-        .withColumn("user_id", col("user_id") + lit(c * uk)))
+        .withColumn("user_id", col("user_id") + lit(c * uk))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")
+          .cast(org.apache.spark.sql.types.TimestampNTZType)))
     scaled("documents") { (df, c) =>
       val from = Lower + Lower.toUpperCase
       val to = rot(Lower, c) + rot(Lower.toUpperCase, c)

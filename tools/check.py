@@ -16,7 +16,7 @@ Strictness contract (round 9): local red must equal driver red.
    a FAIL, because the driver hash-compares the rendered frames and those
    render differently (this is exactly how sessionize shipped red in r8).
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 import pandas as pd
 
@@ -110,7 +110,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata stores one parquet FILE per table; ScaleUp's
+        # scale-probe dirs are Spark-written parquet DIRECTORIES
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
