@@ -162,14 +162,17 @@ object Bench {
       val ok = room - (e.length + 1) >= 0; if (ok) room -= e.length + 1; ok }
     println(line(kept, kept.size))
     // A subset run is a scratch measurement — never let it clobber the
-    // full-suite artifact.
+    // full-suite artifact. SPARK_GRAFT_BENCH_OUT redirects a full run at
+    // a NON-default SF (the BASELINE.md scale probe) to its own file:
+    // BENCH_LAST.json stays the authoritative sf0.1 regression artifact.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     val fullQs = timed.map { case (k, ts) => s"\"" + k + "\":" + fmt(ts.min) }
     val spread = timed
       .map { case (k, ts) => s"\"" + k + "\":" + fmt(ts.max - ts.min) }
     if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","repeats":$repeats,"queries":${fullQs.mkString("{", ",", "}")},"spread":${spread.mkString("{", ",", "}")},"errors":$errsFull}""" + "\n").getBytes("UTF-8"))
-      catch { case e: Throwable => System.err.println(s"[bench] write BENCH_LAST.json: $e") }
+      catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     spark.stop()
   }
 }
