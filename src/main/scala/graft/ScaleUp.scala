@@ -50,13 +50,24 @@ object ScaleUp {
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    // The text rotation has period 26: copy c and copy c+26 would get the
+    // SAME alphabet, collapsing their vocabularies into shared LSH buckets
+    // — exactly the fixture artifact the rotation exists to avoid. Fail
+    // loudly rather than silently skewing the probe. (The embedding
+    // rotation has period `dim`, checked below once dim is known.)
+    require(factor <= Lower.length,
+      s"factor must be <= ${Lower.length} (text-rotation period), got $factor")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
     def raw(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
 
     /** Key span = max+1, so `id + c*span` never collides across copies. */
-    def span(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).collect()(0).getLong(0) + 1L
+    def span(df: DataFrame, key: String): Long = {
+      val v = df.agg(max(col(key))).collect()(0).get(0)
+      require(v != null, s"cannot size key span: $key has no non-null values " +
+        s"(empty or malformed source table in $src)")
+      v.asInstanceOf[Number].longValue + 1L
+    }
 
     /** Union of `factor` transformed copies; `f(df, c)` builds copy c. */
     def scaled(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
@@ -118,6 +129,10 @@ object ScaleUp {
     // fixture, not the plan.
     val dim = raw("embeddings")
       .select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+    // Same degeneracy guard as the text rotation: the dimension rotation
+    // has period `dim`, so copy c = dim would replicate copy 0 verbatim.
+    require(factor <= dim,
+      s"factor must be <= $dim (embedding-rotation period), got $factor")
     scaled("embeddings") { (df, c) =>
       val r = c % dim
       val rotated =

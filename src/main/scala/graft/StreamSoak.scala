@@ -95,7 +95,12 @@ object StreamSoak {
     spark.streams.addListener(collector)
     Thread.sleep(secs * 1000L)
     val died = q.exception
-    q.stop(); q.awaitTermination()
+    // awaitTermination rethrows the query's failure if it died mid-soak;
+    // that must not abort the soak — the death is already captured in
+    // `died` and reported as the leg's ok:false entry below.
+    q.stop()
+    try q.awaitTermination()
+    catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
     spark.streams.removeListener(collector)
     died.foreach(e => System.err.println(s"[soak] $name query failed: $e"))
     val all = collector.obs.synchronized(collector.obs.toVector)
