@@ -2,6 +2,7 @@ package graft
 
 import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -35,6 +36,18 @@ import org.apache.spark.storage.StorageLevel
   *    the ledger AND the session CacheManager are empty after a scoped
   *    run, so a new leaked persist fails a test instead of a review.
   *
+  * The ledger must not itself become a leak (r14 ADVICE): the entries
+  * have to be strong while the session lives (by release time an
+  * internal pin is often reachable *only* through the ledger — a weak
+  * ref would be GC-cleared before `release` could unpersist it), so
+  * instead the ledger is emptied when the session dies. The first pin
+  * for a session installs a `SparkListener` whose `onApplicationEnd`
+  * drops that session's entry (a stopped context's cached blocks are
+  * already gone; only the references need freeing), and every [[pin]]
+  * additionally purges entries whose context has stopped, so an
+  * abandoned, never-released session cannot stay reachable through this
+  * object once its context is down.
+  *
   * Unpersist is non-blocking: entries leave the CacheManager
   * synchronously; block eviction proceeds async, which is the right
   * trade for a between-queries release.
@@ -47,11 +60,28 @@ object CacheScope {
   /** Persist `df` (MEMORY_AND_DISK) and register it for session-scoped
     * release. Internal operators use this instead of raw `.persist`. */
   private[graft] def pin(df: DataFrame): DataFrame = {
+    purgeStopped()
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    ledger.computeIfAbsent(p.sparkSession,
-      _ => new ConcurrentLinkedQueue[DataFrame]()).add(p)
+    ledger.computeIfAbsent(p.sparkSession, { s =>
+      // First pin for this session: make sure its entry dies with it.
+      // The listener fires at context stop, after which the cached
+      // blocks no longer exist — dropping the references is all that's
+      // left to do (idempotent with purgeStopped).
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            end: SparkListenerApplicationEnd): Unit = { ledger.remove(s); () }
+      })
+      new ConcurrentLinkedQueue[DataFrame]()
+    }).add(p)
     p
   }
+
+  /** Drop ledger entries whose SparkContext has stopped — their blocks
+    * are gone; holding the frames would pin dead sessions' plans. */
+  private def purgeStopped(): Unit =
+    ledger.keySet.forEach { s =>
+      if (s.sparkContext.isStopped) { ledger.remove(s); () }
+    }
 
   /** Unpersist every frame pinned in `spark` since the last release;
     * returns how many were released. */
