@@ -48,6 +48,29 @@ object Bench {
     // iteration on one query); the driver passes none → full suite.
     val only = args.toSet
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Host CPU-steal telemetry (r15 verdict item 3): this box's neighbors
+    // steal CPU in bursts long enough to poison not just a rep's spread
+    // but the MIN itself (r15: dedup_clusters 1.99 s → 6.68 s min on
+    // untouched code). Each timed rep brackets /proc/stat's aggregate
+    // steal counter; the fraction of the rep's wall-clock the host spent
+    // stolen is recorded per query so cross-round judging can tell a
+    // regression from a noisy neighbor WITHOUT archaeology. -1 ticks →
+    // telemetry unavailable (non-Linux), fraction reports 0.
+    val hostCpus = Runtime.getRuntime.availableProcessors.toDouble
+    def stealTicks(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu ")) match {
+          case Some(l) =>
+            val f = l.trim.split("\\s+") // cpu user nice sys idle iowait irq softirq steal
+            if (f.length > 8) f(8).toLong else -1L
+          case None => -1L
+        } finally src.close()
+      } catch { case _: Throwable => -1L }
+    // A rep ran under stall conditions when >5% of its wall-clock was
+    // stolen host-wide — at that level the 32 local threads are visibly
+    // descheduled and the duration measures the neighbor, not the query.
+    val StealThreshold = 0.05
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .zipWithIndex
@@ -68,7 +91,8 @@ object Bench {
       // steady-state variance signal (GC/scheduling) instead of a
       // compile-time echo. Cold-cache semantics are untouched — caches
       // are still cleared before every run, warmup included.
-      def runOnce(timedRep: Boolean): Option[Double] = {
+      // A timed rep yields (elapsed seconds, steal fraction during it).
+      def runOnce(timedRep: Boolean): Option[(Double, Double)] = {
         // Caches are INTERNAL to a query (the dedup family persists its
         // shingle/band frames): release them before every run so
         // (a) each repeat measures the same cold-cache work, and (b) a
@@ -85,10 +109,18 @@ object Bench {
         // read 2.5-3x slower IN-SUITE than in a fresh JVM on identical
         // code, and the isolated number is the honest one.
         if (!timedRep) System.gc()
+        val s0 = stealTicks()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          if (timedRep) Some((System.nanoTime() - t0) / 1e9) else None
+          if (timedRep) {
+            val el = (System.nanoTime() - t0) / 1e9
+            val s1 = stealTicks()
+            // stolen cpu-seconds per host cpu over the rep's wall-clock
+            val frac = if (s0 >= 0 && s1 >= 0 && el > 0)
+              (s1 - s0) / 100.0 / hostCpus / el else 0.0
+            Some((el, frac))
+          } else None
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name: $e")
           // a warmup-only (rep 0) failure with clean timed repeats is a
@@ -104,28 +136,50 @@ object Bench {
       // neighbors steal CPU in bursts of tens of seconds, long enough to
       // poison EVERY rep of whichever query is running (measured: a
       // 0.8 s query min-of-3'd at 16.9 s — the min can't filter a stall
-      // that outlasts the whole rep loop). When the spread says the reps
-      // disagree wildly, take two more timed reps: if the stall has
+      // that outlasts the whole rep loop). Two triggers (r15 verdict:
+      // the heuristic must fire on the MIN itself, not just the spread):
+      // reps that disagree wildly, OR a min whose own rep ran under
+      // measured steal. Take two more timed reps: if the stall has
       // passed, the min recovers the steady-state number; if not,
       // nothing is lost. Bounded, still cold-cache, still a min
       // estimator — never rewrites a stable measurement.
-      val noisy = firstPass.nonEmpty &&
-        firstPass.max - firstPass.min > math.max(1.0, 2.0 * firstPass.min)
-      val times =
+      def mins(rs: Seq[(Double, Double)]) = rs.map(_._1)
+      def minRep(rs: Seq[(Double, Double)]) = rs.minBy(_._1)
+      val noisy = firstPass.nonEmpty && {
+        val t = mins(firstPass)
+        t.max - t.min > math.max(1.0, 2.0 * t.min) ||
+          minRep(firstPass)._2 > StealThreshold
+      }
+      val reps =
         if (noisy) firstPass ++ (1 to 2).flatMap(_ => runOnce(timedRep = true))
         else firstPass
+      // The query stays stall-suspect in the artifact when, even after
+      // the rescue reps, its min was measured under steal or its reps
+      // never converged — cross-round judging should not pay that tax.
+      val suspect = reps.nonEmpty && {
+        val t = mins(reps)
+        minRep(reps)._2 > StealThreshold ||
+          t.max - t.min > math.max(1.0, 2.0 * t.min)
+      }
       // One stderr line per query: when a run dies on the driver's
       // timeout, the log TAIL must name the query it died inside —
       // r10's rc=124 took judge archaeology to attribute.
-      if (times.nonEmpty)
+      if (reps.nonEmpty) {
+        val t = mins(reps)
         System.err.println(
-          "[bench] %s %.3f s (spread %.3f)".formatLocal(
-            java.util.Locale.ROOT, name, times.min, times.max - times.min))
-      else
+          "[bench] %s %.3f s (spread %.3f, steal %.1f%%%s)".formatLocal(
+            java.util.Locale.ROOT, name, t.min, t.max - t.min,
+            minRep(reps)._2 * 100,
+            if (suspect) ", STALL-SUSPECT" else ""))
+      } else
         System.err.println(s"[bench] $name produced no timed result")
-      name -> times
+      (name, reps, suspect)
     }
-    val timed = results.filter(_._2.nonEmpty)
+    // (name, min sec, spread sec, steal frac during the min rep, suspect)
+    val timed = results.collect { case (name, reps, suspect) if reps.nonEmpty =>
+      val t = reps.map(_._1)
+      (name, t.min, t.max - t.min, reps.minBy(_._1)._2, suspect)
+    }
     // The driver parses the stdout JSON from a 2000-char TAIL capture of
     // the whole sbt run (which also swallows the ~70-char "[success]"
     // epilogue sbt prints after main returns). r9's full per-query map
@@ -138,7 +192,8 @@ object Bench {
     // the COMPLETE map + max−min spread always land in BENCH_LAST.json,
     // the loss-proof artifact prior verdicts treat as authoritative.
     def fmt(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
-    val total = timed.map(_._2.min).sum
+    val total = timed.map(_._2).sum
+    val nStall = timed.count(_._5)
     // The errors map is budgeted too (r10 ADVICE): the queries map was
     // capped but errors were not, so a regression round with many
     // failures — exactly when the line matters — could blow the budget
@@ -151,10 +206,10 @@ object Bench {
     val errs = failed.take(MaxErrsShown)
       .map { case (k, v) => s"\"$k\":\"${v.take(80)}\"" }
       .mkString("{", ",", "}")
-    val entries = timed.sortBy { case (_, ts) => -ts.min }
-      .map { case (k, ts) => s"\"" + k + "\":" + fmt(ts.min) }
+    val entries = timed.sortBy(-_._2)
+      .map { case (k, mn, _, _, _) => s"\"" + k + "\":" + fmt(mn) }
     def line(qs: Seq[String], shown: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","repeats":$repeats,"nq":${timed.size},"qshown":$shown,"nerr":${failed.size},"eshown":${math.min(failed.size, MaxErrsShown)},"errors":$errs,"queries":${qs.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","repeats":$repeats,"nq":${timed.size},"qshown":$shown,"nstall":$nStall,"nerr":${failed.size},"eshown":${math.min(failed.size, MaxErrsShown)},"errors":$errs,"queries":${qs.mkString("{", ",", "}")}}"""
     val HARD_BUDGET = 1800
     val base = line(Nil, timed.size).length
     var room = HARD_BUDGET - base
@@ -166,12 +221,16 @@ object Bench {
     // a NON-default SF (the BASELINE.md scale probe) to its own file:
     // BENCH_LAST.json stays the authoritative sf0.1 regression artifact.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    val fullQs = timed.map { case (k, ts) => s"\"" + k + "\":" + fmt(ts.min) }
-    val spread = timed
-      .map { case (k, ts) => s"\"" + k + "\":" + fmt(ts.max - ts.min) }
+    val fullQs = timed.map { case (k, mn, _, _, _) => s"\"" + k + "\":" + fmt(mn) }
+    val spread = timed.map { case (k, _, sp, _, _) => s"\"" + k + "\":" + fmt(sp) }
+    // steal_frac: fraction of the MIN rep's wall-clock the host spent in
+    // CPU-steal; stall_suspect: the names whose min is not trustworthy
+    // this run (stolen min or non-converging reps after rescue).
+    val stealFr = timed.map { case (k, _, _, st, _) => s"\"" + k + "\":" + fmt(st) }
+    val stalls = timed.collect { case (k, _, _, _, true) => s"\"" + k + "\"" }
     if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-        (s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","repeats":$repeats,"queries":${fullQs.mkString("{", ",", "}")},"spread":${spread.mkString("{", ",", "}")},"errors":$errsFull}""" + "\n").getBytes("UTF-8"))
+        (s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","repeats":$repeats,"queries":${fullQs.mkString("{", ",", "}")},"spread":${spread.mkString("{", ",", "}")},"steal_frac":${stealFr.mkString("{", ",", "}")},"stall_suspect":${stalls.mkString("[", ",", "]")},"errors":$errsFull}""" + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     spark.stop()
   }

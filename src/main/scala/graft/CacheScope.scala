@@ -41,12 +41,20 @@ import org.apache.spark.storage.StorageLevel
   * internal pin is often reachable *only* through the ledger — a weak
   * ref would be GC-cleared before `release` could unpersist it), so
   * instead the ledger is emptied when the session dies. The first pin
-  * for a session installs a `SparkListener` whose `onApplicationEnd`
-  * drops that session's entry (a stopped context's cached blocks are
-  * already gone; only the references need freeing), and every [[pin]]
-  * additionally purges entries whose context has stopped, so an
+  * against a CONTEXT installs a `SparkListener` whose `onApplicationEnd`
+  * drops every session of that context (a stopped context's cached
+  * blocks are already gone; only the references need freeing), and every
+  * [[pin]] additionally purges entries whose context has stopped, so an
   * abandoned, never-released session cannot stay reachable through this
   * object once its context is down.
+  *
+  * The install-once guard is keyed on the SparkContext in a SEPARATE
+  * set, deliberately NOT on ledger-entry presence (r15 ADVICE): release
+  * removes the session's ledger key, so a presence-keyed guard would
+  * re-register one listener per pin/release cycle — unbounded listener
+  * growth on the shared bus under Bench/Verify, which release between
+  * every query. [[listenerInstalls]] counts registrations so
+  * CacheScopeSpec can pin "many cycles, one listener".
   *
   * Unpersist is non-blocking: entries leave the CacheManager
   * synchronously; block eviction proceeds async, which is the right
@@ -57,31 +65,55 @@ object CacheScope {
   private val ledger =
     new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
 
+  /** Contexts that already carry this object's cleanup listener. Guarded
+    * separately from the ledger so release()'s key removal can never
+    * make the next pin re-install (r15 ADVICE). */
+  private val installed =
+    ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+
+  /** Total listener registrations ever made — observability for
+    * CacheScopeSpec's "N pin/release cycles install exactly 1" pin. */
+  private val installs = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def listenerInstalls: Int = installs.get
+
   /** Persist `df` (MEMORY_AND_DISK) and register it for session-scoped
     * release. Internal operators use this instead of raw `.persist`. */
   private[graft] def pin(df: DataFrame): DataFrame = {
     purgeStopped()
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    ledger.computeIfAbsent(p.sparkSession, { s =>
-      // First pin for this session: make sure its entry dies with it.
-      // The listener fires at context stop, after which the cached
-      // blocks no longer exist — dropping the references is all that's
-      // left to do (idempotent with purgeStopped).
-      s.sparkContext.addSparkListener(new SparkListener {
+    ledger.computeIfAbsent(p.sparkSession,
+      _ => new ConcurrentLinkedQueue[DataFrame]()).add(p)
+    val sc = p.sparkSession.sparkContext
+    if (installed.add(sc)) {
+      // First pin against this context: make sure every one of its
+      // sessions' entries dies with it. The listener fires at context
+      // stop, after which the cached blocks no longer exist — dropping
+      // the references is all that's left (idempotent with purgeStopped).
+      installs.incrementAndGet()
+      sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(
-            end: SparkListenerApplicationEnd): Unit = { ledger.remove(s); () }
+            end: SparkListenerApplicationEnd): Unit = {
+          ledger.keySet.forEach { s =>
+            if (s.sparkContext eq sc) { ledger.remove(s); () }
+          }
+          installed.remove(sc); ()
+        }
       })
-      new ConcurrentLinkedQueue[DataFrame]()
-    }).add(p)
+    }
     p
   }
 
   /** Drop ledger entries whose SparkContext has stopped — their blocks
-    * are gone; holding the frames would pin dead sessions' plans. */
-  private def purgeStopped(): Unit =
+    * are gone; holding the frames would pin dead sessions' plans. Also
+    * frees the install-guard slot so a future context can re-install. */
+  private def purgeStopped(): Unit = {
     ledger.keySet.forEach { s =>
       if (s.sparkContext.isStopped) { ledger.remove(s); () }
     }
+    installed.forEach { sc =>
+      if (sc.isStopped) { installed.remove(sc); () }
+    }
+  }
 
   /** Unpersist every frame pinned in `spark` since the last release;
     * returns how many were released. */

@@ -16,9 +16,18 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(ops.Scalars.scanPruned(spark, sfDir))
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
            s"filter not pushed:\n$plan")
-    // narrow projection: only the 3 needed columns reach the reader
-    assert(plan.contains("ReadSchema: struct<event_id:bigint,ts:bigint,value:double>"),
-           s"scan reads more than it needs:\n$plan")
+    // narrow projection: only the 3 needed columns reach the reader. The
+    // expected types are derived from the file's own schema, not spelled
+    // out — the testdata's physical ts type has drifted between rounds
+    // (epoch-nanos BIGINT vs timestamp_ntz), and the operator branches on
+    // it (Scalars.scanPruned); this pin guards the PRUNING, not the
+    // fixture's type choice.
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val expected = Seq("event_id", "ts", "value")
+      .map(c => s"$c:${fileSchema(c).dataType.catalogString}")
+      .mkString("ReadSchema: struct<", ",", ">")
+    assert(plan.contains(expected),
+           s"scan reads more than [$expected]:\n$plan")
   }
 
   test("top-k by recency plans as TakeOrderedAndProject, not a global sort") {
