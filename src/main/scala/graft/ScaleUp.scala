@@ -40,9 +40,20 @@ object ScaleUp {
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
 
-  private def rot(s: String, k: Int): String = {
+  private[graft] def rot(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
     s.drop(n) + s.take(n)
+  }
+
+  /** Key span = max+1, so `id + c*span` never collides across copies.
+    * Package-private so ScaleUpSpec can pin the r14-ADVICE guards: a
+    * loud failure (not an NPE) on an empty/malformed source column, and
+    * Number-widening for INT as well as BIGINT key columns. */
+  private[graft] def span(df: DataFrame, key: String, src: String): Long = {
+    val v = df.agg(max(col(key))).collect()(0).get(0)
+    require(v != null, s"cannot size key span: $key has no non-null values " +
+      s"(empty or malformed source table in $src)")
+    v.asInstanceOf[Number].longValue + 1L
   }
 
   def main(args: Array[String]): Unit = {
@@ -61,14 +72,6 @@ object ScaleUp {
 
     def raw(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
 
-    /** Key span = max+1, so `id + c*span` never collides across copies. */
-    def span(df: DataFrame, key: String): Long = {
-      val v = df.agg(max(col(key))).collect()(0).get(0)
-      require(v != null, s"cannot size key span: $key has no non-null values " +
-        s"(empty or malformed source table in $src)")
-      v.asInstanceOf[Number].longValue + 1L
-    }
-
     /** Union of `factor` transformed copies; `f(df, c)` builds copy c. */
     def scaled(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = raw(name)
@@ -82,14 +85,14 @@ object ScaleUp {
       System.err.println(s"[scaleup] $name -> 1x (dimension)")
     }
 
-    val ck = span(raw("customer"), "c_custkey")
-    val sk = span(raw("supplier"), "s_suppkey")
-    val pk = span(raw("part"), "p_partkey")
-    val ok = span(raw("orders"), "o_orderkey")
-    val ek = span(raw("events"), "event_id")
-    val uk = span(raw("events"), "user_id")
-    val dk = span(raw("documents"), "doc_id")
-    val vk = span(raw("embeddings"), "vec_id")
+    val ck = span(raw("customer"), "c_custkey", src)
+    val sk = span(raw("supplier"), "s_suppkey", src)
+    val pk = span(raw("part"), "p_partkey", src)
+    val ok = span(raw("orders"), "o_orderkey", src)
+    val ek = span(raw("events"), "event_id", src)
+    val uk = span(raw("events"), "user_id", src)
+    val dk = span(raw("documents"), "doc_id", src)
+    val vk = span(raw("embeddings"), "vec_id", src)
 
     copyAsIs("region")
     copyAsIs("nation")
