@@ -454,18 +454,23 @@ object Dedup {
     *
     * Pairing: explode the signature into 4 16-bit band keys
     * ((sig >> 16b) & 0xFFFF — arithmetic shift then mask is engine-
-    * agnostic), equi-join within (band, key) buckets via the shared
-    * [[pairsFromBands]] (never a cross product), then verify candidates
-    * with `bit_count(sig_a ^ sig_b) <= k`. Candidate count at 64 bits is
-    * ~n²/2^16 per band for the unrelated mass plus the true near-dups —
-    * the same bounded-bucket economics as [[dedupMinhashLsh]]. */
+    * agnostic), self-equi-join within (band, key) buckets with the
+    * signature CARRIED on the band rows (never a cross product, and no
+    * join-back of the signature table — the Hamming verify
+    * `bit_count(sig_a ^ sig_b) <= k` is a per-row expression on the join
+    * output). Candidate count at 64 bits is ~n²/2^16 per band for the
+    * unrelated mass plus the true near-dups — the same bounded-bucket
+    * economics as [[dedupMinhashLsh]]. */
   def dedupSimhashPairs(spark: SparkSession, dir: String,
                         hammingMax: Int = SimPairHammingMax): DataFrame = {
-    // One pass: tokens explode once, each token row hashes once (base
-    // and twin share the salted md5), and a second explode fans the row
-    // out to the ids it votes in — its base doc, plus the twin unless it
-    // carries the dropped max token. No persisted intermediate, no
-    // second corpus scan for the twin leg.
+    // One pass: tokens explode once, each token row hashes once. The
+    // twin's counts are NOT aggregated — they are DERIVED: the twin is
+    // its base doc minus the max token, so count_j(twin) = count_j(base)
+    // − bit_j(hash(mx)) and n(twin) = n(base) − 1, a pure per-doc
+    // projection after the aggregate. The previous shape fanned every
+    // token row out to (base, twin) through the 65-aggregate groupBy —
+    // 2× the aggregate input, the dominant stage of the whole query
+    // (measured at sf0.1: the fanout build min'd 1.8 s; this one 1.4 s).
     val pre = Tables.spreadForCpu( // per-token hashing — spread a
         Tables.documents(spark, dir), col("doc_id")) // single-split scan
       .select(col("doc_id"), md5(col("text")).as("salt"),
@@ -479,45 +484,94 @@ object Dedup {
               (size(col("dt")) >= 5).as("big"), explode(col("dt")).as("t"))
     val words = pre
       .withColumn("h", md5(concat(col("salt"), lit(":"), col("t"))))
-      .select(col("doc_id"), col("mx"), col("big"), col("t"),
+      .select(col("doc_id"), col("mx"), col("big"), col("salt"),
         conv(col("h").substr(lit(1), lit(8)), 16, 10).cast(LongType).as("u0"),
         conv(col("h").substr(lit(9), lit(8)), 16, 10).cast(LongType).as("u1"))
-      .select(explode(when(col("big") && col("t") =!= col("mx"),
-          array(col("doc_id"), twinId(col("doc_id"))))
-        .otherwise(array(col("doc_id")))).as("id"),
-        col("u0"), col("u1"))
     // count_j = Σ bit j over a doc's token hashes: bit (3 − j%4) of hex
     // digit ⌊j/4⌋, i.e. word ⌊j/32⌋ bit 4·(7 − (j/4)%8) + (3 − j%4).
-    def cnt(j: Int): Column = {
+    def bitOf(j: Int, u0: Column, u1: Column): Column = {
       val p = j / 4
-      sum(shiftright(col(if (p < 8) "u0" else "u1"),
-            4 * (7 - p % 8) + (3 - j % 4))
-          .bitwiseAND(lit(1L))).as(s"c$j")
+      shiftright(if (p < 8) u0 else u1, 4 * (7 - p % 8) + (3 - j % 4))
+        .bitwiseAND(lit(1L))
     }
-    val counts = words.groupBy(col("id"))
-      .agg(count(lit(1)).as("n"), (0 until 64).map(cnt): _*)
+    def cnt(j: Int): Column =
+      sum(bitOf(j, col("u0"), col("u1"))).as(s"c$j")
+    // mx/big/salt are constant per doc — max() carries them through the
+    // aggregate without a join-back.
+    val counts = words.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n"),
+      (max(col("mx")).as("mx") +: max(col("big")).as("big") +:
+        max(col("salt")).as("salt") +: (0 until 64).map(cnt)): _*)
+    // Twin leg: re-hash ONE token per doc (the dropped max) and subtract
+    // its bits from the base counts. Docs with < 5 distinct tokens plant
+    // no twin (same contract as the fanout build). Base and twin rows
+    // are emitted from EACH aggregated row by one generator — not a
+    // union of two selects over `counts`, which would plant the whole
+    // scan+hash+aggregate subtree twice in the plan and execute it
+    // twice (measured: the union shape was SLOWER than the 2× fanout it
+    // replaced, 2.2 s vs 1.8 s).
+    val mh = md5(concat(col("salt"), lit(":"), col("mx")))
+    def baseStruct = struct((col("doc_id").as("doc_id") +:
+      col("n").as("n") +:
+      (0 until 64).map(j => col(s"c$j").as(s"c$j"))): _*)
+    def twinStruct = struct((twinId(col("doc_id")).as("doc_id") +:
+      (col("n") - 1).as("n") +:
+      (0 until 64).map(j =>
+        (col(s"c$j") - bitOf(j, col("mu0"), col("mu1"))).as(s"c$j"))): _*)
+    val all = counts
+      .withColumn("mu0",
+        conv(mh.substr(lit(1), lit(8)), 16, 10).cast(LongType))
+      .withColumn("mu1",
+        conv(mh.substr(lit(9), lit(8)), 16, 10).cast(LongType))
+      .select(explode(when(col("big"), array(baseStruct, twinStruct))
+        .otherwise(array(baseStruct))).as("r"))
+      .select(col("r.*"))
     val sig = (0 until 64).map { j =>
       when(col(s"c$j") * 2 > col("n"),
         lit(if (j == 63) Long.MinValue else 1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    // sigs is BOTH band-join sides AND both verify sides — pin like the
-    // LSH bands (released via CacheScope.scoped/release).
+    // sigs feeds BOTH sides of the band self-join — pin like the LSH
+    // bands (released via CacheScope.scoped/release). The count is one
+    // cheap action over the cached frame that fills the cache BEFORE the
+    // self-join executes. Both the pin and the count are LOAD-BEARING:
+    // without them the join's two sides each plant the whole
+    // scan→hash→aggregate subtree and ReuseExchange does NOT rescue it
+    // (measured: 3.5 s vs 1.8 s at sf0.1 — the signature pipeline ran
+    // twice), and with the pin but no count a broadcast build thread
+    // and the probe scan race the unfilled cache to the same effect.
     val sigs = graft.CacheScope.pin(
-      counts.select(col("id").as("doc_id"), sig.as("sig")))
-    sigs.count() // one pass fills the cache — see dedupMinhashLsh
-    val bands = sigs.select(col("doc_id"),
+      all.select(col("doc_id"), sig.as("sig")))
+    sigs.count()
+    // The signature RIDES the band rows (8 extra bytes each) through the
+    // self-join, so the Hamming verify is a per-row expression on the
+    // join output — no candidate materialization, no join-back of the
+    // signature table, and no driver-safety broadcast ceiling, because
+    // nothing is ever collected or broadcast by design: the self-join
+    // shuffles on (band_id, bkey) like every banded join in this module.
+    // The previous shape (pairsFromBands → pinBuildSide(count+broadcast)
+    // → two sig join-backs) planned 3 joins across 3 actions; at gate
+    // scale AQE re-optimization of those extra query stages was ~40% of
+    // the query's wall-clock (measured 2.2 s → 1.4 s end-to-end), and at
+    // production scale the join-backs shuffled the signature table two
+    // more times. bit_count-filter BEFORE distinct: the Hamming gate is
+    // a codegen'd per-row expression, so the distinct's exchange carries
+    // only true near-dup pairs, not every band collision.
+    val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), 16 * b).bitwiseAND(lit(65535L))): _*))
         .as(Seq("band_id", "bkey")))
-    val x = sigs.select(col("doc_id").as("xid"), col("sig").as("sig_a"))
-    val y = sigs.select(col("doc_id").as("yid"), col("sig").as("sig_b"))
-    val verified = pinBuildSide(pairsFromBands(bands))
-      .join(x, col("doc_a") === col("xid"))
-      .join(y, col("doc_b") === col("yid"))
+    val left  = bands.select(col("doc_id").as("doc_a"),
+      col("sig").as("sig_a"), col("band_id"), col("bkey"))
+    val right = bands.select(col("doc_id").as("doc_b"),
+      col("sig").as("sig_b"), col("band_id").as("band_id_r"),
+      col("bkey").as("bkey_r"))
+    val verified = left.join(right,
+        col("band_id") === col("band_id_r") && col("bkey") === col("bkey_r") &&
+        col("doc_a") < col("doc_b"))
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(IntegerType))
       .filter(col("hamming") <= hammingMax)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
     graft.Present.sorted(verified, col("doc_a"), col("doc_b"))
   }
 
