@@ -115,10 +115,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("simhash pairing is a banded equi-join — no cartesian product") {
+  test("simhash pairing is ONE banded equi-join — no cartesian, no sig join-backs") {
     val plan = planOf(ext.Dedup.dedupSimhashPairs(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // The signature rides the band rows: the whole query plans exactly
+    // one join (the band self-join). A second join node means the
+    // verify went back to joining the signature table onto candidate
+    // pairs — two extra shuffles of the signature table at scale.
+    assert("Join".r.findAllIn(plan).size === 1,
+           s"expected exactly 1 join node:\n$plan")
   }
 
   test("as-of join is union + ONE key shuffle + running window — no join node at all") {
