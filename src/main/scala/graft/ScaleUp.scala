@@ -109,11 +109,21 @@ object ScaleUp {
       df.withColumn("l_orderkey", col("l_orderkey") + lit(c * ok))
         .withColumn("l_partkey", col("l_partkey") + lit(c * pk))
         .withColumn("l_suppkey", col("l_suppkey") + lit(c * sk)))
-    scaled("events")((df, c) =>
-      df.withColumn("event_id", col("event_id") + lit(c * ek))
+    scaled("events") { (df, c) =>
+      val shifted = df
+        .withColumn("event_id", col("event_id") + lit(c * ek))
         .withColumn("user_id", col("user_id") + lit(c * uk))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)")
-          .cast(org.apache.spark.sql.types.TimestampNTZType)))
+      // Branch on the file's physical ts type (same drift-proofing as
+      // Scalars.scanPruned): TIMESTAMP(NANOS) sources surface as a raw
+      // BIGINT under nanosAsLong and need the micros conversion; a
+      // micros TIMESTAMP_NTZ source is already the write-out type.
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          shifted.withColumn("ts", expr("timestamp_micros(ts div 1000)")
+            .cast(org.apache.spark.sql.types.TimestampNTZType))
+        case _ => shifted
+      }
+    }
     scaled("documents") { (df, c) =>
       val from = Lower + Lower.toUpperCase
       val to = rot(Lower, c) + rot(Lower.toUpperCase, c)
