@@ -21,8 +21,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
-      // timestamp type, so read as BIGINT and convert in Tables.load.
+      // Some testdata generations store events.ts as TIMESTAMP(NANOS);
+      // Spark has no nanos timestamp type, so surface it as BIGINT and
+      // convert in Tables.load (which branches on the surfaced type —
+      // micros-NTZ generations are unaffected by this conf).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // naive parquet timestamps (isAdjustedToUTC=false) → TIMESTAMP_NTZ,
       // the DuckDB-comparable representation.

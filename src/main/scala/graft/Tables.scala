@@ -14,11 +14,16 @@ import org.apache.spark.sql.types._
   *
   * Timestamp policy: every timestamp is normalized to TIMESTAMP_NTZ (naive
   * wall-clock, session pinned UTC) so outputs are bit-comparable with the
-  * DuckDB oracle's naive TIMESTAMP. `events.ts` is stored as parquet
-  * TIMESTAMP(NANOS), which Spark only reads via
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (set in [[Sessions]]); the
-  * loader converts the nanos BIGINT to microsecond TIMESTAMP_NTZ with
-  * integer `div` (a double division would lose precision above 2^53 ns).
+  * DuckDB oracle's naive TIMESTAMP. `events.ts` has shipped as parquet
+  * TIMESTAMP(NANOS) in some testdata generations — Spark only reads that
+  * via `spark.sql.legacy.parquet.nanosAsLong=true` (set in [[Sessions]]),
+  * surfacing a raw BIGINT — and as micros TIMESTAMP_NTZ in others, so
+  * the loader BRANCHES on the surfaced type: a nanos BIGINT is converted
+  * to microsecond TIMESTAMP_NTZ with integer `div` (a double division
+  * would lose precision above 2^53 ns), anything else passes through
+  * `normalizeTs`. Don't hardcode either spelling downstream (the r15
+  * round lost a plan pin and the r16 round lost the ScaleUp generator to
+  * exactly that drift).
   */
 object Tables {
 
