@@ -1,6 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** A rep ran under stall conditions when more than this fraction of
+    * its wall-clock was stolen host-wide — at that level the local
+    * threads are visibly descheduled and the duration measures the
+    * neighbor, not the query. */
+  private[graft] val StealThreshold = 0.05
+
+  /** Untrustworthy measurement window — the stall heuristic (pinned by
+    * BenchHeuristicsSpec). `reps` are (elapsed sec, steal fraction)
+    * pairs for one query's timed repeats. Suspect when the rep that
+    * produced the MIN ran under measured steal (r15: stall bursts
+    * poison minima, not just spreads), or the reps never converged
+    * (spread > max(1 s, 2×min) — a stable query's repeats agree within
+    * noise; a stalled one's disagree by seconds). */
+  private[graft] def suspectOf(reps: Seq[(Double, Double)]): Boolean =
+    reps.nonEmpty && {
+      val t = reps.map(_._1)
+      reps.minBy(_._1)._2 > StealThreshold ||
+        t.max - t.min > math.max(1.0, 2.0 * t.min)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -67,10 +88,6 @@ object Bench {
           case None => -1L
         } finally src.close()
       } catch { case _: Throwable => -1L }
-    // A rep ran under stall conditions when >5% of its wall-clock was
-    // stolen host-wide — at that level the 32 local threads are visibly
-    // descheduled and the duration measures the neighbor, not the query.
-    val StealThreshold = 0.05
     // Host-speed calibration (r16): r15→r16 showed a NEAR-UNIFORM
     // 1.5–2× drift across all 112 queries — scan-bound and shuffle-bound
     // alike, steal ≈ 0 — i.e. the box itself runs at a different speed on
@@ -108,14 +125,6 @@ object Bench {
         java.util.Locale.ROOT, calSingle, calPar))
     def mins(rs: Seq[(Double, Double)]) = rs.map(_._1)
     def minRep(rs: Seq[(Double, Double)]) = rs.minBy(_._1)
-    // Untrustworthy measurement window: min rep ran under measured
-    // steal, or the reps never converged (a stable query's repeats agree
-    // within noise; a stalled one's disagree by seconds).
-    def suspectOf(rs: Seq[(Double, Double)]): Boolean = rs.nonEmpty && {
-      val t = mins(rs)
-      minRep(rs)._2 > StealThreshold ||
-        t.max - t.min > math.max(1.0, 2.0 * t.min)
-    }
     // One execution of `name`. A timed rep yields (elapsed seconds,
     // steal fraction during it); a warmup rep yields None.
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
