@@ -28,6 +28,21 @@ class CacheScopeSpec extends AnyFunSuite {
       s"${CacheScope.listenerInstalls - before} listener installs in 5 pin/release cycles")
   }
 
+  test("scoped releases pins when the body THROWS — the however-it-exits contract") {
+    import spark.implicits._
+    CacheScope.release(spark)
+    val boom = intercept[RuntimeException] {
+      CacheScope.scoped(spark) {
+        CacheScope.pin(Seq(1, 2).toDF("x"))
+        assert(CacheScope.livePinned(spark) === 1)
+        throw new RuntimeException("query failed mid-scope")
+      }
+    }
+    assert(boom.getMessage === "query failed mid-scope")
+    assert(CacheScope.livePinned(spark) === 0,
+      "a throwing scope must still release its pins")
+  }
+
   test("a second session of the same context shares the one listener but not the ledger") {
     val s2 = spark.newSession()
     import s2.implicits._
