@@ -22,6 +22,25 @@ object Bench {
         t.max - t.min > math.max(1.0, 2.0 * t.min)
     }
 
+  /** Which window a query PUBLISHES (min/spread/steal_frac) and the
+    * stall_suspect flag that goes with it — both must come from the
+    * same reps (pinned by BenchHeuristicsSpec). `first` is the in-place
+    * window (initial reps + rescue); `retry` is the end-of-suite
+    * second-chance window, empty when none ran. r16 ADVICE: publishing
+    * a MERGED min while flagging from the retry window alone can emit
+    * steal_frac > threshold (or a multi-second spread) on a row NOT in
+    * stall_suspect, contradicting BASELINE.md's semantics. So: a clean
+    * retry REPLACES the poisoned first window outright (its reps ran
+    * minutes after the burst; a first-window min under stall is an
+    * overestimate anyway, and one that beat a clean retry min would be
+    * publishing steal-tainted timing as trustworthy); a retry that is
+    * itself still suspect publishes the merged window, flagged. */
+  private[graft] def publish(first: Seq[(Double, Double)],
+                             retry: Seq[(Double, Double)]): (Seq[(Double, Double)], Boolean) =
+    if (retry.isEmpty) (first, suspectOf(first))
+    else if (!suspectOf(retry)) (retry, false)
+    else (first ++ retry, true)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -152,7 +171,13 @@ object Bench {
         if (timedRep) {
           val el = (System.nanoTime() - t0) / 1e9
           val s1 = stealTicks()
-          // stolen cpu-seconds per host cpu over the rep's wall-clock
+          // stolen cpu-seconds per host cpu over the rep's wall-clock.
+          // Assumes /proc/stat USER_HZ = 100 (true on mainstream Linux;
+          // would need sysconf(_SC_CLK_TCK) elsewhere) and that
+          // availableProcessors equals the host CPU count the aggregate
+          // steal line covers (a cgroup cpu limit would undercount it).
+          // Both hold on this box; the fraction is single-host telemetry
+          // feeding a 5% threshold, not a portable metric (r16 ADVICE).
           val frac = if (s0 >= 0 && s1 >= 0 && el > 0)
             (s1 - s0) / 100.0 / hostCpus / el else 0.0
           Some((el, frac))
@@ -222,17 +247,23 @@ object Bench {
     // the in-place rescue reps can land INSIDE the same burst that
     // poisoned the first window. Queries still suspect after their
     // rescue get one more warmup+reps window at the END of the suite —
-    // minutes later, when the burst has typically passed. The merged min
-    // can only improve (a stall never makes a rep faster); the suspect
-    // flag is recomputed on the retry window alone, since it fired
-    // precisely because the first window was untrustworthy.
+    // minutes later, when the burst has typically passed. Window
+    // selection and flag are decided together by [[publish]] so the
+    // published stats and the stall_suspect flag always describe the
+    // same reps (r16 ADVICE).
     val results = firstResults.map {
       case (name, fn, reps, true) if reps.nonEmpty =>
-        val (retryReps, retrySuspect) = measure(name, fn, " [retry]")
-        if (retryReps.nonEmpty) (name, reps ++ retryReps, retrySuspect)
-        else (name, reps, true)
+        val (retryReps, _) = measure(name, fn, " [retry]")
+        val (pub, suspect) = publish(reps, retryReps)
+        (name, pub, suspect)
       case (name, _, reps, suspect) => (name, reps, suspect)
     }
+    // r16 ADVICE: a timed-rep failure during the rescue or retry window
+    // must not land a query that HAS a published timing in the errors
+    // map — a single retry-window flake would sit beside a perfectly
+    // good min. A query is an error only when no window produced any
+    // timed result at all.
+    results.foreach { case (name, reps, _) => if (reps.nonEmpty) failed.remove(name) }
     // (name, min sec, spread sec, steal frac during the min rep, suspect)
     val timed = results.collect { case (name, reps, suspect) if reps.nonEmpty =>
       val t = reps.map(_._1)
@@ -252,6 +283,51 @@ object Bench {
     def fmt(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     val total = timed.map(_._2).sum
     val nStall = timed.count(_._5)
+    // A subset run is a scratch measurement — never let it clobber the
+    // full-suite artifact. SPARK_GRAFT_BENCH_OUT redirects a full run at
+    // a NON-default SF (the BASELINE.md scale probe) to its own file:
+    // BENCH_LAST.json stays the authoritative sf0.1 regression artifact.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // r16 verdict item 7: flag regressions at MEASUREMENT time, not
+    // judge time. Before overwriting the artifact, compare this run's
+    // mins against the previous one under the rules
+    // tools/bench_compare.py encodes — min-to-min on the common query
+    // set, normalized by the cal_par host-speed ratio when both runs
+    // carry it, stall-suspect rows (either run) excluded — and publish
+    // a one-line verdict on stderr plus a compact "vs_prev" summary in
+    // stdout + artifact. Best-effort: a missing/corrupt previous
+    // artifact skips the compare, never the bench.
+    val vsPrev: Option[String] = try {
+      val f = new java.io.File(outFile)
+      if (!f.exists() || only.nonEmpty) None else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        val pq = root.get("queries")
+        val prevSusp = Option(root.get("stall_suspect")).map { a =>
+          (0 until a.size).map(a.get(_).asText).toSet }.getOrElse(Set.empty[String])
+        val host = Option(root.get("cal_par_sec")).map(_.asDouble)
+          .filter(_ > 0).map(calPar / _)
+        val common = timed.collect {
+          case (k, mn, _, _, susp) if pq != null && pq.has(k) =>
+            (k, mn, pq.get(k).asDouble, susp || prevSusp(k)) }
+        if (common.isEmpty) None else {
+          val regress = common.collect { case (k, mn, old, false)
+            if old > 0 && host.fold(mn / old)(h => mn / old / h) > 2.0 => k }
+          val tNew = common.map(_._2).sum
+          val tOld = common.map(_._3).sum
+          val raw = if (tOld > 0) tNew / tOld else 0.0
+          val norm = host.fold(raw)(raw / _)
+          regress.foreach(k => System.err.println(
+            s"[bench] REGRESSION vs previous artifact: $k (normalized > 2.0x)"))
+          System.err.println(
+            "[bench] vs prev: %d common, raw x%.2f, normalized x%.2f, %d regression(s)"
+              .formatLocal(java.util.Locale.ROOT, common.size, raw, norm,
+                           regress.size))
+          Some(s"""{"n":${common.size},"raw":${fmt(raw)},"norm":${fmt(norm)},"regressions":${regress.size}}""")
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] vs-prev compare skipped: $e"); None }
+    val vp = vsPrev.fold("")(v => s""","vs_prev":$v""")
     // The errors map is budgeted too (r10 ADVICE): the queries map was
     // capped but errors were not, so a regression round with many
     // failures — exactly when the line matters — could blow the budget
@@ -267,18 +343,13 @@ object Bench {
     val entries = timed.sortBy(-_._2)
       .map { case (k, mn, _, _, _) => s"\"" + k + "\":" + fmt(mn) }
     def line(qs: Seq[String], shown: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","repeats":$repeats,"nq":${timed.size},"qshown":$shown,"nstall":$nStall,"nerr":${failed.size},"eshown":${math.min(failed.size, MaxErrsShown)},"errors":$errs,"queries":${qs.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","repeats":$repeats,"nq":${timed.size},"qshown":$shown,"nstall":$nStall,"nerr":${failed.size},"eshown":${math.min(failed.size, MaxErrsShown)},"errors":$errs$vp,"queries":${qs.mkString("{", ",", "}")}}"""
     val HARD_BUDGET = 1800
     val base = line(Nil, timed.size).length
     var room = HARD_BUDGET - base
     val kept = entries.takeWhile { e =>
       val ok = room - (e.length + 1) >= 0; if (ok) room -= e.length + 1; ok }
     println(line(kept, kept.size))
-    // A subset run is a scratch measurement — never let it clobber the
-    // full-suite artifact. SPARK_GRAFT_BENCH_OUT redirects a full run at
-    // a NON-default SF (the BASELINE.md scale probe) to its own file:
-    // BENCH_LAST.json stays the authoritative sf0.1 regression artifact.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     val fullQs = timed.map { case (k, mn, _, _, _) => s"\"" + k + "\":" + fmt(mn) }
     val spread = timed.map { case (k, _, sp, _, _) => s"\"" + k + "\":" + fmt(sp) }
     // steal_frac: fraction of the MIN rep's wall-clock the host spent in
@@ -288,7 +359,7 @@ object Bench {
     val stalls = timed.collect { case (k, _, _, _, true) => s"\"" + k + "\"" }
     if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-        (s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","repeats":$repeats,"cal_single_sec":${fmt(calSingle)},"cal_par_sec":${fmt(calPar)},"queries":${fullQs.mkString("{", ",", "}")},"spread":${spread.mkString("{", ",", "}")},"steal_frac":${stealFr.mkString("{", ",", "}")},"stall_suspect":${stalls.mkString("[", ",", "]")},"errors":$errsFull}""" + "\n").getBytes("UTF-8"))
+        (s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","repeats":$repeats,"cal_single_sec":${fmt(calSingle)},"cal_par_sec":${fmt(calPar)}$vp,"queries":${fullQs.mkString("{", ",", "}")},"spread":${spread.mkString("{", ",", "}")},"steal_frac":${stealFr.mkString("{", ",", "}")},"stall_suspect":${stalls.mkString("[", ",", "]")},"errors":$errsFull}""" + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     spark.stop()
   }

@@ -48,4 +48,43 @@ class BenchHeuristicsSpec extends AnyFunSuite {
     assert(!Bench.suspectOf(Seq((2.0, Bench.StealThreshold))))
     assert(Bench.suspectOf(Seq((2.0, Bench.StealThreshold + 0.001))))
   }
+
+  // ---- publish: the published window and its flag always agree ------
+  // (r16 ADVICE: a merged min with a retry-only flag could put
+  // steal_frac > threshold on a row NOT in stall_suspect)
+
+  private val stalled = Seq((6.7, 0.30), (6.8, 0.28), (6.7, 0.31))
+  private val clean = Seq((1.20, 0.0), (1.25, 0.01), (1.22, 0.0))
+
+  test("publish: no retry window passes the first window through") {
+    assert(Bench.publish(clean, Nil) == ((clean, false)))
+    assert(Bench.publish(stalled, Nil) == ((stalled, true)))
+  }
+
+  test("publish: a clean retry REPLACES a stalled first window") {
+    // the stalled reps (including their steal-tainted min) must not
+    // leak into the published stats of a non-suspect row
+    val (pub, suspect) = Bench.publish(stalled, clean)
+    assert(pub == clean && !suspect)
+    assert(!pub.exists(_._2 > Bench.StealThreshold))
+  }
+
+  test("publish: a retry that is itself suspect publishes merged, flagged") {
+    val retryStalled = Seq((5.0, 0.20), (5.1, 0.22))
+    val (pub, suspect) = Bench.publish(stalled, retryStalled)
+    assert(pub == stalled ++ retryStalled && suspect)
+  }
+
+  test("publish: published-window invariant — flag matches suspectOf(published)") {
+    for {
+      first <- Seq(clean, stalled)
+      retry <- Seq(Nil, clean, stalled)
+    } {
+      val (pub, suspect) = Bench.publish(first, retry)
+      // a flagged row may only carry untrustworthy stats; an unflagged
+      // row's published window must itself test non-suspect
+      assert(suspect == Bench.suspectOf(pub) || suspect)
+      if (!suspect) assert(!Bench.suspectOf(pub))
+    }
+  }
 }

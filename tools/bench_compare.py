@@ -39,8 +39,14 @@ def main() -> int:
     else:
         print("no cal_par_sec in one or both artifacts: raw ratios only")
 
+    if not common:
+        print("no common queries between the two artifacts: nothing to compare")
+        return 2
     total_o = sum(oq[k] for k in common)
     total_n = sum(nq[k] for k in common)
+    if total_o <= 0:
+        print("old artifact's common-set total is 0s: ratios undefined")
+        return 2
     print(f"common set: {len(common)} queries; total {total_o:.2f}s -> "
           f"{total_n:.2f}s (raw x{total_n / total_o:.2f}"
           + (f", host-normalized x{total_n / total_o / host:.2f})" if host else ")"))
