@@ -40,6 +40,7 @@ object SparkEntry {
     (ext.Dedup.queries, ext.Dedup.oracles),
     (ext.Cluster.queries, ext.Cluster.oracles),
     (ext.Similarity.queries, ext.Similarity.oracles),
+    (ext.SemDedup.queries, ext.SemDedup.oracles),
     (ext.Multimodal.queries, ext.Multimodal.oracles),
     (ext.Privacy.queries, ext.Privacy.oracles),
     (ext.Decontam.queries, ext.Decontam.oracles),

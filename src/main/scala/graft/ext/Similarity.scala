@@ -95,6 +95,18 @@ object Similarity {
   def knnIvfCentroids(spark: SparkSession, dir: String): DataFrame =
     centroidRows(spark, dir).presentSorted(col("cell"), col("dim"))
 
+  /** Per-cell centroid VECTOR (cell, cv: ARRAY<DOUBLE>) — the coarse
+    * quantizer codebook, rebuilt from [[centroidRows]]'s per-dim rows via
+    * a dim-sorted collect (deterministic: dims are distinct). One row per
+    * cell — tiny at any corpus scale, meant to be broadcast. Shared by
+    * [[knnIvfProbe2]]'s probe ranking and [[SemDedup]]'s cell-relative
+    * duplicate priority. */
+  private[ext] def centroidVectors(spark: SparkSession, dir: String): DataFrame =
+    centroidRows(spark, dir)
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("cv"))
+
   /** Default number of centroid-ranked cells probed by [[knnIvfProbe2]]
     * (the query's own cell is always unioned in on top). */
   private val ProbeCells = 2
@@ -116,10 +128,7 @@ object Similarity {
                    numQueries: Int = NumQueries, k: Int = TopK,
                    probeCells: Int = ProbeCells): DataFrame = {
     val all = vecs(spark, dir)
-    val cents = centroidRows(spark, dir)
-      .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
-        s => s.getField("centroid")).as("cv"))
+    val cents = centroidVectors(spark, dir)
     val q = all.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("label").as("qcell"),
               col("v").as("qv"))
@@ -206,7 +215,7 @@ object Similarity {
   val specQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_quantized" -> ((s, d) => knnQuantized(s, d)))
 
-  private def cosineSqlOf(a: String, b: String): String =
+  private[ext] def cosineSqlOf(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b),
        |      z -> struct_extract(z, 1) * struct_extract(z, 2)))
        |      / (sqrt(list_sum(list_transform($a, x -> x * x)))
