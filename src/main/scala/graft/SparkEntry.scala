@@ -41,6 +41,7 @@ object SparkEntry {
     (ext.Cluster.queries, ext.Cluster.oracles),
     (ext.Similarity.queries, ext.Similarity.oracles),
     (ext.SemDedup.queries, ext.SemDedup.oracles),
+    (ext.Scoring.queries, ext.Scoring.oracles),
     (ext.Multimodal.queries, ext.Multimodal.oracles),
     (ext.Privacy.queries, ext.Privacy.oracles),
     (ext.Decontam.queries, ext.Decontam.oracles),

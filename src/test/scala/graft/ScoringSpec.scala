@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[ext.Scoring]]'s model-seam contract — the properties the
+  * DuckDB gate can't see: the executable partition path must agree with
+  * the column path bit-for-bit, and the seam must batch per PARTITION
+  * (one model load per partition, never per row — the whole point of
+  * the iterator contract a fasttext/ONNX handle plugs into). */
+class ScoringSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+
+  test("partition-scored path agrees bit-for-bit with the column path") {
+    val docs = Tables.documents(spark, sfDir)
+    val seam = ext.Scoring.scorePartitions(docs)
+      .toDF("doc_id", "score_seam")
+    val col_ = ext.Scoring.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("score"))
+    val joined = col_.join(seam, "doc_id")
+    assert(joined.count() == docs.count())
+    // bit-equality, not tolerance: both paths are one integer hash and
+    // one IEEE division — a ULP drift means the stub arithmetic diverged
+    assert(joined.filter(col("score") =!= col("score_seam")).count() == 0)
+  }
+
+  test("the seam batches per partition: one model load per partition, not per row") {
+    val docs = Tables.documents(spark, sfDir).repartition(7)
+    val loads = spark.sparkContext.longAccumulator("model_loads")
+    val rowsSeen = spark.sparkContext.longAccumulator("rows_scored")
+    val counted = ext.Scoring.scorePartitions(docs, { it =>
+      loads.add(1) // the "open the model handle" moment
+      ext.Scoring.defaultScorer(it.map { r => rowsSeen.add(1); r })
+    })
+    val n = counted.count()
+    assert(n == docs.count() && rowsSeen.value == n)
+    // one load per partition — a per-row-shaped seam would show
+    // loads == rows (5000 here), the JNI-call-per-row antipattern
+    assert(loads.value == 7, s"expected 7 loads, got ${loads.value}")
+  }
+
+  test("band gate composes as an ordinary pushable predicate") {
+    val plan = ext.Scoring.qualityScore(spark, sfDir)
+      .filter(col("band") === "keep")
+      .queryExecution.sparkPlan.toString
+    // the score is a plain column: no shuffle appears for score+filter
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("bands partition the corpus and follow the thresholds") {
+    val rows = ext.Scoring.qualityScore(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, b) = (r.getDouble(2), r.getString(3))
+      val expect = if (s >= 0.8) "keep" else if (s >= 0.4) "review" else "drop"
+      assert(b == expect, s"doc ${r.getLong(0)}: score $s banded $b")
+    }
+    assert(rows.map(_.getString(3)).distinct.toSet == Set("keep", "review", "drop"))
+  }
+}
