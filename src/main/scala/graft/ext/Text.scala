@@ -179,6 +179,64 @@ object Text {
       .presentSorted(col("n").desc, col("word"))
   }
 
+  /** Required function words for [[gopherRules]]' stopword rule: the
+    * Gopher paper's English set ("the, be, to, of, and, that, have,
+    * with") EXTENDED with "a" — this synthetic vocabulary contains only
+    * "the"/"a" of the originals, and without the extension the rule
+    * would be vacuously false corpus-wide (the mechanics, not the
+    * English calibration, are what the gate verifies). */
+  private val GopherStops =
+    Seq("the", "a", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Appendix A1.1) — the named rule set
+    * most large-corpus curation runs start from. Each rule is a flag
+    * column so downstream can tell WHICH gate a document failed (the
+    * deploy shape: rules are tuned per-source by inspecting per-rule
+    * fail rates, then `pass` filters):
+    *
+    *  - `wc_ok`: 50 ≤ word count ≤ 100,000;
+    *  - `wlen_ok`: mean word length in [3, 10];
+    *  - `symbol_ok`: symbol-to-word ratio ("#" / "...") ≤ 0.1;
+    *  - `alpha_ok`: ≥ 80% of words contain an alphabetic character;
+    *  - `stop_ok`: ≥ 2 distinct [[GopherStops]] present.
+    *
+    * All per-row codegen'd expressions, no shuffle — the same 100 TB
+    * posture as [[textStats]] (which this complements: textStats is the
+    * descriptive-stats pass, this is the named keep/drop rule set;
+    * [[textRepetition]] carries the paper's OTHER half, the
+    * repetitiousness rules). symbol_ok/alpha_ok pass vacuously on this
+    * all-alphabetic synthetic corpus; wc/wlen/stop discriminate. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("toks")
+    val wc = size(t)
+    val sumLen = aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x)
+    val nSym = size(filter(t, x => x.contains("#") || x.contains("...")))
+    val nAlpha = size(filter(t, x => x.rlike("[a-zA-Z]")))
+    val nStops = size(array_intersect(array_distinct(t),
+      array(GopherStops.map(lit): _*)))
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .select(
+        col("doc_id"),
+        wc.cast(LongType).as("word_count"),
+        (sumLen.cast(DoubleType) / wc).as("mean_word_len"),
+        (nSym.cast(DoubleType) / wc).as("symbol_ratio"),
+        (nAlpha.cast(DoubleType) / wc).as("alpha_word_ratio"),
+        nStops.cast(LongType).as("n_required_stops"))
+      .withColumn("wc_ok", (col("word_count") >= 50 &&
+        col("word_count") <= 100000).cast(IntegerType))
+      .withColumn("wlen_ok", (col("mean_word_len") >= 3.0 &&
+        col("mean_word_len") <= 10.0).cast(IntegerType))
+      .withColumn("symbol_ok", (col("symbol_ratio") <= 0.1).cast(IntegerType))
+      .withColumn("alpha_ok", (col("alpha_word_ratio") >= 0.8).cast(IntegerType))
+      .withColumn("stop_ok", (col("n_required_stops") >= 2).cast(IntegerType))
+      .withColumn("pass", (col("wc_ok") === 1 && col("wlen_ok") === 1 &&
+        col("symbol_ok") === 1 && col("alpha_ok") === 1 &&
+        col("stop_ok") === 1).cast(IntegerType))
+      .presentSorted(col("doc_id"))
+  }
+
   /** Canonical text normalization — the step every dedup/fingerprint
     * pass runs FIRST on a raw corpus: casefold, strip everything outside
     * [a-z0-9 ], collapse whitespace runs, trim. Regex classes kept to
@@ -202,7 +260,8 @@ object Text {
     "text_fingerprint" -> fingerprint _,
     "text_repetition"  -> textRepetition _,
     "vocab_heavy_hitters" -> ((s, d) => vocabHeavyHitters(s, d)),
-    "text_normalize"   -> normalize _)
+    "text_normalize"   -> normalize _,
+    "gopher_rules"     -> gopherRules _)
 
   private def sqlList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -295,5 +354,36 @@ object Text {
         |  CAST(length(trim(regexp_replace(
         |         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |         ' +', ' ', 'g'))) AS BIGINT) AS norm_len
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS word_count,
+         |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |      / len(toks) AS mean_word_len,
+         |    CAST(len(list_filter(toks,
+         |           x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+         |      / len(toks) AS symbol_ratio,
+         |    CAST(len(list_filter(toks,
+         |           x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+         |      / len(toks) AS alpha_word_ratio,
+         |    CAST(len(list_filter(${sqlList(GopherStops)},
+         |           w -> list_contains(list_distinct(toks), w))) AS BIGINT)
+         |      AS n_required_stops
+         |  FROM t),
+         |f AS (
+         |  SELECT *,
+         |    CAST(word_count >= 50 AND word_count <= 100000 AS INTEGER) AS wc_ok,
+         |    CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INTEGER)
+         |      AS wlen_ok,
+         |    CAST(symbol_ratio <= 0.1 AS INTEGER) AS symbol_ok,
+         |    CAST(alpha_word_ratio >= 0.8 AS INTEGER) AS alpha_ok,
+         |    CAST(n_required_stops >= 2 AS INTEGER) AS stop_ok
+         |  FROM s)
+         |SELECT *,
+         |  CAST(wc_ok = 1 AND wlen_ok = 1 AND symbol_ok = 1 AND alpha_ok = 1
+         |       AND stop_ok = 1 AS INTEGER) AS pass
+         |FROM f ORDER BY doc_id""".stripMargin)
 }
