@@ -127,10 +127,65 @@ object Curation {
       .presentSorted(col("pair_n").desc, col("w1"), col("w2"))
   }
 
+  /** Chunk width (words) for [[paragraphDedup]] — the stand-in for a
+    * paragraph boundary on this newline-free synthetic corpus; a real
+    * crawl splits on blank lines instead and the plan is unchanged. */
+  private val ParaW = 20
+
+  /** Paragraph-level exact dedup across the corpus (the CCNet/Dolma
+    * passage-dedup pass): split every document into [[ParaW]]-word
+    * chunks, keep only the FIRST corpus-order occurrence of each
+    * distinct chunk, and reassemble each document from its surviving
+    * chunks — boilerplate repeated across documents (cookie banners,
+    * navigation, license headers) disappears while the hosting documents
+    * survive.
+    *
+    * Scale shape, chosen deliberately AGAINST the window-by-digest form
+    * [[Corpus.corpusClean]] uses for whole documents: boilerplate chunks
+    * are EXACTLY the skewed keys at crawl scale (the same banner appears
+    * 10⁹ times), and `row_number() OVER (PARTITION BY digest)` would
+    * funnel every copy of the hottest chunk through one task. Instead
+    * the keeper is a MIN-AGGREGATE of the packed (doc_id, chunk_idx)
+    * order key per digest — partial aggregation collapses the hot key
+    * map-side, so the exchange carries O(distinct chunks) rows — joined
+    * back digest-keyed (AQE skew-split handles the residual probe-side
+    * hot keys; the build side is one row per digest by construction).
+    * Reassembly is one doc_id exchange: collect kept (idx, chunk)
+    * structs, array_sort, concat — deterministic because (doc_id,
+    * chunk_idx) is unique. Order-key packing bound: chunk_idx < 10⁶
+    * (a 20-million-word document) before doc_id·10⁶ collides.
+    */
+  def paragraphDedup(spark: SparkSession, dir: String,
+                     paraW: Int = ParaW): DataFrame = {
+    val t = col("toks")
+    val chunks = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(t) / lit(paraW.toDouble)).cast(LongType) - 1),
+          i => concat_ws(" ", slice(t, (i * paraW + 1).cast(IntegerType), lit(paraW)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .withColumn("key", col("doc_id") * 1000000L + col("chunk_idx"))
+      .withColumn("digest", md5(col("chunk")))
+    val keepers = chunks.groupBy(col("digest")).agg(min(col("key")).as("keep_key"))
+    chunks.join(keepers, "digest")
+      .withColumn("kept", (col("key") === col("keep_key")).cast(IntegerType))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("kept")).cast(LongType).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept") === 1,
+            struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk"))).as("dedup_text"))
+      .presentSorted(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_caps"      -> ((s, d) => domainCaps(s, d)),
     "dedup_keep_first" -> keepFirst _,
-    "term_pmi"         -> ((s, d) => termPmi(s, d)))
+    "term_pmi"         -> ((s, d) => termPmi(s, d)),
+    "paragraph_dedup"  -> ((s, d) => paragraphDedup(s, d)))
 
   val oracles: Map[String, String] = Map(
     "domain_caps" ->
@@ -172,5 +227,28 @@ object Curation {
         |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1)
         |SELECT pc.w1, pc.w2, pc.pair_n, a.n AS n1, b.n AS n2
         |FROM pc JOIN uni a ON a.w = pc.w1 JOIN uni b ON b.w = pc.w2
-        |ORDER BY pair_n DESC, w1, w2""".stripMargin)
+        |ORDER BY pair_n DESC, w1, w2""".stripMargin,
+    "paragraph_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    array_to_string(toks[(i * $ParaW + 1):(i * $ParaW + $ParaW)], ' ')
+         |      AS chunk,
+         |    doc_id * 1000000 + i AS key
+         |  FROM t, unnest(range(0, CAST(ceil(len(toks) / $ParaW.0) AS BIGINT)))
+         |         AS u(i)),
+         |k AS (SELECT md5(chunk) AS digest, min(key) AS keep_key
+         |      FROM c GROUP BY 1),
+         |j AS (
+         |  SELECT c.*, CAST(c.key = k.keep_key AS INTEGER) AS kept
+         |  FROM c JOIN k ON md5(c.chunk) = k.digest)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  COALESCE(array_to_string(list_transform(
+         |    list({'chunk_idx': chunk_idx, 'chunk': chunk} ORDER BY chunk_idx)
+         |      FILTER (WHERE kept = 1),
+         |    s -> struct_extract(s, 'chunk')), ' '), '') AS dedup_text
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

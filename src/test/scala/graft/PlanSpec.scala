@@ -127,6 +127,20 @@ class PlanSpec extends AnyFunSuite {
            s"expected exactly 1 join node:\n$plan")
   }
 
+  test("paragraph dedup keeps first via min-AGGREGATE, never a digest window") {
+    // boilerplate chunks are the skewed keys at crawl scale: a
+    // row_number window by digest funnels the hottest chunk through one
+    // task, while partial_min collapses it map-side. The keeper must
+    // stay an aggregate (2 aggs: keeper + doc reassembly), no Window.
+    val plan = ext.Curation.paragraphDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"digest window reintroduced:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("min("),
+           s"keeper min-aggregate missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("as-of join is union + ONE key shuffle + running window — no join node at all") {
     val plan = ops.TimeJoins.asofQuoteTrade(spark, sfDir)
       .queryExecution.executedPlan.toString
