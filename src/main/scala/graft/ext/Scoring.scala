@@ -109,8 +109,29 @@ object Scoring {
     }
   }
 
+  /** Score-weighted importance sampling — the DSIR/FineWeb-style step
+    * downstream of [[qualityScore]]: each document is kept with
+    * probability equal to its quality score, so the sampled corpus is
+    * tilted toward high-quality documents WITHOUT the hard cliff of a
+    * threshold gate. The coin flip is a SECOND independent hash
+    * (md5 of the salted doc_id — salt "smp:" decorrelates it from the
+    * score hash, and a seedable salt makes the sample reproducible
+    * run-to-run and engine-to-engine, unlike rand()). Keep rule:
+    * u < score, both exact doubles in both engines. Per-row map, no
+    * shuffle; at 100 TB the sample is decided at scan time and
+    * everything downstream reads only survivors. */
+  def scoreWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fakeLogit(col("text")).as("score"))
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("smp:"), col("doc_id").cast(StringType))),
+              1, 8), 16, 10).cast(LongType) % 1000000L).cast(DoubleType) / 1e6)
+      .filter(col("u") < col("score"))
+      .presentSorted(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "quality_score" -> qualityScore _)
+    "quality_score"         -> qualityScore _,
+    "score_weighted_sample" -> scoreWeightedSample _)
 
   val oracles: Map[String, String] = Map(
     "quality_score" ->
@@ -124,5 +145,14 @@ object Scoring {
          |  CASE WHEN score >= $KeepMin THEN 'keep'
          |       WHEN score >= $ReviewMin THEN 'review'
          |       ELSE 'drop' END AS band
-         |FROM s ORDER BY doc_id""".stripMargin)
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "score_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000
+        |         AS DOUBLE) / 1e6 AS score,
+        |    CAST(('0x' || substr(md5('smp:' || doc_id), 1, 8))::BIGINT % 1000000
+        |         AS DOUBLE) / 1e6 AS u
+        |  FROM documents)
+        |SELECT doc_id, score, u FROM s WHERE u < score ORDER BY doc_id""".stripMargin)
 }

@@ -47,6 +47,21 @@ class ScoringSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("score-weighted sample tilts toward quality without a hard cliff") {
+    val all = ext.Scoring.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("score")).collect()
+    val kept = ext.Scoring.scoreWeightedSample(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // P(keep) = score ⇒ the kept mean must exceed the corpus mean...
+    val meanAll = all.map(_.getDouble(1)).sum / all.length
+    val meanKept = kept.values.sum / kept.size
+    assert(meanKept > meanAll,
+      s"sample not tilted: kept mean $meanKept vs corpus $meanAll")
+    // ...but low-score docs still survive sometimes (no threshold cliff)
+    assert(kept.values.exists(_ < 0.4), "no low-score survivors — cliff?")
+    assert(kept.nonEmpty && kept.size < all.length)
+  }
+
   test("bands partition the corpus and follow the thresholds") {
     val rows = ext.Scoring.qualityScore(spark, sfDir).collect()
     assert(rows.nonEmpty)
