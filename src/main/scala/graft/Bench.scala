@@ -26,20 +26,33 @@ object Bench {
     * stall_suspect flag that goes with it — both must come from the
     * same reps (pinned by BenchHeuristicsSpec). `first` is the in-place
     * window (initial reps + rescue); `retry` is the end-of-suite
-    * second-chance window, empty when none ran. r16 ADVICE: publishing
-    * a MERGED min while flagging from the retry window alone can emit
-    * steal_frac > threshold (or a multi-second spread) on a row NOT in
-    * stall_suspect, contradicting BASELINE.md's semantics. So: a clean
-    * retry REPLACES the poisoned first window outright (its reps ran
-    * minutes after the burst; a first-window min under stall is an
-    * overestimate anyway, and one that beat a clean retry min would be
-    * publishing steal-tainted timing as trustworthy); a retry that is
-    * itself still suspect publishes the merged window, flagged. */
+    * second-chance window, empty when none ran.
+    *
+    * Rule: publish the STEAL-CLEAN reps of both windows and recompute
+    * the flag on exactly that published window; when every rep ran
+    * stolen, fall back to the full merged window (whose stolen min
+    * flags it suspect anyway). Why this shape and not alternatives:
+    *
+    *  - r16 ADVICE: stats and flag must describe the SAME reps — a
+    *    merged min with a retry-only flag can emit steal_frac >
+    *    threshold on a row NOT in stall_suspect. Here the flag is
+    *    definitionally suspectOf(published).
+    *  - A steal-TAINTED rep measures the neighbor, not the query
+    *    (its duration only ever overestimates), so dropping it from
+    *    the published window loses nothing — this is what rescues a
+    *    stall victim once its clean retry lands.
+    *  - A steal-CLEAN rep is evidence of the real floor even when its
+    *    window was spread-suspect (sub-steal contention never makes a
+    *    rep faster), so it must never be discarded for a slower retry
+    *    min: a spread-only suspect keeps its fast clean min, published
+    *    but still FLAGGED when the clean reps themselves disagree. */
   private[graft] def publish(first: Seq[(Double, Double)],
-                             retry: Seq[(Double, Double)]): (Seq[(Double, Double)], Boolean) =
-    if (retry.isEmpty) (first, suspectOf(first))
-    else if (!suspectOf(retry)) (retry, false)
-    else (first ++ retry, true)
+                             retry: Seq[(Double, Double)]): (Seq[(Double, Double)], Boolean) = {
+    val merged = first ++ retry
+    val clean = merged.filter(_._2 <= StealThreshold)
+    val pub = if (clean.nonEmpty) clean else merged
+    (pub, suspectOf(pub))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -222,7 +235,12 @@ object Bench {
         val (retryReps, _) = measure(name, fn, " [retry]")
         val (pub, suspect) = publish(reps, retryReps)
         (name, pub, suspect)
-      case (name, _, reps, suspect) => (name, reps, suspect)
+      case (name, _, reps, _) =>
+        // no retry ran; publish still drops steal-tainted non-min reps
+        // so a neighbor's burst on ONE repeat doesn't inflate the
+        // published spread of a clean measurement
+        val (pub, suspect) = publish(reps, Nil)
+        (name, pub, suspect)
     }
     // r16 ADVICE: a timed-rep failure during the rescue or retry window
     // must not land a query that HAS a published timing in the errors
@@ -263,10 +281,22 @@ object Bench {
     // a one-line verdict on stderr plus a compact "vs_prev" summary in
     // stdout + artifact. Best-effort: a missing/corrupt previous
     // artifact skips the compare, never the bench.
+    // Same threshold bench_compare.py defaults to — keep the two in
+    // sync (the py tool is the judge-time spelling of these rules).
+    val VsPrevThreshold = 2.0
     val vsPrev: Option[String] = try {
       val f = new java.io.File(outFile)
       if (!f.exists() || only.nonEmpty) None else {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        // a previous artifact from a DIFFERENT scale factor (the
+        // SPARK_GRAFT_BENCH_OUT-less scale probe misuse case) would
+        // produce uniform bogus "regressions" — compare same-SF only
+        val prevSf = Option(root.get("sf")).map(_.asText).getOrElse("")
+        if (prevSf != sfDir) {
+          System.err.println(
+            s"[bench] vs-prev compare skipped: previous artifact is sf '$prevSf', this run is '$sfDir'")
+          None
+        } else {
         val pq = root.get("queries")
         val prevSusp = Option(root.get("stall_suspect")).map { a =>
           (0 until a.size).map(a.get(_).asText).toSet }.getOrElse(Set.empty[String])
@@ -277,18 +307,20 @@ object Bench {
             (k, mn, pq.get(k).asDouble, susp || prevSusp(k)) }
         if (common.isEmpty) None else {
           val regress = common.collect { case (k, mn, old, false)
-            if old > 0 && host.fold(mn / old)(h => mn / old / h) > 2.0 => k }
+            if old > 0 &&
+               host.fold(mn / old)(h => mn / old / h) > VsPrevThreshold => k }
           val tNew = common.map(_._2).sum
           val tOld = common.map(_._3).sum
           val raw = if (tOld > 0) tNew / tOld else 0.0
           val norm = host.fold(raw)(raw / _)
           regress.foreach(k => System.err.println(
-            s"[bench] REGRESSION vs previous artifact: $k (normalized > 2.0x)"))
+            s"[bench] REGRESSION vs previous artifact: $k (normalized > ${VsPrevThreshold}x)"))
           System.err.println(
             "[bench] vs prev: %d common, raw x%.2f, normalized x%.2f, %d regression(s)"
               .formatLocal(java.util.Locale.ROOT, common.size, raw, norm,
                            regress.size))
           Some(s"""{"n":${common.size},"raw":${fmt(raw)},"norm":${fmt(norm)},"regressions":${regress.size}}""")
+        }
         }
       }
     } catch { case e: Throwable =>

@@ -52,11 +52,17 @@ object StreamBench {
     val s0 = HostCal.stealTicks()
     val t0 = System.nanoTime()
     Thread.sleep(secs * 1000L)
+    // read the steal bracket BEFORE stop(): the stop drain can block
+    // for seconds on an in-flight batch that contributes nothing to the
+    // published stats — a burst during the drain must not taint a leg
+    // whose measured batches all ran clean. (Warmup batches remain
+    // inside the bracket — conservative, and they're a fixed small
+    // fraction of the window.)
+    val steal = HostCal.stealFrac(s0, HostCal.stealTicks(),
+                                  (System.nanoTime() - t0) / 1e9)
     val all = q.recentProgress.toSeq
     val died = q.exception
     q.stop()
-    val steal = HostCal.stealFrac(s0, HostCal.stealTicks(),
-                                  (System.nanoTime() - t0) / 1e9)
     died.foreach(e => System.err.println(s"[streambench] query failed: $e"))
     val failMark: Map[String, Double] =
       if (died.isDefined) Map("failed" -> 1.0) else Map.empty

@@ -158,15 +158,20 @@ object Curation {
   def paragraphDedup(spark: SparkSession, dir: String,
                      paraW: Int = ParaW): DataFrame = {
     val t = col("toks")
-    val chunks = Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), ceil(size(t) / lit(paraW.toDouble)).cast(LongType) - 1),
-          i => concat_ws(" ", slice(t, (i * paraW + 1).cast(IntegerType), lit(paraW)))))
-          .as(Seq("chunk_idx", "chunk")))
-      .withColumn("key", col("doc_id") * 1000000L + col("chunk_idx"))
-      .withColumn("digest", md5(col("chunk")))
+    // the chunk frame feeds BOTH the keeper aggregate and the join
+    // probe side — pin it so the scan + split + explode + md5 pipeline
+    // (the dominant per-row cost) runs once, not per plan reference
+    // (CacheScope-ledgered; Bench/Verify release between queries)
+    val chunks = graft.CacheScope.pin(
+      Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), ceil(size(t) / lit(paraW.toDouble)).cast(LongType) - 1),
+            i => concat_ws(" ", slice(t, (i * paraW + 1).cast(IntegerType), lit(paraW)))))
+            .as(Seq("chunk_idx", "chunk")))
+        .withColumn("key", col("doc_id") * 1000000L + col("chunk_idx"))
+        .withColumn("digest", md5(col("chunk"))))
     val keepers = chunks.groupBy(col("digest")).agg(min(col("key")).as("keep_key"))
     chunks.join(keepers, "digest")
       .withColumn("kept", (col("key") === col("keep_key")).cast(IntegerType))

@@ -79,7 +79,12 @@ object SemDedup {
     // (CacheScope-ledgered; Bench/Verify release between queries).
     val blocked = graft.CacheScope.pin(
       vecs.join(broadcast(cents), col("label") === col("cell"))
-        .withColumn("csim", Vectors.cosine(col("v"), col("cv")))
+        // reuse the precomputed nrm instead of Vectors.cosine, which
+        // would re-run the O(d) self-dot per row; same operands, same
+        // multiply/sqrt order, so the value is bit-identical to the
+        // oracle's cosine expression
+        .withColumn("csim", Vectors.dot(col("v"), col("cv")) /
+          (col("nrm") * sqrt(Vectors.dot(col("cv"), col("cv")))))
         .withColumn("blk", floor((row_number().over(rankW) - 1) / blockW))
         .select(col("vec_id"), col("label"), col("v"), col("nrm"),
                 col("csim"), col("blk")))

@@ -51,17 +51,22 @@ class BenchHeuristicsSpec extends AnyFunSuite {
 
   // ---- publish: the published window and its flag always agree ------
   // (r16 ADVICE: a merged min with a retry-only flag could put
-  // steal_frac > threshold on a row NOT in stall_suspect)
+  // steal_frac > threshold on a row NOT in stall_suspect. Rule: publish
+  // the steal-clean reps of both windows, flag = suspectOf(published);
+  // all-stolen falls back to merged, whose stolen min flags it.)
 
   private val stalled = Seq((6.7, 0.30), (6.8, 0.28), (6.7, 0.31))
   private val clean = Seq((1.20, 0.0), (1.25, 0.01), (1.22, 0.0))
 
-  test("publish: no retry window passes the first window through") {
+  test("publish: a clean window passes through unflagged") {
     assert(Bench.publish(clean, Nil) == ((clean, false)))
+  }
+
+  test("publish: all-stolen with no retry falls back to merged, flagged") {
     assert(Bench.publish(stalled, Nil) == ((stalled, true)))
   }
 
-  test("publish: a clean retry REPLACES a stalled first window") {
+  test("publish: a clean retry REPLACES a fully stalled first window") {
     // the stalled reps (including their steal-tainted min) must not
     // leak into the published stats of a non-suspect row
     val (pub, suspect) = Bench.publish(stalled, clean)
@@ -69,22 +74,39 @@ class BenchHeuristicsSpec extends AnyFunSuite {
     assert(!pub.exists(_._2 > Bench.StealThreshold))
   }
 
-  test("publish: a retry that is itself suspect publishes merged, flagged") {
+  test("publish: retry also stolen → merged fallback stays flagged") {
     val retryStalled = Seq((5.0, 0.20), (5.1, 0.22))
     val (pub, suspect) = Bench.publish(stalled, retryStalled)
     assert(pub == stalled ++ retryStalled && suspect)
   }
 
-  test("publish: published-window invariant — flag matches suspectOf(published)") {
+  test("publish: a spread-only suspect keeps its steal-clean fast min, still flagged") {
+    // the 0.9 s rep ran at 0% steal — it is evidence of the real floor
+    // and must not be discarded for the slower clean retry (that would
+    // bias published minima upward); but the clean reps still disagree
+    // by seconds, so the row stays suspect
+    val first = Seq((0.9, 0.0), (3.0, 0.0))
+    val (pub, suspect) = Bench.publish(first, clean)
+    assert(pub.map(_._1).min == 0.9 && suspect)
+  }
+
+  test("publish: a stolen NON-min rep is dropped so it can't inflate the spread") {
+    val oneStolen = Seq((1.20, 0.0), (3.30, 0.40), (1.22, 0.01))
+    val (pub, suspect) = Bench.publish(oneStolen, Nil)
+    assert(pub == Seq((1.20, 0.0), (1.22, 0.01)) && !suspect)
+  }
+
+  test("publish: flag ALWAYS equals suspectOf(published window)") {
+    val spready = Seq((0.9, 0.0), (3.0, 0.0))
     for {
-      first <- Seq(clean, stalled)
-      retry <- Seq(Nil, clean, stalled)
+      first <- Seq(clean, stalled, spready, Seq.empty[(Double, Double)])
+      retry <- Seq(Nil, clean, stalled, spready)
     } {
       val (pub, suspect) = Bench.publish(first, retry)
-      // a flagged row may only carry untrustworthy stats; an unflagged
-      // row's published window must itself test non-suspect
-      assert(suspect == Bench.suspectOf(pub) || suspect)
-      if (!suspect) assert(!Bench.suspectOf(pub))
+      assert(suspect == Bench.suspectOf(pub),
+        s"first=$first retry=$retry pub=$pub")
+      // and a non-suspect row never publishes a steal-tainted rep
+      if (!suspect) assert(!pub.exists(_._2 > Bench.StealThreshold))
     }
   }
 }

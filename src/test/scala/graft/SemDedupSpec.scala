@@ -51,11 +51,17 @@ class SemDedupSpec extends AnyFunSuite {
   }
 
   test("plan: centroid codebook joins broadcast; pair join is equi, not cartesian") {
-    val plan = ext.SemDedup.dedupSemantic(spark, sfDir)
-      .queryExecution.sparkPlan.toString
-    assert(plan.contains("BroadcastExchange"), plan)
-    assert(!plan.contains("CartesianProduct") &&
-           !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // scoped: dedupSemantic pins its blocked frame at plan-construction
+    // time, and a plan-only test must not leak that pin into the shared
+    // session for later suites
+    CacheScope.scoped(spark) {
+      val plan = ext.SemDedup.dedupSemantic(spark, sfDir)
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastExchange"), plan)
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+    assert(CacheScope.livePinned(spark) == 0)
   }
 
   test("pinned frames are released by the scope (no cache leak)") {
