@@ -59,12 +59,12 @@ object Scoring {
   private val KeepMin   = 0.8
   private val ReviewMin = 0.4
 
-  /** Gate query: every document scored and banded — the shape a curation
-    * run materializes once and filters many times. `n_words` rides along
-    * as the real (non-stub) feature a reviewer sanity-checks bands
-    * against. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** Column-path scoring over ANY frame with (doc_id, text) — batch or
+    * STREAMING (pure per-row expressions, no state: ScoringSpec pins
+    * that a streaming plan through this carries no StateStore). The
+    * library entry a caller composes into their own pipeline. */
+  def scored(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_words"),
@@ -73,7 +73,13 @@ object Scoring {
         when(col("score") >= KeepMin, lit("keep"))
           .when(col("score") >= ReviewMin, lit("review"))
           .otherwise(lit("drop")))
-      .presentSorted(col("doc_id"))
+
+  /** Gate query: every document scored and banded — the shape a curation
+    * run materializes once and filters many times. `n_words` rides along
+    * as the real (non-stub) feature a reviewer sanity-checks bands
+    * against. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    scored(Tables.documents(spark, dir)).presentSorted(col("doc_id"))
 
   /** One document as the partition-scoring path sees it. */
   case class DocRow(doc_id: Long, text: String)

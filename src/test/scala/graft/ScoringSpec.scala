@@ -62,6 +62,36 @@ class ScoringSpec extends AnyFunSuite {
     assert(kept.nonEmpty && kept.size < all.length)
   }
 
+  test("column scoring path runs STATELESS on a stream (ingest-time gate)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = ext.Scoring.scored(input.toDF().toDF("doc_id", "text"))
+      .filter(col("band") =!= "drop")
+      .writeStream.format("memory").queryName("graft_scored")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_scored").toString)
+      .start()
+    try {
+      input.addData((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      q.processAllAvailable()
+      val rows = spark.table("graft_scored").collect()
+      // the stream path must agree with the batch path on the same rows
+      val batch = ext.Scoring.scored(
+        Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+          .toDF("doc_id", "text"))
+        .filter(col("band") =!= "drop").collect()
+      assert(rows.map(_.toString).sorted.toSeq ==
+             batch.map(_.toString).sorted.toSeq)
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!exec.contains("StateStore"),
+        s"per-row scoring must be stateless:\n$exec")
+    } finally q.stop()
+  }
+
   test("bands partition the corpus and follow the thresholds") {
     val rows = ext.Scoring.qualityScore(spark, sfDir).collect()
     assert(rows.nonEmpty)
