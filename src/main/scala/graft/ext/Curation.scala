@@ -186,11 +186,88 @@ object Curation {
       .presentSorted(col("doc_id"))
   }
 
+  /** Sliding-window width (words) for [[substrDupSpans]] — the stand-in
+    * for ExactSubstr's 50-BPE-token threshold, scaled to this corpus's
+    * ~54-word documents so duplicated spans exist at test SF. */
+  private val SpanW = 8
+
+  /** Exact duplicated-SUBSTRING span statistics (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr family): for every document, find the maximal token
+    * spans whose every [[SpanW]]-token window also appears in at least
+    * one OTHER document, and report per-doc coverage. Where
+    * [[paragraphDedup]] removes duplicate FIXED chunks, ExactSubstr
+    * detects duplication at arbitrary alignment — the form that catches
+    * quotes, syndicated fragments, and templated text whose boundaries
+    * do not land on chunk edges. (The paper removes the spans; this
+    * operator reports them — span REMOVAL is [[paragraphDedup]]'s
+    * reassembly step applied to the same marks.)
+    *
+    * Spark-first shape — a suffix array is a single-machine data
+    * structure; the distributed equivalent is windows-as-keys:
+    *  1. slide a width-[[SpanW]] stride-1 window over each token array
+    *     (one codegen'd transform + posexplode, no UDF) and digest it;
+    *  2. duplicated windows = digests seen in ≥ 2 DISTINCT docs — a
+    *     two-level aggregation (groupBy (digest, doc) then groupBy
+    *     digest) so the boilerplate digest that appears 10⁹ times at
+    *     crawl scale collapses map-side BOTH times, never a
+    *     count(DISTINCT) expand and never a digest window;
+    *  3. join the marks back digest-keyed (build side is ≤ one row per
+    *     distinct digest; AQE splits residual probe-side hot keys);
+    *  4. per-doc span merge WITHOUT a lag window: sorted dup-start
+    *     array, then the interval-union identity for equal-width
+    *     windows — |union| = W + Σ min(W, sᵢ₊₁ − sᵢ), spans =
+    *     1 + #{gaps > W} — as codegen'd array HOFs. One doc_id
+    *     exchange carrying only dup positions; per-doc state is
+    *     bounded by document length, the same per-row bound every
+    *     text operator here already carries.
+    *
+    * Output is integer-only (the [[termPmi]] hash-gate practice):
+    * coverage is floor-ppm, never a raw double.
+    */
+  def substrDupSpans(spark: SparkSession, dir: String,
+                     w: Int = SpanW): DataFrame = {
+    val t = col("toks")
+    val grams = graft.CacheScope.pin(
+      Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(t) >= w)
+        .select(col("doc_id"), size(t).cast(LongType).as("n_tokens"),
+          posexplode(transform(
+            sequence(lit(0), size(t) - w),
+            i => md5(concat_ws(" ", slice(t, i + 1, lit(w))))))
+            .as(Seq("pos", "digest"))))
+    val dupDigests = grams.select(col("digest"), col("doc_id")).distinct()
+      .groupBy(col("digest")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("digest"))
+    val starts = col("starts")
+    val diffs = zip_with(
+      slice(starts, lit(1), size(starts) - 1),
+      slice(starts, lit(2), size(starts) - 1),
+      (a, b) => b - a)
+    grams.join(dupDigests, "digest")
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("dup_windows"),
+        array_sort(collect_list(col("pos"))).as("starts"))
+      .withColumn("dup_tokens",
+        (lit(w) + aggregate(diffs, lit(0),
+          (acc, d) => acc + least(d, lit(w)))).cast(LongType))
+      .withColumn("n_spans",
+        (lit(1) + aggregate(diffs, lit(0),
+          (acc, d) => acc + when(d > w, 1).otherwise(0))).cast(LongType))
+      .select(col("doc_id"), col("n_tokens"), col("dup_windows"),
+        col("n_spans"), col("dup_tokens"),
+        floor(col("dup_tokens") * lit(1000000L) / col("n_tokens"))
+          .cast(LongType).as("dup_ppm"))
+      .presentSorted(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "domain_caps"      -> ((s, d) => domainCaps(s, d)),
-    "dedup_keep_first" -> keepFirst _,
-    "term_pmi"         -> ((s, d) => termPmi(s, d)),
-    "paragraph_dedup"  -> ((s, d) => paragraphDedup(s, d)))
+    "domain_caps"       -> ((s, d) => domainCaps(s, d)),
+    "dedup_keep_first"  -> keepFirst _,
+    "term_pmi"          -> ((s, d) => termPmi(s, d)),
+    "paragraph_dedup"   -> ((s, d) => paragraphDedup(s, d)),
+    "dedup_substr_spans" -> ((s, d) => substrDupSpans(s, d)))
 
   val oracles: Map[String, String] = Map(
     "domain_caps" ->
@@ -255,5 +332,35 @@ object Curation {
          |    list({'chunk_idx': chunk_idx, 'chunk': chunk} ORDER BY chunk_idx)
          |      FILTER (WHERE kept = 1),
          |    s -> struct_extract(s, 'chunk')), ' '), '') AS dedup_text
-         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Span-merge identity restated with a lag window (DuckDB has no
+    // cheap sorted-array fold); Spark deliberately avoids the window —
+    // equality of the two forms is part of what the gate proves. Spark
+    // positions are 0-based, DuckDB's 1-based: differences (all the
+    // output uses) are identical.
+    "dedup_substr_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, len(toks) AS n_tokens, i AS pos,
+         |    md5(array_to_string(toks[i:i + $SpanW - 1], ' ')) AS digest
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - $SpanW + 2)) AS i
+         |        FROM t WHERE len(toks) >= $SpanW)),
+         |dd AS (
+         |  SELECT digest FROM (SELECT DISTINCT digest, doc_id FROM g)
+         |  GROUP BY digest HAVING count(*) >= 2),
+         |m AS (
+         |  SELECT g.doc_id, g.n_tokens, g.pos,
+         |    lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+         |  FROM g JOIN dd USING (digest))
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS dup_windows,
+         |  CAST(sum(CASE WHEN prev IS NULL OR pos - prev > $SpanW
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN prev IS NULL THEN $SpanW
+         |           ELSE least($SpanW, pos - prev) END) AS BIGINT) AS dup_tokens,
+         |  CAST(floor(sum(CASE WHEN prev IS NULL THEN $SpanW
+         |                 ELSE least($SpanW, pos - prev) END)
+         |             * 1000000.0 / n_tokens) AS BIGINT) AS dup_ppm
+         |FROM m GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin)
 }

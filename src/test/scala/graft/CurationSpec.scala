@@ -68,6 +68,59 @@ class CurationSpec extends AnyFunSuite {
     assert(got.length === expected.size)
   }
 
+  test("substrDupSpans: matches a collected brute-force recount (span-merge identity)") {
+    val w = 8
+    val got = Curation.substrDupSpans(spark, dir, w = w).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    graft.CacheScope.release(spark)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val grams = docs.flatMap { case (id, t) =>
+      t.sliding(w).zipWithIndex.collect {
+        case (g, i) if g.size == w => (id, i, g.mkString(" ")) } }
+    // duplicated = the gram text occurs in >= 2 distinct documents
+    val dupSet = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val byDoc = grams.filter(g => dupSet(g._3)).groupBy(_._1)
+    assert(byDoc.nonEmpty && got.keySet === byDoc.keySet)
+    val tokCount = docs.toMap
+    for ((id, ms) <- byDoc) {
+      val starts = ms.map(_._2).sorted
+      // interval-union sweep over equal-width windows — the reference
+      // form of the identity the operator computes with array HOFs
+      var covered = w.toLong; var spans = 1L
+      starts.sliding(2).foreach {
+        case Array(a, b) => covered += math.min(w, b - a); if (b - a > w) spans += 1
+        case _ => ()
+      }
+      val n = tokCount(id).size
+      val (nTokens, dupWindows, nSpans, dupTokens, ppm) = got(id)
+      assert(nTokens === n.toLong, s"n_tokens($id)")
+      assert(dupWindows === starts.size.toLong, s"dup_windows($id)")
+      assert(nSpans === spans, s"n_spans($id)")
+      assert(dupTokens === covered, s"dup_tokens($id)")
+      assert(ppm === math.floor(covered * 1000000.0 / n).toLong, s"dup_ppm($id)")
+    }
+  }
+
+  test("substrDupSpans: two-agg distinct-doc count, no Window, no Expand, one join") {
+    // the boilerplate gram is the skewed key at crawl scale: distinct-doc
+    // counting must stay groupBy(digest, doc).groupBy(digest) — partial
+    // agg collapses the hot digest map-side BOTH times; count(DISTINCT)
+    // would plan an Expand, a lag-window span merge would plan a Window,
+    // and either funnels the hot key through one task
+    val plan = Curation.substrDupSpans(spark, dir)
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release(spark)
+    assert(!plan.contains("Window"), s"span merge reintroduced a window:\n$plan")
+    assert(!plan.contains("Expand"), s"count-distinct Expand planned:\n$plan")
+    assert("Join".r.findAllIn(plan).size === 1,
+           s"expected exactly the digest mark-back join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("termPmi leaves no cached frames behind (r12 ADVICE leak)") {
     // the vocabulary materialization must not register anything with the
     // CacheManager — a library caller has no handle to unpersist it, so
