@@ -227,15 +227,16 @@ object Curation {
     */
   def substrDupSpans(spark: SparkSession, dir: String,
                      w: Int = SpanW): DataFrame = {
-    val t = col("toks")
+    // window digests via the native one-walk expression
+    // (functions/WordWindowMd5.scala — same values as the composed
+    // split→transform→md5(concat_ws(slice)) chain, parity pinned by
+    // WordWindowMd5Spec; a short doc's empty array posexplodes to
+    // nothing, so no explicit length filter is needed)
     val grams = graft.CacheScope.pin(
       Tables.documents(spark, dir)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(t) >= w)
-        .select(col("doc_id"), size(t).cast(LongType).as("n_tokens"),
-          posexplode(transform(
-            sequence(lit(0), size(t) - w),
-            i => md5(concat_ws(" ", slice(t, i + 1, lit(w))))))
+        .select(col("doc_id"),
+          (size(split(col("text"), " "))).cast(LongType).as("n_tokens"),
+          posexplode(graft.functions.WordWindowMd5(col("text"), lit(w)))
             .as(Seq("pos", "digest"))))
     val dupDigests = grams.select(col("digest"), col("doc_id")).distinct()
       .groupBy(col("digest")).agg(count(lit(1)).as("nd"))

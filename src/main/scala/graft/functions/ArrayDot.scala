@@ -106,6 +106,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     binary("jaccard_sim", classOf[JaccardSim], JaccardSim(_, _))
     binary("char_ngrams", classOf[CharNGrams], CharNGrams(_, _))
     binary("word_ngrams", classOf[WordNGrams], WordNGrams(_, _))
+    binary("word_window_md5", classOf[WordWindowMd5], WordWindowMd5(_, _))
     // Spark's OWN codegen'd bloom probe (the expression its runtime
     // row-level filtering uses), exposed for the explicit semi-join
     // reduction in ops/BloomJoin — arg0 a serialized-filter literal,
