@@ -86,27 +86,23 @@ object Text {
     * half-overlapping windows cover every byte while hashing ¼ of the
     * positions) plus a whole-text digest. md5 is used because the DuckDB
     * oracle must reproduce the value bit-for-bit; swap for xxhash64 where
-    * the fingerprint never leaves Spark. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    // Strided positions EXPLODE to rows and the min-hash is a plain
-    // `min` aggregate — not array_min(transform(…)): the HOF pair is
-    // CodegenFallback, so the ~len/4 md5 calls per doc ran interpreted
-    // (same trap as Dedup.signaturesFrom). Exploded, the scan is
-    // generator → md5 → hash-aggregate, codegen end to end; md5(text)
-    // sits BELOW the generator, so it hashes once per doc, not per
-    // position, and the spreadForCpu hash-partitioning makes the
-    // groupBy exchange-free.
-    val n = greatest(length(col("text")) - 7, lit(1))
-    Tables.spreadForCpu(Tables.documents(spark, dir), // ~len/4 md5 calls
-      col("doc_id"))               // per doc off a potentially-single split
-      .select(col("doc_id"), md5(col("text")).as("text_md5"), col("text"),
-              explode(sequence(lit(1), n, lit(4))).as("i"))
-      .groupBy(col("doc_id"))
-      .agg(min(col("text_md5")).as("text_md5"), // group-constant
-           min(md5(col("text").substr(col("i"), lit(8))))
-             .as("shingle_fingerprint"))
+    * the fingerprint never leaves Spark.
+    *
+    * The strided min-hash is the native one-walk
+    * [[graft.functions.StridedMinMd5]] expression, which replaced the
+    * exploded generator→md5→hash-aggregate form (itself a fix for the
+    * CodegenFallback array_min(transform(…)) trap): the fingerprint is
+    * now a pure per-row PROJECTION — no generator rows, no per-window
+    * substr/hex allocation, no aggregation, and therefore no exchange
+    * anywhere in the plan (the exploded form needed spreadForCpu
+    * hash-partitioning to keep its groupBy exchange-free;
+    * StridedMinMd5Spec pins the exchange-free plan). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+              graft.functions.StridedMinMd5(col("text"), lit(8), lit(4))
+                .as("shingle_fingerprint"))
       .presentSorted(col("doc_id"))
-  }
 
   /** Repetition-ratio quality signals (the Gopher-style repetitiousness
     * filters): duplicate-bigram fraction and top-word mass fraction per

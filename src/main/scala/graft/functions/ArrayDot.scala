@@ -107,6 +107,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     binary("char_ngrams", classOf[CharNGrams], CharNGrams(_, _))
     binary("word_ngrams", classOf[WordNGrams], WordNGrams(_, _))
     binary("word_window_md5", classOf[WordWindowMd5], WordWindowMd5(_, _))
+    ext.injectFunction((
+      new FunctionIdentifier("strided_min_md5"),
+      new ExpressionInfo(classOf[StridedMinMd5].getName, "strided_min_md5"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+                s"strided_min_md5 expects 3 arguments, got ${children.length}")
+        StridedMinMd5(children(0), children(1), children(2))
+      }))
     // Spark's OWN codegen'd bloom probe (the expression its runtime
     // row-level filtering uses), exposed for the explicit semi-join
     // reduction in ops/BloomJoin — arg0 a serialized-filter literal,
