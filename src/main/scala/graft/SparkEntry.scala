@@ -36,6 +36,7 @@ object SparkEntry {
     (ops.Windows.queries, ops.Windows.oracles),
     (ops.Incremental.queries, ops.Incremental.oracles),
     (ext.Text.queries, ext.Text.oracles),
+    (ext.LangModel.queries, ext.LangModel.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),
     (ext.Dedup.queries, ext.Dedup.oracles),
     (ext.Cluster.queries, ext.Cluster.oracles),

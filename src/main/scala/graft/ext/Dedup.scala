@@ -73,7 +73,7 @@ object Dedup {
     * on a duplicate-heavy corpus can push that past the 8 GB broadcast /
     * driver-memory hard cap. 4M (doc_a, doc_b) rows ≈ 64 MB payload:
     * comfortably broadcastable, far below the cap. */
-  private val MaxBroadcastRows = 4L * 1000 * 1000
+  private[ext] val MaxBroadcastRows = 4L * 1000 * 1000
 
   /** Pin `df` as the hash-join BUILD side without unconditionally
     * collecting it to the driver. Candidate frames are usually tiny
@@ -93,7 +93,7 @@ object Dedup {
     * call `CacheScope.release(spark)` between queries, as Bench/Verify
     * do). DedupArtifactSpec asserts a scoped run leaves the session
     * CacheManager empty. */
-  private def pinBuildSide(df: DataFrame): DataFrame = {
+  private[ext] def pinBuildSide(df: DataFrame): DataFrame = {
     val p = graft.CacheScope.pin(df)
     if (p.count() <= MaxBroadcastRows) broadcast(p) else p.hint("shuffle_hash")
   }

@@ -1,0 +1,177 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.Present.PresentOps
+
+/** N-gram language-model perplexity scoring — the CCNet-style corpus
+  * quality pass (Wenzek et al. 2020: score every document under a
+  * KenLM 5-gram model, bucket the corpus into head/middle/tail by
+  * per-language perplexity percentiles; the head bucket is what
+  * LLM pretraining keeps). No reference-repo counterpart — this is
+  * the training-data-pipeline surface (BASELINE.json north_star).
+  *
+  * This is the whole pipeline expressed as ONE declarative plan:
+  * train (add-one-smoothed conditional bigram model — the in-engine
+  * stand-in for the external KenLM artifact), score (mean negative
+  * log-likelihood per document), bucket (corpus tertiles).
+  * A production run swaps the self-trained `big`/`uni` frames for a
+  * model table trained on a reference corpus (CCNet uses Wikipedia) —
+  * the scoring join below is unchanged, which is the point of keeping
+  * the model a DataFrame instead of a driver-side object.
+  *
+  * Scale shape, piece by piece:
+  *   - The bigram frame feeds BOTH the model build and the scoring
+  *     join, so it is pinned ([[graft.CacheScope]]-ledgered) — one
+  *     corpus scan + tokenize + explode, not one per consumer (the
+  *     shared-subplan recompute [[Dedup.dedupMinhashLsh]] documents
+  *     as its most expensive regression).
+  *   - Model size is VOCABULARY economics, not corpus economics:
+  *     `big` is O(distinct bigrams), sub-linear in corpus size, and it
+  *     is the ONLY model artifact — the smoothing denominator is the
+  *     CONTEXT count c(w1·) = Σ_w2 c(w1,w2) (the proper conditional
+  *     form) and the vocab size is |w1 ∪ w2|, both derived FROM the
+  *     checkpointed bigram table in O(distinct bigrams), so the corpus
+  *     is tokenized exactly once. `big` joins under
+  *     [[Dedup.pinBuildSide]]'s rule (broadcast under the 4M-row
+  *     driver ceiling [[Dedup.MaxBroadcastRows]], distributed
+  *     SHUFFLE_HASH above it — a web-scale bigram table can exceed a
+  *     broadcast), inlined here so the count that makes the decision
+  *     is also the pin's materialization job; the O(vocab) context
+  *     frame and the 1-row vocab count are unconditionally broadcast.
+  *   - Scoring is explode → broadcast-join → groupBy(doc_id): partial
+  *     aggregation collapses each document's log-prob terms map-side,
+  *     so the only exchange carries O(documents) partial rows, never
+  *     O(tokens).
+  *   - Bucket thresholds are exact `percentile_disc` over the O(docs)
+  *     score frame (actual data values — the [[graft.ops.Quality]]
+  *     winsorize pattern; at 100 TB swap in approx_percentile's
+  *     mergeable t-digest, same plan shape), cross-joined back as a
+  *     broadcast 1-row frame — never a driver collect.
+  *
+  * Measured cost (sf0.1, 32 threads): min ≈ 1.75 s steady-state over
+  * 6–8 reps with the monotone-decaying rep profile BASELINE.md's
+  * "Iterative-query rep noise" note attributes to JIT tier-up — the
+  * same class as dedup_substr_spans (1.75 s): two passes over the
+  * pinned O(tokens) pair frame (model build, scoring join) plus the
+  * O(docs) percentile/bucket tail. Sharing one pin for the model
+  * table (vs localCheckpoint + a second pin) and pinning `scored`
+  * were each measured; the floor is the two pair-frame passes.
+  *
+  * Hash-gate determinism: the score is quantized to integer ppm
+  * (floor of mean-NLL × 10⁶) INSIDE the query, so thresholds,
+  * comparisons and the gate hash all run on integers — the [[termPmi]]
+  * practice. The only floats are the per-bigram `ln` terms; a 1-ulp
+  * libm or summation-order divergence vs the oracle is ~10⁻⁸ relative,
+  * which cannot move a floor(×10⁶) except on an exact boundary.
+  * Documents with <2 tokens have no bigrams and are excluded (the
+  * [[graft.ext.Curation.termPmi]] convention).
+  */
+object LangModel {
+
+  /** Tertile fractions, shared verbatim with the oracle SQL so both
+    * engines parse the IDENTICAL double literal. */
+  private val Q1 = 1.0 / 3
+  private val Q2 = 2.0 / 3
+
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame =
+    scoreFrame(Tables.documents(spark, dir))
+
+  /** Frame-level core: `in` needs (doc_id, text). Split out so specs can
+    * feed hand-built corpora with known bigram statistics. */
+  def scoreFrame(in: DataFrame): DataFrame = {
+    val t = col("toks")
+    val docs = in
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(t) >= 2)
+    // (doc_id, w1, w2) per token position — the one O(tokens) frame;
+    // pinned because the model build and the scoring probe both read it
+    val pairs = graft.CacheScope.pin(
+      docs.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("w1"),
+                        element_at(t, i + 1).as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.w2")))
+    // the model table — probed three times (scoring join, context
+    // denominators, vocab count): ONE pin, whose count doubles as the
+    // materialization job AND the [[Dedup.MaxBroadcastRows]] driver-
+    // safety check (pinBuildSide's rule, inlined so ctx/vocab reuse the
+    // same cached partitions instead of paying a second materialization)
+    val big = graft.CacheScope.pin(
+      pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("pair_n")))
+    val bigSide =
+      if (big.count() <= Dedup.MaxBroadcastRows) broadcast(big)
+      else big.hint("shuffle_hash")
+    // c(w1·) and |V| in O(distinct bigrams) — never a second corpus pass
+    val ctx = big.groupBy(col("w1")).agg(sum(col("pair_n")).as("n1"))
+    val vocab = big.select(col("w1").as("w"))
+      .union(big.select(col("w2")))
+      .agg(count_distinct(col("w")).as("v")) // 1 row — never a collect
+    // O(documents) rows, but its SUBPLAN is the expensive one (the
+    // O(tokens) scoring join) and it feeds BOTH the tertile bounds and
+    // the final bucket select — pin, or the join runs twice
+    val scored = graft.CacheScope.pin(
+      pairs
+        .join(bigSide, Seq("w1", "w2"))
+        .join(broadcast(ctx), "w1")
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+             // add-one bigram log-prob: ln((c(w1w2)+1) / (c(w1·)+V))
+             sum(log((col("pair_n") + lit(1.0)) / (col("n1") + col("v"))))
+               .as("ll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          floor(-col("ll") / col("n_bigrams") * lit(1000000L))
+            .cast(LongType).as("nll_ppm")))
+    val bounds = scored.agg(
+      expr(s"percentile_disc($Q1) WITHIN GROUP (ORDER BY nll_ppm)").as("q1"),
+      expr(s"percentile_disc($Q2) WITHIN GROUP (ORDER BY nll_ppm)").as("q2"))
+    scored
+      .crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_ppm"),
+        when(col("nll_ppm") <= col("q1"), lit("head"))
+          .when(col("nll_ppm") <= col("q2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .presentSorted(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_perplexity" -> lmPerplexity _)
+
+  val oracles: Map[String, String] = Map(
+    // DuckDB spelling of the same model: bigrams via the proven
+    // term_pmi unnest(range) idiom, ln == Spark's natural log,
+    // identical double literals for the tertile fractions.
+    "lm_perplexity" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |pc AS (SELECT w1, w2, count(*) AS pair_n FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(sum(pair_n) AS BIGINT) AS n1
+         |        FROM pc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v
+         |      FROM (SELECT w1 AS w FROM pc UNION ALL SELECT w2 FROM pc)),
+         |s AS (
+         |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(floor(-sum(ln((pc.pair_n + 1.0) / (ctx.n1 + v.v)))
+         |               / count(*) * 1000000) AS BIGINT) AS nll_ppm
+         |  FROM bg
+         |  JOIN pc ON pc.w1 = bg.w1 AND pc.w2 = bg.w2
+         |  JOIN ctx ON ctx.w1 = bg.w1
+         |  CROSS JOIN v
+         |  GROUP BY bg.doc_id),
+         |b AS (SELECT quantile_disc(nll_ppm, $Q1) AS q1,
+         |             quantile_disc(nll_ppm, $Q2) AS q2 FROM s)
+         |SELECT doc_id, n_bigrams, nll_ppm,
+         |  CASE WHEN nll_ppm <= b.q1 THEN 'head'
+         |       WHEN nll_ppm <= b.q2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM s CROSS JOIN b ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[ext.LangModel]]'s semantics beyond the DuckDB hash gate:
+  * the score must actually ORDER documents by model fit (fluent text
+  * under the trained bigram model scores lower NLL than shuffled
+  * text), short documents are excluded by the bigram convention, the
+  * tertile buckets partition the corpus, and the scoring plan keeps
+  * the model on the build/broadcast side. */
+class LangModelSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  private def score(rows: (Long, String)*) = CacheScope.scoped(spark) {
+    ext.LangModel.scoreFrame(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+  }
+
+  test("repeated in-model bigrams score lower NLL than one-off bigrams") {
+    // docs 1-3 share the same frequent bigrams (x→y count 9, y→x
+    // count 6 under the self-trained model); doc 4's bigrams are all
+    // count-1 with count-1 contexts, so its smoothed probabilities
+    // are ≈ 2/(1+V) ≪ docs 1-3's ≈ 10/11 — strictly higher mean NLL
+    val common = Seq.fill(3)("x y").mkString(" ")
+    val m = score(
+      1L -> common, 2L -> common, 3L -> common,
+      4L -> "p q r s t u")
+    assert(m(1L)._1 == m(2L)._1 && m(2L)._1 == m(3L)._1)
+    assert(m(4L)._1 > m(1L)._1,
+      s"rare-bigram doc not penalized: ${m(4L)._1} vs ${m(1L)._1}")
+  }
+
+  test("sub-bigram documents are excluded; buckets partition the corpus") {
+    val m = score(
+      1L -> "a b a b", 2L -> "a b c d", 3L -> "q r s t",
+      4L -> "lonely", 5L -> "")
+    assert(!m.contains(4L) && !m.contains(5L))
+    assert(m.values.map(_._2).forall(Set("head", "middle", "tail")))
+    // scores are distinct here, so tertiles must use all three labels
+    assert(m.values.map(_._2).toSet.size == 3, m.toString)
+  }
+
+  test("bucket thresholds are inclusive-ordered: head ≤ middle ≤ tail by score") {
+    val out = CacheScope.scoped(spark) {
+      ext.LangModel.lmPerplexity(spark, sfDir)
+        .select(col("bucket"), col("nll_ppm")).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+    }
+    def rng(b: String) = { val v = out.collect { case (`b`, s) => s }; (v.min, v.max) }
+    val (h, m, t) = (rng("head"), rng("middle"), rng("tail"))
+    assert(h._2 <= m._1 && m._2 <= t._1,
+      s"bucket ranges interleave: head=$h middle=$m tail=$t")
+    // tertile balance: no bucket may hold more than half the corpus
+    val n = out.length
+    Seq("head", "middle", "tail").foreach { b =>
+      val c = out.count(_._1 == b)
+      assert(c > 0 && c <= n / 2 + 1, s"$b holds $c of $n")
+    }
+  }
+
+  test("scoring plan: model joins broadcast at gate scale, nothing cartesian-explodes") {
+    CacheScope.scoped(spark) {
+      val plan = ext.LangModel.lmPerplexity(spark, sfDir)
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+      // the only nested-loop joins are the broadcast 1-row frames
+      // (vocab count, tertile bounds) — a real cartesian would pair
+      // O(tokens) rows
+      assert(!plan.contains("CartesianProduct"), plan.take(600))
+    }
+    assert(CacheScope.livePinned(spark) == 0)
+  }
+}
