@@ -196,17 +196,53 @@ object Cluster {
       .presentSorted(col("doc_id"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_clusters" -> dedupClusters _)
+  /** Representative SELECTION over the closed clusters — the decision
+    * rule a curation run applies after [[dedupClusters]]: keep ONE
+    * member per cluster and drop the rest. The keep rule here is
+    * LONGEST-document-wins (n_chars, ties to the smaller doc_id) — the
+    * RefinedWeb/Dolma convention; swapping in any other orderable
+    * quality signal (e.g. [[Scoring.qualityScore]]'s column) changes
+    * only the struct inside the max. Output is the post-dedup corpus
+    * MANIFEST: one row per surviving document, with its cluster's
+    * membership accounting (singletons keep themselves, n_dropped 0).
+    *
+    * Scale shape: the keeper is a MAX-AGGREGATE of a (len, -doc_id)
+    * struct per cluster — partial aggregation collapses every cluster
+    * map-side, so the exchange carries O(clusters) rows; the window
+    * form (`row_number() OVER (PARTITION BY cluster)`) would funnel a
+    * mega-cluster (boilerplate at crawl scale) through one task. The
+    * cluster assignment itself is [[connectedComponents]], unchanged. */
+  def clusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.lshPairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val docs = Tables.documents(spark, dir)
+    val lbl = connectedComponents(
+      docs.select(col("doc_id").as("id")), edges)
+    lbl.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+           max(struct(col("n_chars").as("len"),
+                      (-col("id")).as("neg_id"))).as("best"))
+      .select(col("label").as("cluster_rep"),
+        (-col("best.neg_id")).as("keeper_doc_id"),
+        col("best.len").as("keeper_chars"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+      .presentSorted(col("cluster_rep"))
+  }
 
-  /** The oracle rebuilds the verified pair graph with the SAME SQL as the
-    * `dedup_minhash_lsh` oracle, then closes it with a recursive CTE
-    * (transitive reachability → min reachable id). Exact closure is
-    * oracle-only economics: fine on gate-scale graphs, quadratic in
-    * cluster size at corpus scale — the Spark side's log-round
-    * propagation is the form that survives 100 TB. */
-  val oracles: Map[String, String] = Map(
-    "dedup_clusters" ->
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> dedupClusters _,
+    "cluster_keep_best" -> clusterKeepBest _)
+
+  /** Shared oracle prefix: rebuild the verified pair graph with the SAME
+    * SQL as the `dedup_minhash_lsh` oracle, close it with a recursive
+    * CTE (transitive reachability → min reachable id), and assign every
+    * document its cluster rep. Exact closure is oracle-only economics:
+    * fine on gate-scale graphs, quadratic in cluster size at corpus
+    * scale — the Spark side's log-round propagation is the form that
+    * survives 100 TB. */
+  private val ClosureCtes: String =
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id,
          |    CASE WHEN len(string_split(text, ' ')) >= 3
@@ -235,9 +271,26 @@ object Cluster {
          |  SELECT d.doc_id,
          |    CAST(coalesce(least(l.mn, d.doc_id), d.doc_id) AS BIGINT)
          |      AS cluster_rep
-         |  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)
+         |  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""$ClosureCtes
          |SELECT doc_id, cluster_rep,
          |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
          |    AS cluster_size
-         |FROM asg ORDER BY doc_id""".stripMargin)
+         |FROM asg ORDER BY doc_id""".stripMargin,
+    "cluster_keep_best" ->
+      s"""$ClosureCtes,
+         |r AS (
+         |  SELECT a.cluster_rep, a.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY a.cluster_rep
+         |                       ORDER BY d.n_chars DESC, a.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY a.cluster_rep) AS nm
+         |  FROM asg a JOIN documents d ON d.doc_id = a.doc_id)
+         |SELECT cluster_rep, doc_id AS keeper_doc_id,
+         |  n_chars AS keeper_chars,
+         |  CAST(nm AS BIGINT) AS n_members,
+         |  CAST(nm - 1 AS BIGINT) AS n_dropped
+         |FROM r WHERE rn = 1 ORDER BY cluster_rep""".stripMargin)
 }

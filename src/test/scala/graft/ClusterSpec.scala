@@ -140,6 +140,27 @@ class ClusterSpec extends AnyFunSuite {
     assert(keepers == bySize.size)          // exactly one keeper/cluster
   }
 
+  test("cluster_keep_best: keeper IS the longest member, accounting closes") {
+    // cross-check against dedup_clusters + documents directly: for every
+    // cluster the keeper must be the max-(n_chars, -doc_id) member, and
+    // members across all manifest rows must sum to the corpus
+    val assign = Cluster.dedupClusters(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc -> rep
+    val chars = Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val manifest = Cluster.clusterKeepBest(spark, TestSpark.sfDir).collect()
+    assert(manifest.map(_.getLong(3)).sum == assign.size) // members close
+    assert(manifest.forall(r => r.getLong(4) == r.getLong(3) - 1))
+    manifest.foreach { r =>
+      val (rep, keeper) = (r.getLong(0), r.getLong(1))
+      val members = assign.collect { case (d, `rep`) => d }
+      val best = members.maxBy(d => (chars(d), -d))
+      assert(keeper == best && r.getLong(2) == chars(best),
+        s"cluster $rep kept $keeper, expected $best")
+    }
+  }
+
   test("CC small-graph path stays near the job floor (no amplification)") {
     // mirror of GraphSpec's pageRank pin: the default path is the
     // one-task local union-find — 3 eager localCheckpoints (v, sym,
