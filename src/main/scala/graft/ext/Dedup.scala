@@ -282,6 +282,79 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("jaccard")),
       col("doc_a"), col("doc_b"))
 
+  /** Every 5th doc_id is the "new batch" for [[dedupIncremental]]; the
+    * other 80% play the standing history snapshot. A modulo split keeps
+    * the fixture SF-independent and the oracle a one-term predicate. */
+  private val IncrMod = 5
+
+  /** Incremental NEAR-DUP dedup of a new crawl batch against a standing
+    * history snapshot — the per-increment form of [[dedupMinhashLsh]].
+    * At 100 TB the history is the corpus and the batch is a day's crawl:
+    * re-running the full self-join dedup per increment re-pays the whole
+    * corpus, so the increment path must touch history as little as
+    * possible. Three-stage funnel:
+    *
+    *   1. BLOOM pre-filter: a Bloom filter over history BAND KEYS (built
+    *      via [[graft.ops.BloomJoin.buildKeyFilter]]'s one-pass
+    *      aggregate; in production it is a persisted, MERGEABLE artifact
+    *      maintained per snapshot shard — `BloomFilter.mergeInPlace` —
+    *      never rebuilt per batch) gives each new band key an O(1)
+    *      definite-NO test. Band keys that can't hit history never reach
+    *      a join: on a mostly-novel batch the funnel ends here for
+    *      almost every row, and false negatives are impossible.
+    *   2. EXACT band equi-join of the surviving new band keys (pinned
+    *      build side, [[pinBuildSide]]'s broadcast-or-shuffle rule)
+    *      against history bands → DISTINCT candidate (new, hist) pairs.
+    *      History rows are only ever probed by this tiny build side —
+    *      the history band table itself never re-shuffles; bloom false
+    *      positives die here.
+    *   3. Jaccard VERIFY on the candidate pairs only (the
+    *      [[lshVerifiedPairs]] verify, shingles read from the pinned
+    *      frame), so history text is touched for O(candidates) docs.
+    *
+    * Output is the new-batch manifest: one row per incoming document —
+    * verified-duplicate count against history, the earliest matching
+    * history doc (null when novel), and the keep decision. */
+  def dedupIncremental(spark: SparkSession, dir: String,
+                       jaccardMin: Double = 0.5): DataFrame = {
+    val isNew = col("doc_id") % IncrMod === 0
+    val sh = graft.CacheScope.pin(shingleSets(spark, dir))
+    val bands = graft.CacheScope.pin(bandsOf(signaturesFrom(sh)))
+    bands.count()
+    val histBands = bands.filter(!isNew)
+    // native might_contain probes LONGs — fold (band_id, bkey) through
+    // xxhash64 on BOTH sides (same expression ⇒ no false negatives;
+    // hash collisions only add false positives, which the exact join
+    // drops anyway)
+    val bkeyHash = xxhash64(col("band_id"), col("bkey"))
+    // sized for the gate corpus; production derives expectedItems from
+    // the snapshot's band-row stats (oversizing wastes only bits)
+    val bloom = graft.ops.BloomJoin.buildKeyFilter(
+      histBands.select(bkeyHash.as("k")), "k", 100000L, 0.03)
+    val probe = bands.filter(isNew)
+      .filter(graft.ops.BloomJoin.mightContain(bloom, bkeyHash))
+    val cand = pinBuildSide(
+        probe.select(col("doc_id").as("doc_n"), col("band_id"), col("bkey")))
+      .join(histBands.select(col("doc_id").as("doc_h"),
+              col("band_id").as("band_id_r"), col("bkey").as("bkey_r")),
+        col("band_id") === col("band_id_r") && col("bkey") === col("bkey_r"))
+      .select(col("doc_n"), col("doc_h")).distinct()
+    val verified = pinBuildSide(cand)
+      .join(sh.select(col("doc_id").as("doc_n"), col("ss").as("xss")), "doc_n")
+      .join(sh.select(col("doc_id").as("doc_h"), col("ss").as("yss")), "doc_h")
+      .filter(graft.functions.JaccardSim(col("xss"), col("yss")) >= jaccardMin)
+      .groupBy(col("doc_n"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_h")).as("dup_of"))
+    graft.Present.sorted(
+      Tables.documents(spark, dir).filter(isNew).select(col("doc_id"))
+        .join(broadcast(verified), col("doc_id") === col("doc_n"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("dup_of"),
+          col("doc_n").isNull.as("kept")),
+      col("doc_id"))
+  }
+
   /** Verified near-dup pairs lifted to SOURCE pairs — the syndication-
     * graph edge input ([[Graph.syndicationPagerank]]): `source` rides the
     * shingle frame through the verify, so no doc_id→source join ever
@@ -648,7 +721,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_simhash"       -> dedupSimhash _,
     "dedup_simhash_pairs" -> ((s, d) => dedupSimhashPairs(s, d)),
-    "dedup_embedding"     -> ((s, d) => dedupEmbedding(s, d)))
+    "dedup_embedding"     -> ((s, d) => dedupEmbedding(s, d)),
+    "dedup_incremental"   -> ((s, d) => dedupIncremental(s, d)))
 
   // ---- oracles ----
 
@@ -722,6 +796,34 @@ object Dedup {
          |WHERE CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)
          |    / len(list_distinct(x.ss || y.ss)) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the bloom stage is engine-side economics only (definite-NO
+    // pre-filter, no false negatives; false positives die in the exact
+    // band join) — so the oracle is the funnel's EXACT semantics:
+    // band-join new×history, Jaccard-verify, left-join the manifest
+    "dedup_incremental" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(string_split(text, ' ')) >= 3
+         |         THEN $shingleSql ELSE [] END AS ss
+         |  FROM documents),
+         |bands AS ($bandsSql),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS doc_n, h.doc_id AS doc_h
+         |  FROM bands n JOIN bands h
+         |    ON n.band_id = h.band_id AND n.bkey = h.bkey
+         |   AND n.doc_id % $IncrMod = 0 AND h.doc_id % $IncrMod <> 0),
+         |ver AS (
+         |  SELECT doc_n, CAST(count(*) AS BIGINT) AS n_dups,
+         |         min(doc_h) AS dup_of
+         |  FROM cand JOIN sh x ON x.doc_id = doc_n
+         |            JOIN sh y ON y.doc_id = doc_h
+         |  WHERE CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)
+         |      / len(list_distinct(x.ss || y.ss)) >= 0.5
+         |  GROUP BY doc_n)
+         |SELECT d.doc_id, coalesce(v.n_dups, 0) AS n_dups, v.dup_of,
+         |  v.doc_n IS NULL AS kept
+         |FROM documents d LEFT JOIN ver v ON v.doc_n = d.doc_id
+         |WHERE d.doc_id % $IncrMod = 0 ORDER BY d.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id,
