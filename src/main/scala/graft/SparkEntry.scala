@@ -37,6 +37,7 @@ object SparkEntry {
     (ops.Incremental.queries, ops.Incremental.oracles),
     (ext.Text.queries, ext.Text.oracles),
     (ext.LangModel.queries, ext.LangModel.oracles),
+    (ext.Funnel.queries, ext.Funnel.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),
     (ext.Dedup.queries, ext.Dedup.oracles),
     (ext.Cluster.queries, ext.Cluster.oracles),

@@ -242,7 +242,7 @@ object Cluster {
     * fine on gate-scale graphs, quadratic in cluster size at corpus
     * scale — the Spark side's log-round propagation is the form that
     * survives 100 TB. */
-  private val ClosureCtes: String =
+  private[ext] val ClosureCtes: String =
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id,
          |    CASE WHEN len(string_split(text, ' ')) >= 3

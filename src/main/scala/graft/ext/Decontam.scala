@@ -32,16 +32,23 @@ import graft.Present.PresentOps
   */
 object Decontam {
 
-  private val BenchMod = 97L
-  private val BenchRem = 3L
-  private val Threshold = 5L
+  private[ext] val BenchMod = 97L
+  private[ext] val BenchRem = 3L
+  private[ext] val Threshold = 5L
 
   /** Per-corpus-doc overlap evidence against the benchmark docs:
     * distinct shared 3-grams, how many benchmark docs are touched, the
     * smallest touched benchmark id, and the threshold flag. Docs with
     * zero overlap are absent (inner join) — the common case at scale,
     * which is what keeps the aggregation small. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    contaminationFrame(spark, dir).presentSorted(col("doc_id"))
+
+  /** Frame-level core of [[decontaminate]], unsorted — composable
+    * mid-plan ([[Funnel.corpusFunnel]] joins it as one stage flag).
+    * Only docs with ≥ 1 shared shingle appear; absent = clean. */
+  private[ext] def contaminationFrame(spark: SparkSession,
+                                      dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Dedup.shingles).as("shingle"))
     val bench = sh.filter(col("doc_id") % BenchMod === BenchRem)
@@ -55,7 +62,6 @@ object Decontam {
       .withColumn("contaminated",
                   when(col("shared_shingles") >= Threshold, 1).otherwise(0)
                     .cast(IntegerType))
-      .presentSorted(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,149 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.Present.PresentOps
+
+/** The curation FUNNEL report — the whole cleaning pipeline's
+  * survivor accounting in one plan: how many documents (and tokens)
+  * remain after each stage of ingest → exact dedup → near-dup
+  * clustering → quality rules → eval decontamination. This is the
+  * dashboard number every corpus run publishes ("we went from 1.2 T
+  * tokens to 310 B"), and it exercises the engine's composability:
+  * four operator families' cores ([[Dedup]]/[[Cluster]], [[Text]],
+  * [[Decontam]]) feed one aggregation without materializing
+  * intermediate corpora.
+  *
+  * Stage predicates are CORPUS-GLOBAL flags (keeper-by-digest,
+  * cluster representative, Gopher pass, contamination), applied
+  * CUMULATIVELY as intersections — the real-pipeline shape: flags are
+  * materialized once per corpus snapshot and the funnel is their
+  * running conjunction. Stage-RESTRICTED recomputation (re-clustering
+  * only exact-dedup survivors, etc.) would couple every stage's
+  * definition to every upstream decision; on keeper-style rules the
+  * two agree anyway (dropping a non-keeper doc never changes another
+  * doc's keeper/pass status, and a cluster's min-id member survives
+  * exact dedup by construction — it IS a digest keeper or shares its
+  * cluster with one).
+  *
+  * Scale shape: every flag is doc_id-keyed, so the compose is a chain
+  * of equi-joins on ONE key — co-located after the first exchange
+  * (AQE picks broadcast for the flag sides when they shrink, e.g. the
+  * O(contaminated) frame). The five stage aggregates ride a single
+  * scan as conditional aggregates (the [[graft.ops.Quality]] dq_checks
+  * pattern — never one job per stage), reshaped 1 row → 5 via `stack`
+  * (a per-row Expand, no shuffle). Output is integer-only.
+  */
+object Funnel {
+
+  def corpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast(LongType).as("wc"),
+        md5(col("text")).as("digest"))
+    // exact-dedup keeper: min-AGGREGATE per digest (the paragraphDedup
+    // rationale — partial agg collapses hot digests map-side; never a
+    // digest window)
+    val exactKeep = docs.groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keeper"))
+    // near-dup cluster representative (min reachable id — the
+    // dedupClusters keep rule)
+    val lbl = Cluster.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      Dedup.lshPairs(spark, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("id").as("doc_id"), col("label"))
+    val gopher = Text.gopherFlags(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("pass"))
+    val cont = Decontam.contaminationFrame(spark, dir)
+      .select(col("doc_id"), col("contaminated"))
+    val s2 = col("doc_id") === col("keeper")
+    val s3 = s2 && col("doc_id") === col("label")
+    val s4 = s3 && col("pass") === 1
+    val s5 = s4 && coalesce(col("contaminated"), lit(0)) === 0
+    def d(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    def t(c: org.apache.spark.sql.Column) = sum(when(c, col("wc")).otherwise(0L))
+    docs
+      .join(exactKeep, "digest")
+      .join(lbl, "doc_id")
+      .join(gopher, "doc_id")
+      .join(cont, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("d1"), sum(col("wc")).as("t1"),
+           d(s2).as("d2"), t(s2).as("t2"),
+           d(s3).as("d3"), t(s3).as("t3"),
+           d(s4).as("d4"), t(s4).as("t4"),
+           d(s5).as("d5"), t(s5).as("t5"))
+      .select(expr(
+        """stack(5,
+          |  CAST(1 AS BIGINT), 'ingest',      d1, t1,
+          |  CAST(2 AS BIGINT), 'exact_dedup', d2, t2,
+          |  CAST(3 AS BIGINT), 'near_dedup',  d3, t3,
+          |  CAST(4 AS BIGINT), 'quality',     d4, t4,
+          |  CAST(5 AS BIGINT), 'decontam',    d5, t5
+          |) AS (stage, stage_name, n_docs, n_tokens)""".stripMargin))
+      .presentSorted(col("stage"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_funnel" -> corpusFunnel _)
+
+  /** Oracle: the same five cumulative stage sets, built from the shared
+    * fragments — [[Cluster.ClosureCtes]] for the near-dup assignment,
+    * [[Text.gopherPassSql]] for the quality pass, [[Dedup.shingleSql]]
+    * + [[Decontam]]'s constants for contamination — so the funnel can
+    * never drift from the per-stage gates. */
+  val oracles: Map[String, String] = Map(
+    "corpus_funnel" ->
+      s"""${Cluster.ClosureCtes},
+         |dd AS (
+         |  SELECT doc_id, md5(text) AS digest,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+         |  FROM documents),
+         |ex AS (SELECT digest, min(doc_id) AS keeper FROM dd GROUP BY 1),
+         |g AS (${Text.gopherPassSql}),
+         |dsh AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+         |                THEN ${Dedup.shingleSql} ELSE [] END) AS shingle
+         |  FROM documents),
+         |dcont AS (
+         |  SELECT c.doc_id
+         |  FROM (SELECT doc_id, shingle FROM dsh
+         |        WHERE doc_id % ${Decontam.BenchMod} <> ${Decontam.BenchRem}) c
+         |  JOIN (SELECT doc_id AS bench_id, shingle FROM dsh
+         |        WHERE doc_id % ${Decontam.BenchMod} = ${Decontam.BenchRem}) b
+         |    ON c.shingle = b.shingle
+         |  GROUP BY c.doc_id
+         |  HAVING count(DISTINCT c.shingle) >= ${Decontam.Threshold}),
+         |f AS (
+         |  SELECT dd.doc_id, dd.wc,
+         |    dd.doc_id = ex.keeper AS s2,
+         |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep AS s3,
+         |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
+         |      AND g.pass = 1 AS s4,
+         |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
+         |      AND g.pass = 1
+         |      AND dd.doc_id NOT IN (SELECT doc_id FROM dcont) AS s5
+         |  FROM dd JOIN ex USING (digest) JOIN asg a USING (doc_id)
+         |          JOIN g USING (doc_id))
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage, 'ingest' AS stage_name,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(wc) AS BIGINT) AS n_tokens FROM f
+         |  UNION ALL SELECT 2, 'exact_dedup',
+         |    CAST(count(*) FILTER (WHERE s2) AS BIGINT),
+         |    CAST(coalesce(sum(wc) FILTER (WHERE s2), 0) AS BIGINT) FROM f
+         |  UNION ALL SELECT 3, 'near_dedup',
+         |    CAST(count(*) FILTER (WHERE s3) AS BIGINT),
+         |    CAST(coalesce(sum(wc) FILTER (WHERE s3), 0) AS BIGINT) FROM f
+         |  UNION ALL SELECT 4, 'quality',
+         |    CAST(count(*) FILTER (WHERE s4) AS BIGINT),
+         |    CAST(coalesce(sum(wc) FILTER (WHERE s4), 0) AS BIGINT) FROM f
+         |  UNION ALL SELECT 5, 'decontam',
+         |    CAST(count(*) FILTER (WHERE s5) AS BIGINT),
+         |    CAST(coalesce(sum(wc) FILTER (WHERE s5), 0) AS BIGINT) FROM f)
+         |ORDER BY stage""".stripMargin)
+}

@@ -203,7 +203,14 @@ object Text {
     * [[textRepetition]] carries the paper's OTHER half, the
     * repetitiousness rules). symbol_ok/alpha_ok pass vacuously on this
     * all-alphabetic synthetic corpus; wc/wlen/stop discriminate. */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherFlags(Tables.documents(spark, dir)).presentSorted(col("doc_id"))
+
+  /** Frame-level core of [[gopherRules]], unsorted — composable
+    * mid-plan (the presentation sort would repartition(1) a corpus
+    * frame if it ran before downstream stages, so it lives only on the
+    * gate query). `in` needs (doc_id, text). */
+  private[ext] def gopherFlags(in: DataFrame): DataFrame = {
     val t = col("toks")
     val wc = size(t)
     val sumLen = aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x)
@@ -211,7 +218,7 @@ object Text {
     val nAlpha = size(filter(t, x => x.rlike("[a-zA-Z]")))
     val nStops = size(array_intersect(array_distinct(t),
       array(GopherStops.map(lit): _*)))
-    Tables.documents(spark, dir)
+    in
       .withColumn("toks", toks)
       .select(
         col("doc_id"),
@@ -230,7 +237,6 @@ object Text {
       .withColumn("pass", (col("wc_ok") === 1 && col("wlen_ok") === 1 &&
         col("symbol_ok") === 1 && col("alpha_ok") === 1 &&
         col("stop_ok") === 1).cast(IntegerType))
-      .presentSorted(col("doc_id"))
   }
 
   /** Canonical text normalization — the step every dedup/fingerprint
@@ -261,6 +267,25 @@ object Text {
 
   private def sqlList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Oracle fragment: (doc_id, pass) under the SAME Gopher conditions as
+    * [[gopherFlags]] — shared with [[Funnel]]'s composed oracle so the
+    * two gates can never drift. */
+  private[ext] val gopherPassSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN len(toks) BETWEEN 50 AND 100000
+       |    AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       |        / len(toks) BETWEEN 3.0 AND 10.0
+       |    AND CAST(len(list_filter(toks,
+       |          x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+       |        / len(toks) <= 0.1
+       |    AND CAST(len(list_filter(toks,
+       |          x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+       |        / len(toks) >= 0.8
+       |    AND len(list_filter(${sqlList(GopherStops)},
+       |          w -> list_contains(list_distinct(toks), w))) >= 2
+       |  THEN 1 ELSE 0 END AS pass
+       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_stats" ->

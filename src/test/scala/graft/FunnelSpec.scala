@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[ext.Funnel.corpusFunnel]]'s consistency with the per-stage
+  * operators it composes — the properties the DuckDB gate can't see
+  * (the gate proves the numbers; these prove the numbers MEAN what the
+  * stage operators report individually). */
+class FunnelSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+
+  test("funnel is monotone and cross-consistent with the stage operators") {
+    CacheScope.scoped(spark) {
+      val rows = ext.Funnel.corpusFunnel(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L))
+      (1L to 4L).foreach { s =>
+        assert(rows(s)._1 >= rows(s + 1)._1 && rows(s)._2 >= rows(s + 1)._2,
+          s"stage $s -> ${s + 1} grew: $rows")
+      }
+      // stage 1 = the corpus; stage 3 = dedup_clusters' keeper count
+      val docs = Tables.documents(spark, sfDir)
+      assert(rows(1L)._1 == docs.count())
+      val keepers = ext.Cluster.dedupClusters(spark, sfDir)
+        .filter(col("doc_id") === col("cluster_rep")).count()
+      // exact dedup drops nothing on this fixture (no identical texts),
+      // so the cumulative stage-3 count equals the keeper count
+      assert(rows(2L)._1 == rows(1L)._1)
+      assert(rows(3L)._1 == keepers, s"${rows(3L)._1} vs $keepers")
+      // tokens of stage 1 = corpus token count
+      val toks = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+      assert(rows(1L)._2 == toks)
+    }
+    assert(CacheScope.livePinned(spark) == 0)
+  }
+
+  test("stage aggregates ride one scan: a single stack Generate, no cartesian") {
+    CacheScope.scoped(spark) {
+      val plan = ext.Funnel.corpusFunnel(spark, sfDir)
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("Generate stack"), plan.take(400))
+      assert(!plan.contains("CartesianProduct"), plan.take(400))
+    }
+  }
+}
