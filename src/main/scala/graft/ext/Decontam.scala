@@ -64,8 +64,54 @@ object Decontam {
                     .cast(IntegerType))
   }
 
+  /** Cosine threshold for [[decontaminateEmb]]. On this synthetic
+    * embedding space cosines are diffuse (cross-set maxima ≈ 0.45), so
+    * the threshold is calibrated to the fixture the same way
+    * [[Dedup.dedupEmbedding]]'s is — the MECHANICS (max-cosine probe,
+    * argmax tiebreak, threshold flag), not the absolute value, are what
+    * the gate verifies (the [[Text.langId]] precedent). A production
+    * run sets it from a held-out near-dup ROC, typically ≥ 0.9. */
+  private[ext] val EmbTau = 0.35
+
+  /** Embedding-space eval decontamination — the SEMANTIC complement of
+    * the n-gram [[decontaminate]]: a paraphrased eval question shares
+    * no 3-gram but sits next to the benchmark item in embedding space.
+    * Same held-out convention (vec_id ≡ [[BenchRem]] mod [[BenchMod]]
+    * plays the external eval set).
+    *
+    * Scale shape is [[Similarity.knnBrute]]'s: the eval set is SMALL
+    * (thousands of items) and rides broadcast; the corpus streams
+    * through the crossJoin without ever shuffling its vectors, and the
+    * per-vector max collapses map-side (partial agg), so the only
+    * exchange carries O(corpus) 3-column rows. For an eval set too big
+    * to broadcast, swap the candidate generation for the IVF cell
+    * probe ([[Similarity.knnIvf]]) — flag shape unchanged. Output is
+    * integer ppm (the [[Curation.termPmi]] hash-gate practice); the
+    * raw-double threshold compare happens before quantization,
+    * identically in both engines. */
+  def decontaminateEmb(spark: SparkSession, dir: String,
+                       tau: Double = EmbTau): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+    val bench = v.filter(col("vec_id") % BenchMod === BenchRem)
+      .select(col("vec_id").as("bid"), col("v").as("bv"))
+    graft.Present.sorted(
+      v.filter(col("vec_id") % BenchMod =!= BenchRem)
+        .crossJoin(broadcast(bench))
+        .withColumn("cosine", Vectors.cosine(col("v"), col("bv")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cosine"), (-col("bid")).as("nb"))).as("best"))
+        .select(col("vec_id"),
+          floor(col("best.cosine") * lit(1000000L)).cast(LongType)
+            .as("max_cos_ppm"),
+          (-col("best.nb")).as("nearest_bench"),
+          (col("best.cosine") >= tau).cast(IntegerType).as("contaminated")),
+      col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "decontaminate" -> decontaminate _)
+    "decontaminate" -> decontaminate _,
+    "decontaminate_emb" -> ((s, d) => decontaminateEmb(s, d)))
 
   val oracles: Map[String, String] = Map(
     "decontaminate" ->
@@ -86,5 +132,24 @@ object Decontam {
          |  CAST(CASE WHEN count(DISTINCT c.shingle) >= $Threshold
          |            THEN 1 ELSE 0 END AS INTEGER) AS contaminated
          |FROM c JOIN b ON c.shingle = b.shingle
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "decontaminate_emb" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id AS bid, v AS bv FROM v
+         |      WHERE vec_id % $BenchMod = $BenchRem),
+         |c AS (SELECT vec_id, v FROM v WHERE vec_id % $BenchMod <> $BenchRem),
+         |s AS (
+         |  SELECT c.vec_id, b.bid,
+         |    ${Similarity.cosineSqlOf("c.v", "b.bv")} AS cosine
+         |  FROM c CROSS JOIN b),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY cosine DESC, bid) AS rn FROM s)
+         |SELECT vec_id,
+         |  CAST(floor(cosine * 1000000) AS BIGINT) AS max_cos_ppm,
+         |  bid AS nearest_bench,
+         |  CAST(cosine >= $EmbTau AS INTEGER) AS contaminated
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
 }

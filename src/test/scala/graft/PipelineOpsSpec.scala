@@ -176,6 +176,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("embedding decontam agrees with a collected max-cosine witness") {
+    val vs = Tables.embeddings(spark, sfDir)
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+      }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bench = vs.filter(_._1 % 97 == 3)
+    val out = ext.Decontam.decontaminateEmb(spark, sfDir).collect()
+    assert(out.length == vs.length - bench.length) // bench rows excluded
+    out.foreach { r =>
+      val v = vs.find(_._1 == r.getLong(0)).get._2
+      val best = bench.map { case (bid, bv) => (cos(v, bv), bid) }
+        .maxBy { case (c, bid) => (c, -bid) }
+      assert(r.getLong(2) == best._2, s"argmax mismatch at ${r.getLong(0)}")
+      assert(r.getLong(1) == math.floor(best._1 * 1e6).toLong,
+        s"ppm mismatch at ${r.getLong(0)}")
+      assert(r.getInt(3) == (if (best._1 >= 0.35) 1 else 0))
+    }
+  }
+
   // ---- length bucketing --------------------------------------------
 
   test("length buckets are ordered, balanced, and waste-bounded") {
