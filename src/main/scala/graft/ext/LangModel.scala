@@ -18,10 +18,12 @@ import graft.Present.PresentOps
   * train (add-one-smoothed conditional bigram model — the in-engine
   * stand-in for the external KenLM artifact), score (mean negative
   * log-likelihood per document), bucket (corpus tertiles).
-  * A production run swaps the self-trained `big`/`uni` frames for a
-  * model table trained on a reference corpus (CCNet uses Wikipedia) —
-  * the scoring join below is unchanged, which is the point of keeping
-  * the model a DataFrame instead of a driver-side object.
+  * A production run swaps the self-trained model for a table trained
+  * on a reference corpus via [[trainBigramModel]] + [[scoreWith]]
+  * (CCNet uses Wikipedia) — the scoring join is the same plan, which
+  * is the point of keeping the model a DataFrame instead of a
+  * driver-side object; LangModelSpec round-trips the artifact through
+  * parquet and pins the OOV smoothing path.
   *
   * Scale shape, piece by piece:
   *   - The bigram frame feeds BOTH the model build and the scoring
@@ -80,29 +82,54 @@ object LangModel {
   def lmPerplexity(spark: SparkSession, dir: String): DataFrame =
     scoreFrame(Tables.documents(spark, dir))
 
-  /** Frame-level core: `in` needs (doc_id, text). Split out so specs can
-    * feed hand-built corpora with known bigram statistics. */
-  def scoreFrame(in: DataFrame): DataFrame = {
+  /** (doc_id, w1, w2) per token position — one O(tokens) frame from a
+    * (doc_id, text) frame; docs with <2 tokens drop here. */
+  private def pairsOf(in: DataFrame): DataFrame = {
     val t = col("toks")
-    val docs = in
-      .withColumn("toks", split(col("text"), " "))
+    in.withColumn("toks", split(col("text"), " "))
       .filter(size(t) >= 2)
-    // (doc_id, w1, w2) per token position — the one O(tokens) frame;
-    // pinned because the model build and the scoring probe both read it
-    val pairs = graft.CacheScope.pin(
-      docs.select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(t) - 1),
-            i => struct(element_at(t, i).as("w1"),
-                        element_at(t, i + 1).as("w2")))).as("p"))
-        .select(col("doc_id"), col("p.w1"), col("p.w2")))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"),
+                      element_at(t, i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+  }
+
+  /** Train the model artifact: bigram counts (w1, w2, pair_n) from a
+    * (doc_id, text) reference corpus. This is the table a production
+    * run persists once (CCNet trains on Wikipedia) and [[scoreWith]]
+    * probes forever after; LangModelSpec round-trips it through
+    * parquet the way a per-snapshot job would. */
+  def trainBigramModel(in: DataFrame): DataFrame =
+    pairsOf(in).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_n"))
+
+  /** Score `in` under an EXTERNAL bigram model table. Unseen bigrams
+    * and contexts are smoothed, not dropped: the scoring join is
+    * LEFT-outer with c = 0 / c(w1·) = 0 defaults, so an OOV bigram
+    * costs ln(1/V) under the model's vocabulary — without this, an
+    * external model would silently skip exactly the n-grams that make
+    * a document out-of-domain. (On the self-trained path every bigram
+    * matches, so left ≡ inner and the gate values are unchanged.) */
+  def scoreWith(in: DataFrame, model: DataFrame): DataFrame =
+    scoreCore(graft.CacheScope.pin(pairsOf(in)), model)
+
+  /** Frame-level self-trained form: `in` needs (doc_id, text). The one
+    * pinned pair frame feeds BOTH the model build and the scoring
+    * probe — a single corpus tokenize pass. */
+  def scoreFrame(in: DataFrame): DataFrame = {
+    val pairs = graft.CacheScope.pin(pairsOf(in))
+    scoreCore(pairs,
+      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_n")))
+  }
+
+  private def scoreCore(pairs: DataFrame, model: DataFrame): DataFrame = {
     // the model table — probed three times (scoring join, context
     // denominators, vocab count): ONE pin, whose count doubles as the
     // materialization job AND the [[Dedup.MaxBroadcastRows]] driver-
     // safety check (pinBuildSide's rule, inlined so ctx/vocab reuse the
     // same cached partitions instead of paying a second materialization)
-    val big = graft.CacheScope.pin(
-      pairs.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("pair_n")))
+    val big = graft.CacheScope.pin(model)
     val bigSide =
       if (big.count() <= Dedup.MaxBroadcastRows) broadcast(big)
       else big.hint("shuffle_hash")
@@ -116,13 +143,15 @@ object LangModel {
     // the final bucket select — pin, or the join runs twice
     val scored = graft.CacheScope.pin(
       pairs
-        .join(bigSide, Seq("w1", "w2"))
-        .join(broadcast(ctx), "w1")
+        .join(bigSide, Seq("w1", "w2"), "left")
+        .join(broadcast(ctx), Seq("w1"), "left")
         .crossJoin(broadcast(vocab))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-             // add-one bigram log-prob: ln((c(w1w2)+1) / (c(w1·)+V))
-             sum(log((col("pair_n") + lit(1.0)) / (col("n1") + col("v"))))
+             // add-one bigram log-prob: ln((c(w1w2)+1) / (c(w1·)+V));
+             // OOV rows smooth through the coalesced zeros
+             sum(log((coalesce(col("pair_n"), lit(0L)) + lit(1.0)) /
+                     (coalesce(col("n1"), lit(0L)) + col("v"))))
                .as("ll"))
         .select(col("doc_id"), col("n_bigrams"),
           floor(-col("ll") / col("n_bigrams") * lit(1000000L))

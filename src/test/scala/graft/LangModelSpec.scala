@@ -60,6 +60,37 @@ class LangModelSpec extends AnyFunSuite {
     }
   }
 
+  test("self-trained path ≡ scoreWith(self model): bit parity") {
+    CacheScope.scoped(spark) {
+      val docs = Tables.documents(spark, sfDir)
+      val a = ext.LangModel.scoreFrame(docs).collect().map(_.toSeq)
+      val b = ext.LangModel
+        .scoreWith(docs, ext.LangModel.trainBigramModel(docs))
+        .collect().map(_.toSeq)
+      assert(a.sameElements(b))
+    }
+  }
+
+  test("external model round-trips parquet; OOV docs smooth to ln(V), never drop") {
+    val dir = java.nio.file.Files.createTempDirectory("lm_model").toString
+    CacheScope.scoped(spark) {
+      val ref = Seq.tabulate(3)(i => (i.toLong, "x y x y x y"))
+        .toDF("doc_id", "text")
+      ext.LangModel.trainBigramModel(ref).write.mode("overwrite").parquet(dir)
+      val model = spark.read.parquet(dir)
+      val out = ext.LangModel.scoreWith(
+        Seq((10L, "x y x y"), (11L, "p q r s")).toDF("doc_id", "text"),
+        model).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // doc 11's bigrams are all OOV: every term is ln(1/V) with the
+      // model vocab V = {x, y} = 2 — mean NLL exactly ln(2), and the
+      // doc SURVIVES (3 bigrams) instead of dropping from the join
+      assert(out(11L)._1 == 3L)
+      assert(out(11L)._2 == math.floor(math.log(2.0) * 1e6).toLong)
+      // doc 10 is pure in-model text: strictly better than OOV
+      assert(out(10L)._2 < out(11L)._2)
+    }
+  }
+
   test("scoring plan: model joins broadcast at gate scale, nothing cartesian-explodes") {
     CacheScope.scoped(spark) {
       val plan = ext.LangModel.lmPerplexity(spark, sfDir)
