@@ -112,16 +112,24 @@ object LangModel {
     * a document out-of-domain. (On the self-trained path every bigram
     * matches, so left ≡ inner and the gate values are unchanged.) */
   def scoreWith(in: DataFrame, model: DataFrame): DataFrame =
-    scoreCore(graft.CacheScope.pin(pairsOf(in)), model)
+    bucketGlobal(scoreCore(graft.CacheScope.pin(pairsOf(in)), model))
 
   /** Frame-level self-trained form: `in` needs (doc_id, text). The one
     * pinned pair frame feeds BOTH the model build and the scoring
     * probe — a single corpus tokenize pass. */
-  def scoreFrame(in: DataFrame): DataFrame = {
+  def scoreFrame(in: DataFrame): DataFrame =
+    bucketGlobal(scoreCore(selfTrainedScored(in)))
+
+  /** Pinned pair frame + self-trained model from it, pre-composed for
+    * [[scoreFrame]]/[[lmPerplexityByLang]]. */
+  private def selfTrainedScored(in: DataFrame): (DataFrame, DataFrame) = {
     val pairs = graft.CacheScope.pin(pairsOf(in))
-    scoreCore(pairs,
-      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_n")))
+    (pairs,
+     pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_n")))
   }
+
+  private def scoreCore(pm: (DataFrame, DataFrame)): DataFrame =
+    scoreCore(pm._1, pm._2)
 
   private def scoreCore(pairs: DataFrame, model: DataFrame): DataFrame = {
     // the model table — probed three times (scoring join, context
@@ -156,26 +164,56 @@ object LangModel {
         .select(col("doc_id"), col("n_bigrams"),
           floor(-col("ll") / col("n_bigrams") * lit(1000000L))
             .cast(LongType).as("nll_ppm")))
+    scored
+  }
+
+  /** Corpus-global tertile bucketing over a scored frame. */
+  private def bucketGlobal(scored: DataFrame): DataFrame = {
     val bounds = scored.agg(
       expr(s"percentile_disc($Q1) WITHIN GROUP (ORDER BY nll_ppm)").as("q1"),
       expr(s"percentile_disc($Q2) WITHIN GROUP (ORDER BY nll_ppm)").as("q2"))
     scored
       .crossJoin(broadcast(bounds))
       .select(col("doc_id"), col("n_bigrams"), col("nll_ppm"),
-        when(col("nll_ppm") <= col("q1"), lit("head"))
-          .when(col("nll_ppm") <= col("q2"), lit("middle"))
-          .otherwise(lit("tail")).as("bucket"))
+        bucketCol.as("bucket"))
+      .presentSorted(col("doc_id"))
+  }
+
+  private def bucketCol =
+    when(col("nll_ppm") <= col("q1"), lit("head"))
+      .when(col("nll_ppm") <= col("q2"), lit("middle"))
+      .otherwise(lit("tail"))
+
+  /** CCNet's actual bucketing scope: percentiles are PER LANGUAGE
+    * (Wenzek et al. 2020 §4.3 — a global threshold would dump every
+    * low-resource language into `tail` because the model fits the
+    * majority language better). Same scored frame; the tertile bounds
+    * group by `lang` (O(languages) rows, broadcast back), so the only
+    * extra plan work over [[lmPerplexity]] is the O(docs) lang
+    * join — the same scale as the scoring exchange itself. */
+  def lmPerplexityByLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = scoreCore(selfTrainedScored(docs))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val bounds = scored.groupBy(col("lang")).agg(
+      expr(s"percentile_disc($Q1) WITHIN GROUP (ORDER BY nll_ppm)").as("q1"),
+      expr(s"percentile_disc($Q2) WITHIN GROUP (ORDER BY nll_ppm)").as("q2"))
+    scored
+      .join(broadcast(bounds), "lang")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("nll_ppm"),
+        bucketCol.as("bucket"))
       .presentSorted(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "lm_perplexity" -> lmPerplexity _)
+    "lm_perplexity" -> lmPerplexity _,
+    "lm_perplexity_lang" -> lmPerplexityByLang _)
 
-  val oracles: Map[String, String] = Map(
-    // DuckDB spelling of the same model: bigrams via the proven
-    // term_pmi unnest(range) idiom, ln == Spark's natural log,
-    // identical double literals for the tertile fractions.
-    "lm_perplexity" ->
+  /** Shared oracle prefix: DuckDB spelling of the same model — bigrams
+    * via the proven term_pmi unnest(range) idiom, ln == Spark's natural
+    * log — ending at the scored frame `s`. Both bucketing oracles
+    * append their own bounds. */
+  private val ScoredCtes: String =
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
          |  WHERE len(string_split(text, ' ')) >= 2),
@@ -195,12 +233,28 @@ object LangModel {
          |  JOIN pc ON pc.w1 = bg.w1 AND pc.w2 = bg.w2
          |  JOIN ctx ON ctx.w1 = bg.w1
          |  CROSS JOIN v
-         |  GROUP BY bg.doc_id),
+         |  GROUP BY bg.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "lm_perplexity" ->
+      s"""$ScoredCtes,
          |b AS (SELECT quantile_disc(nll_ppm, $Q1) AS q1,
          |             quantile_disc(nll_ppm, $Q2) AS q2 FROM s)
          |SELECT doc_id, n_bigrams, nll_ppm,
          |  CASE WHEN nll_ppm <= b.q1 THEN 'head'
          |       WHEN nll_ppm <= b.q2 THEN 'middle'
          |       ELSE 'tail' END AS bucket
-         |FROM s CROSS JOIN b ORDER BY doc_id""".stripMargin)
+         |FROM s CROSS JOIN b ORDER BY doc_id""".stripMargin,
+    "lm_perplexity_lang" ->
+      s"""$ScoredCtes,
+         |sl AS (SELECT s.*, d.lang FROM s
+         |       JOIN documents d ON d.doc_id = s.doc_id),
+         |b AS (SELECT lang, quantile_disc(nll_ppm, $Q1) AS q1,
+         |              quantile_disc(nll_ppm, $Q2) AS q2
+         |      FROM sl GROUP BY lang)
+         |SELECT sl.doc_id, sl.lang, sl.n_bigrams, sl.nll_ppm,
+         |  CASE WHEN sl.nll_ppm <= b.q1 THEN 'head'
+         |       WHEN sl.nll_ppm <= b.q2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sl JOIN b ON b.lang = sl.lang ORDER BY sl.doc_id""".stripMargin)
 }

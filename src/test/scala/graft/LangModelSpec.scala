@@ -91,6 +91,31 @@ class LangModelSpec extends AnyFunSuite {
     }
   }
 
+  test("per-language buckets are tertiles WITHIN each language") {
+    val out = CacheScope.scoped(spark) {
+      ext.LangModel.lmPerplexityByLang(spark, sfDir).collect()
+        .map(r => (r.getString(1), r.getString(4), r.getLong(3)))
+    }
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      // band ordering holds inside the language
+      def rng(b: String) = {
+        val v = rows.collect { case (_, `b`, s) => s }
+        if (v.isEmpty) None else Some((v.min, v.max))
+      }
+      (rng("head"), rng("middle")) match {
+        case (Some(h), Some(m)) => assert(h._2 <= m._1, s"$lang: $h vs $m")
+        case _                  =>
+      }
+      (rng("middle"), rng("tail")) match {
+        case (Some(m), Some(t)) => assert(m._2 <= t._1, s"$lang: $m vs $t")
+        case _                  =>
+      }
+      // no language collapses into one global bucket (the CCNet point:
+      // thresholds are per-language, so every language keeps a head)
+      assert(rows.exists(_._2 == "head"), s"$lang lost its head bucket")
+    }
+  }
+
   test("scoring plan: model joins broadcast at gate scale, nothing cartesian-explodes") {
     CacheScope.scoped(spark) {
       val plan = ext.LangModel.lmPerplexity(spark, sfDir)
