@@ -114,6 +114,16 @@ object LangModel {
   def scoreWith(in: DataFrame, model: DataFrame): DataFrame =
     bucketGlobal(scoreCore(graft.CacheScope.pin(pairsOf(in)), model))
 
+  /** Scores WITHOUT bucketing: (doc_id, n_bigrams, nll_ppm). The
+    * production increment path — bucket thresholds are a corpus-level
+    * decision made once per snapshot, while scoring is per-document
+    * and embarrassingly incremental: this form runs unchanged inside a
+    * streaming `foreachBatch` against the persisted model artifact
+    * (LangModelSpec pins batch/stream parity), the [[graft.stream
+    * .CdcApply]] batch-kernel pattern. */
+  def scoreDocs(in: DataFrame, model: DataFrame): DataFrame =
+    scoreCore(graft.CacheScope.pin(pairsOf(in)), model)
+
   /** Frame-level self-trained form: `in` needs (doc_id, text). The one
     * pinned pair frame feeds BOTH the model build and the scoring
     * probe — a single corpus tokenize pass. */

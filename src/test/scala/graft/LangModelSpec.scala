@@ -116,6 +116,45 @@ class LangModelSpec extends AnyFunSuite {
     }
   }
 
+  test("scoreDocs runs as a foreachBatch kernel: stream ≡ batch against the stored model") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val modelDir = java.nio.file.Files.createTempDirectory("lm_m").toString
+    CacheScope.scoped(spark) {
+      ext.LangModel.trainBigramModel(
+          Seq((0L, "x y x y x y"), (1L, "x y z")).toDF("doc_id", "text"))
+        .write.mode("overwrite").parquet(modelDir)
+    }
+    val model = spark.read.parquet(modelDir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the batch kernel, verbatim — scoring is per-document, so the
+        // increment path needs no state store and no watermark
+        CacheScope.scoped(batch.sparkSession) {
+          got ++= ext.LangModel.scoreDocs(batch, model)
+            .collect().map(_.toString)
+        }; ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("lm_s").toString)
+      .start()
+    try {
+      input.addData((10L, "x y x y"), (11L, "p q r"))
+      q.processAllAvailable()
+      input.addData((12L, "x y z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchAll = CacheScope.scoped(spark) {
+      ext.LangModel.scoreDocs(
+        Seq((10L, "x y x y"), (11L, "p q r"), (12L, "x y z"))
+          .toDF("doc_id", "text"), model)
+        .collect().map(_.toString)
+    }
+    assert(got.sorted.toSeq == batchAll.sorted.toSeq)
+  }
+
   test("scoring plan: model joins broadcast at gate scale, nothing cartesian-explodes") {
     CacheScope.scoped(spark) {
       val plan = ext.LangModel.lmPerplexity(spark, sfDir)
