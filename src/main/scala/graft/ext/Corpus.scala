@@ -150,6 +150,51 @@ object Corpus {
       .presentSorted(col("doc_id"), col("copy_idx"))
   }
 
+  /** Temperature exponent for [[langTemperatureSample]] — shared
+    * verbatim with the oracle so both engines parse the identical
+    * double literal. XLM-R's published value. */
+  private val TempAlpha = 0.3
+
+  /** Temperature-based LANGUAGE resampling (Conneau et al. 2020, XLM-R
+    * §3.1; also mBERT's exponent-smoothed sampling): languages are
+    * drawn with q_l ∝ p_l^α, α < 1, which UPsamples low-resource
+    * languages relative to their corpus share without flattening the
+    * distribution entirely. Where [[mixtureEpochs]] takes a hand-tuned
+    * per-domain table, this op DERIVES the repeat factor from the data:
+    * w_l = q_l·N / n_l, so a language's expected post-sampling mass is
+    * exactly q_l·N documents.
+    *
+    * Realization is [[mixtureEpochs]]'s reproducible fraction machinery
+    * at basis-point granularity: copies = ⌊w_l⌋ plus one more iff the
+    * doc's content-stable md5 bucket (mod 10⁴) falls under the
+    * fractional part — seedable, rand()-free, and a given doc always
+    * resolves the same way run-to-run. Plan shape: ONE O(languages)
+    * aggregate; the per-language weights and the 1-row (N, Σp^α) stats
+    * broadcast back, so the corpus itself never shuffles. Fractional
+    * weights are floats but the gate columns quantize (ppm weight,
+    * integer copies) before hashing. */
+  def langTemperatureSample(spark: SparkSession, dir: String,
+                            alpha: Double = TempAlpha): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val stats = counts.agg(sum(col("n_l")).as("n"),
+                           sum(pow(col("n_l"), alpha)).as("sa"))
+    // q_l·N / n_l, spelled in the oracle's exact operation order
+    val wl = pow(col("n_l"), alpha) / col("sa") * col("n") / col("n_l")
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4),
+                      16, 10).cast(IntegerType) % 10000
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("lang"), col("n_l"),
+        floor(wl * lit(1000000L)).cast(LongType).as("weight_ppm"),
+        (floor(wl).cast(LongType) +
+          when(bucket < floor((wl - floor(wl)) * 10000).cast(IntegerType),
+               1L).otherwise(0L)).as("n_copies"))
+      .presentSorted(col("doc_id"))
+  }
+
   /** Length bucketing for padding-efficient batching: group docs of
     * similar token counts so fixed-shape training batches waste little
     * padding (batch cost is max-length × batch-size; mixing a 10-token
@@ -216,6 +261,7 @@ object Corpus {
     "train_test_split"  -> ((s, d) => trainTestSplit(s, d)),
     "pack_shards"       -> ((s, d) => packShards(s, d)),
     "mixture_epochs"    -> mixtureEpochs _,
+    "lang_temperature_sample" -> ((s, d) => langTemperatureSample(s, d)),
     "length_buckets"    -> ((s, d) => lengthBuckets(s, d)),
     "doc_chunks"        -> ((s, d) => docChunks(s, d)))
 
@@ -280,6 +326,25 @@ object Corpus {
         |SELECT doc_id, worker, n_tokens, bucket, bucket_max,
         |  1.0 - CAST(n_tokens AS DOUBLE) / bucket_max AS pad_waste
         |FROM m ORDER BY doc_id""".stripMargin,
+    "lang_temperature_sample" ->
+      s"""WITH c AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+         |  FROM documents GROUP BY 1),
+         |st AS (SELECT CAST(sum(n_l) AS BIGINT) AS n,
+         |              sum(pow(n_l, $TempAlpha)) AS sa FROM c),
+         |w AS (SELECT c.lang, c.n_l,
+         |        pow(c.n_l, $TempAlpha) / st.sa * st.n / c.n_l AS wl
+         |      FROM c CROSS JOIN st)
+         |SELECT d.doc_id, d.lang, w.n_l,
+         |  CAST(floor(wl * 1000000) AS BIGINT) AS weight_ppm,
+         |  CAST(CAST(floor(wl) AS BIGINT) +
+         |    CASE WHEN
+         |      ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INTEGER
+         |        % 10000
+         |      < CAST(floor((wl - floor(wl)) * 10000) AS INTEGER)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         |FROM documents d JOIN w ON w.lang = d.lang
+         |ORDER BY d.doc_id""".stripMargin,
     "mixture_epochs" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

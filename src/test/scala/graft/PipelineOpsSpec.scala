@@ -176,6 +176,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("temperature sampling: weights invert the size ordering, mass is conserved") {
+    val rows = Corpus.langTemperatureSample(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byLang = rows.groupBy(_._1).view
+      .mapValues(v => (v.head._2, v.head._3, v.map(_._4).sum)).toMap
+    // α < 1 ⇒ smaller languages get strictly larger repeat weights
+    val ordered = byLang.toSeq.sortBy(_._2._1)
+    ordered.sliding(2).foreach {
+      case Seq((_, (n1, w1, _)), (_, (n2, w2, _))) if n1 < n2 =>
+        assert(w1 >= w2, s"weight not anti-monotone in size: $ordered")
+      case _ =>
+    }
+    // expected post-sampling mass per language is q_l·N = n_l·w_l:
+    // realized copies must land within the ±n_l quantization band
+    byLang.foreach { case (lang, (nL, wPpm, copies)) =>
+      val target = nL.toDouble * wPpm / 1e6
+      assert(math.abs(copies - target) <= math.max(1.0, nL * 0.1),
+        s"$lang realized $copies vs target $target")
+    }
+    // total mass ≈ corpus size (the w_l = q_l·N/n_l normalization)
+    val total = byLang.values.map(_._3).sum.toDouble
+    assert(math.abs(total - rows.length) <= rows.length * 0.05,
+      s"total mass $total vs ${rows.length}")
+  }
+
   test("embedding decontam agrees with a collected max-cosine witness") {
     val vs = Tables.embeddings(spark, sfDir)
       .collect().map { r =>
