@@ -38,6 +38,7 @@ object SparkEntry {
     (ext.Text.queries, ext.Text.oracles),
     (ext.LangModel.queries, ext.LangModel.oracles),
     (ext.Funnel.queries, ext.Funnel.oracles),
+    (ext.Bpe.queries, ext.Bpe.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),
     (ext.Dedup.queries, ext.Dedup.oracles),
     (ext.Cluster.queries, ext.Cluster.oracles),

@@ -1,0 +1,209 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — the
+  * canonical big-data tokenizer workload: learn a merge list from the
+  * corpus, then encode anything with the tiny stored artifact (the
+  * native [[graft.functions.BpeEncode]] expression). No reference-repo
+  * counterpart; this is the training-data-pipeline surface.
+  *
+  * The classic trick that makes this tractable: BPE trains on the WORD
+  * DICTIONARY (distinct word, frequency), never the raw corpus — the
+  * corpus is scanned ONCE to build the dictionary (one O(distinct
+  * words) exchange, partial agg collapses hot words map-side), and all
+  * [[NumMerges]] rounds then run at vocabulary economics. Per round:
+  *
+  *   - pair counts: explode adjacent symbol pairs weighted by word
+  *     frequency → one O(distinct pairs) aggregate;
+  *   - winner: `orderBy(cnt desc, a, b).limit(1)` — plans
+  *     TakeOrderedAndProject (a top-1 heap, never a full sort), ties
+  *     broken by byte order identically in both engines;
+  *   - apply: the 1-row winner LEFT-cross-joins the dictionary (left,
+  *     so an exhausted pair space keeps the dictionary instead of
+  *     emptying it) and a codegen'd `aggregate` HOF folds each word's
+  *     symbol array, merging non-overlapping (a,b) occurrences
+  *     left-to-right. The fold cannot cascade within a round (a merged
+  *     symbol is strictly longer than the pair's left side), which is
+  *     exactly [[graft.functions.BpeEncode]]'s pass and the oracle's
+  *     `replace()` semantics — three spellings of one definition.
+  *
+  * Loop hygiene is [[Graph.pageRank]]'s: each round's dictionary is
+  * localCheckpoint'd (lineage would otherwise stack K rounds of HOFs
+  * onto one plan) and the superseded round's blocks are freed; the
+  * per-round winner frames are 1-row checkpoints unioned into the
+  * merge table at the end — the driver never sees a pair (no collect
+  * anywhere; even the winner stays a DataFrame).
+  *
+  * The DuckDB oracle is the [[Graph]]-style UNROLLED form: K generated
+  * rounds of (pairs → top-1 → `replace`) CTEs over a bracket-delimited
+  * symbol-string dictionary — `[a][b][c]` — where `replace('[a][b]',
+  * '[ab]')` is boundary-exact (symbols never contain brackets) and
+  * left-to-right non-overlapping like the fold.
+  */
+object Bpe {
+
+  private[ext] val NumMerges = 16
+
+  /** (word, n, syms) — the word-frequency dictionary with per-code-point
+    * initial symbols. */
+  private def wordDict(in: DataFrame): DataFrame =
+    in
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("syms",
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))))
+
+  /** One left-to-right non-overlapping merge pass as a codegen'd fold;
+    * null pair (exhausted pair space) is the identity. */
+  private def mergePass(syms: Column, a: Column, b: Column): Column =
+    when(a.isNull, syms).otherwise(
+      aggregate(syms, array().cast(ArrayType(StringType)),
+        (acc, s) =>
+          when(size(acc) > 0 &&
+               element_at(acc, -1) === a && s === b,
+               concat(slice(acc, lit(1), size(acc) - 1),
+                      array(concat(a, b))))
+            .otherwise(concat(acc, array(s)))))
+
+  /** Train `numMerges` merges; returns (rank, a, b) — the stored
+    * artifact [[graft.functions.BpeEncode]] consumes. */
+  def trainBpe(spark: SparkSession, dir: String,
+               numMerges: Int = NumMerges): DataFrame =
+    trainBpeFrame(Tables.documents(spark, dir), numMerges)
+
+  /** Frame-level trainer: `in` needs a `text` column. */
+  def trainBpeFrame(in: DataFrame,
+                    numMerges: Int = NumMerges): DataFrame = {
+    var dict = wordDict(in).localCheckpoint()
+    // two-regime split, the [[Cluster.connectedComponents]] pattern
+    // (counted, not guessed): a gate-scale VOCABULARY fits one task, so
+    // the K rounds run 1-task jobs instead of paying the session's
+    // shuffle width per round (measured: 3.4 s → the dominant cost was
+    // 48 multi-task job launches over ~200 dictionary rows); a web-
+    // scale vocabulary keeps the distributed width
+    if (dict.count() <= 1000000L) dict = dict.coalesce(1)
+    val winners = Seq.newBuilder[DataFrame]
+    for (k <- 1 to numMerges) {
+      // size guard: Spark's sequence(1, 0) DESCENDS, so a fully-merged
+      // or single-char word must not reach the pair transform
+      val pairs = dict
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("a"),
+                        element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).select(col("a"), col("b"))
+        .localCheckpoint() // 1 row; must outlive this round's dict
+      val next = dict.join(broadcast(top), lit(true), "left")
+        .select(col("word"), col("n"),
+                mergePass(col("syms"), col("a"), col("b")).as("syms"))
+        .localCheckpoint()
+      Graph.freeCheckpoint(dict)
+      dict = next
+      winners += top.select(lit(k.toLong).as("rank"), col("a"), col("b"))
+    }
+    Graph.freeCheckpoint(dict)
+    winners.result().reduce(_ unionByName _)
+  }
+
+  /** Gate query: the learned merge table itself. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.Present.sorted(trainBpe(spark, dir), col("rank"))
+
+  /** Gate query: every document encoded by the native expression
+    * against the in-plan-trained merges — token count plus an order-
+    * sensitive digest of the token stream, so the gate pins the exact
+    * segmentation (the oracle reproduces it from the final-round
+    * dictionary: for corpus words, encode-by-rank ≡ the training
+    * segmentation). */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainBpe(spark, dir)
+      .agg(transform(
+        array_sort(collect_list(struct(col("rank"),
+          concat_ws(" ", col("a"), col("b")).as("m")))),
+        x => x.getField("m")).as("merges"))
+    val toks = graft.functions.BpeEncode(col("text"), col("merges"))
+    graft.Present.sorted(
+      Tables.documents(spark, dir)
+        .crossJoin(broadcast(merges))
+        .select(col("doc_id"),
+          size(toks).cast(LongType).as("n_bpe_tokens"),
+          md5(concat_ws(" ", toks)).as("tokens_md5")),
+      col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> ((s, d) => bpeMerges(s, d)),
+    "bpe_tokens" -> ((s, d) => bpeTokens(s, d)))
+
+  // ---- oracles (generated K-round unrolled CTE chains) ----
+
+  /** d0..dK dictionary CTEs over bracket-delimited symbol strings. */
+  private def dictCtes(k: Int): String = {
+    val d0 =
+      """d0 AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n,
+        |    '[' || array_to_string(
+        |      list_transform(range(1, len(word) + 1), i -> word[i:i]),
+        |      '][') || ']' AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (
+         |  SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, l, unnest(range(1, len(l))) AS i
+         |        FROM (SELECT n, string_split(substr(s, 2, len(s) - 2), '][') AS l
+         |              FROM d${r - 1}))
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |d$r AS MATERIALIZED (
+         |  SELECT d.word, d.n,
+         |    CASE WHEN m.a IS NULL THEN d.s
+         |         ELSE replace(d.s, '[' || m.a || '][' || m.b || ']',
+         |                           '[' || m.a || m.b || ']') END AS s
+         |  FROM d${r - 1} d LEFT JOIN m$r m ON TRUE)""".stripMargin
+    }
+    (d0 +: rounds).mkString(",\n")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "bpe_merges" -> {
+      val union = (1 to NumMerges)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS rank, a, b FROM m$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH ${dictCtes(NumMerges)}
+         |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+    },
+    "bpe_tokens" ->
+      s"""WITH ${dictCtes(NumMerges)},
+         |seg AS (
+         |  SELECT word, string_split(substr(s, 2, len(s) - 2), '][') AS l
+         |  FROM d$NumMerges),
+         |dw AS (
+         |  SELECT doc_id, w.word, w.i
+         |  FROM (SELECT doc_id,
+         |          unnest(string_split(text, ' ')) AS word,
+         |          generate_subscripts(string_split(text, ' '), 1) AS i
+         |        FROM documents) w
+         |  WHERE w.word <> ''),
+         |j AS (SELECT dw.doc_id, dw.i, seg.l
+         |      FROM dw JOIN seg ON seg.word = dw.word)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(t.nt, 0) AS BIGINT) AS n_bpe_tokens,
+         |  md5(coalesce(t.ts, '')) AS tokens_md5
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id, sum(len(l)) AS nt,
+         |    string_agg(array_to_string(l, ' '), ' ' ORDER BY i) AS ts
+         |  FROM j GROUP BY doc_id) t ON t.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
+}

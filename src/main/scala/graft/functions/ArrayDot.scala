@@ -107,6 +107,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     binary("char_ngrams", classOf[CharNGrams], CharNGrams(_, _))
     binary("word_ngrams", classOf[WordNGrams], WordNGrams(_, _))
     binary("word_window_md5", classOf[WordWindowMd5], WordWindowMd5(_, _))
+    binary("bpe_encode", classOf[BpeEncode], BpeEncode(_, _))
     ext.injectFunction((
       new FunctionIdentifier("strided_min_md5"),
       new ExpressionInfo(classOf[StridedMinMd5].getName, "strided_min_md5"),
