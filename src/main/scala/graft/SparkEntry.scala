@@ -39,6 +39,7 @@ object SparkEntry {
     (ext.LangModel.queries, ext.LangModel.oracles),
     (ext.Funnel.queries, ext.Funnel.oracles),
     (ext.Bpe.queries, ext.Bpe.oracles),
+    (ext.Card.queries, ext.Card.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),
     (ext.Dedup.queries, ext.Dedup.oracles),
     (ext.Cluster.queries, ext.Cluster.oracles),
