@@ -10,12 +10,14 @@ import graft.Present.PresentOps
 /** The curation FUNNEL report — the whole cleaning pipeline's
   * survivor accounting in one plan: how many documents (and tokens)
   * remain after each stage of ingest → exact dedup → near-dup
-  * clustering → quality rules → eval decontamination. This is the
-  * dashboard number every corpus run publishes ("we went from 1.2 T
-  * tokens to 310 B"), and it exercises the engine's composability:
-  * four operator families' cores ([[Dedup]]/[[Cluster]], [[Text]],
-  * [[Decontam]]) feed one aggregation without materializing
-  * intermediate corpora.
+  * clustering → quality rules → eval decontamination → perplexity
+  * bucket keep (head+middle; unscorable docs drop — the CCNet rule)
+  * → classifier band keep (keep+review). This is the dashboard number
+  * every corpus run publishes ("we went from 1.2 T tokens to 310 B"),
+  * and it exercises the engine's composability: six operator
+  * families' cores ([[Dedup]]/[[Cluster]], [[Text]], [[Decontam]],
+  * [[LangModel]], [[Scoring]]) feed one aggregation without
+  * materializing intermediate corpora.
   *
   * Stage predicates are CORPUS-GLOBAL flags (keeper-by-digest,
   * cluster representative, Gopher pass, contamination), applied
@@ -60,10 +62,19 @@ object Funnel {
       .select(col("doc_id"), col("pass"))
     val cont = Decontam.contaminationFrame(spark, dir)
       .select(col("doc_id"), col("contaminated"))
+    // CCNet keep rule: head+middle survive, tail (and unscorable
+    // sub-bigram docs, absent from the scored frame) drop
+    val ppl = LangModel.bucketsOf(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("bucket"))
+    // classifier bands: keep/review survive, drop drops
+    val cls = Scoring.scored(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("band"))
     val s2 = col("doc_id") === col("keeper")
     val s3 = s2 && col("doc_id") === col("label")
     val s4 = s3 && col("pass") === 1
     val s5 = s4 && coalesce(col("contaminated"), lit(0)) === 0
+    val s6 = s5 && col("bucket").isNotNull && col("bucket") =!= "tail"
+    val s7 = s6 && col("band") =!= "drop"
     def d(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
     def t(c: org.apache.spark.sql.Column) = sum(when(c, col("wc")).otherwise(0L))
     docs
@@ -71,18 +82,24 @@ object Funnel {
       .join(lbl, "doc_id")
       .join(gopher, "doc_id")
       .join(cont, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .join(cls, "doc_id")
       .agg(count(lit(1)).as("d1"), sum(col("wc")).as("t1"),
            d(s2).as("d2"), t(s2).as("t2"),
            d(s3).as("d3"), t(s3).as("t3"),
            d(s4).as("d4"), t(s4).as("t4"),
-           d(s5).as("d5"), t(s5).as("t5"))
+           d(s5).as("d5"), t(s5).as("t5"),
+           d(s6).as("d6"), t(s6).as("t6"),
+           d(s7).as("d7"), t(s7).as("t7"))
       .select(expr(
-        """stack(5,
+        """stack(7,
           |  CAST(1 AS BIGINT), 'ingest',      d1, t1,
           |  CAST(2 AS BIGINT), 'exact_dedup', d2, t2,
           |  CAST(3 AS BIGINT), 'near_dedup',  d3, t3,
           |  CAST(4 AS BIGINT), 'quality',     d4, t4,
-          |  CAST(5 AS BIGINT), 'decontam',    d5, t5
+          |  CAST(5 AS BIGINT), 'decontam',    d5, t5,
+          |  CAST(6 AS BIGINT), 'perplexity',  d6, t6,
+          |  CAST(7 AS BIGINT), 'classifier',  d7, t7
           |) AS (stage, stage_name, n_docs, n_tokens)""".stripMargin))
       .presentSorted(col("stage"))
   }
@@ -118,6 +135,19 @@ object Funnel {
          |    ON c.shingle = b.shingle
          |  GROUP BY c.doc_id
          |  HAVING count(DISTINCT c.shingle) >= ${Decontam.Threshold}),
+         |${LangModel.ScoredCtesBody},
+         |lb AS (${LangModel.BoundsSql}),
+         |pb AS (
+         |  SELECT s.doc_id,
+         |    CASE WHEN s.nll_ppm <= lb.q1 THEN 'head'
+         |         WHEN s.nll_ppm <= lb.q2 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM s CROSS JOIN lb),
+         |cb AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000
+         |         AS DOUBLE) / 1e6 AS score
+         |  FROM documents),
          |f AS (
          |  SELECT dd.doc_id, dd.wc,
          |    dd.doc_id = ex.keeper AS s2,
@@ -126,9 +156,20 @@ object Funnel {
          |      AND g.pass = 1 AS s4,
          |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
          |      AND g.pass = 1
-         |      AND dd.doc_id NOT IN (SELECT doc_id FROM dcont) AS s5
+         |      AND dd.doc_id NOT IN (SELECT doc_id FROM dcont) AS s5,
+         |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
+         |      AND g.pass = 1
+         |      AND dd.doc_id NOT IN (SELECT doc_id FROM dcont)
+         |      AND pb.bucket IS NOT NULL AND pb.bucket <> 'tail' AS s6,
+         |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
+         |      AND g.pass = 1
+         |      AND dd.doc_id NOT IN (SELECT doc_id FROM dcont)
+         |      AND pb.bucket IS NOT NULL AND pb.bucket <> 'tail'
+         |      AND cb.score >= ${Scoring.ReviewMin} AS s7
          |  FROM dd JOIN ex USING (digest) JOIN asg a USING (doc_id)
-         |          JOIN g USING (doc_id))
+         |          JOIN g USING (doc_id)
+         |          LEFT JOIN pb ON pb.doc_id = dd.doc_id
+         |          JOIN cb ON cb.doc_id = dd.doc_id)
          |SELECT * FROM (
          |  SELECT CAST(1 AS BIGINT) AS stage, 'ingest' AS stage_name,
          |    CAST(count(*) AS BIGINT) AS n_docs,
@@ -144,6 +185,12 @@ object Funnel {
          |    CAST(coalesce(sum(wc) FILTER (WHERE s4), 0) AS BIGINT) FROM f
          |  UNION ALL SELECT 5, 'decontam',
          |    CAST(count(*) FILTER (WHERE s5) AS BIGINT),
-         |    CAST(coalesce(sum(wc) FILTER (WHERE s5), 0) AS BIGINT) FROM f)
+         |    CAST(coalesce(sum(wc) FILTER (WHERE s5), 0) AS BIGINT) FROM f
+         |  UNION ALL SELECT 6, 'perplexity',
+         |    CAST(count(*) FILTER (WHERE s6) AS BIGINT),
+         |    CAST(coalesce(sum(wc) FILTER (WHERE s6), 0) AS BIGINT) FROM f
+         |  UNION ALL SELECT 7, 'classifier',
+         |    CAST(count(*) FILTER (WHERE s7) AS BIGINT),
+         |    CAST(coalesce(sum(wc) FILTER (WHERE s7), 0) AS BIGINT) FROM f)
          |ORDER BY stage""".stripMargin)
 }

@@ -178,7 +178,12 @@ object LangModel {
   }
 
   /** Corpus-global tertile bucketing over a scored frame. */
-  private def bucketGlobal(scored: DataFrame): DataFrame = {
+  private def bucketGlobal(scored: DataFrame): DataFrame =
+    bucketGlobalFrame(scored).presentSorted(col("doc_id"))
+
+  /** Unsorted form of [[bucketGlobal]] — composable mid-plan
+    * ([[Funnel.corpusFunnel]]'s perplexity stage flag). */
+  private[ext] def bucketGlobalFrame(scored: DataFrame): DataFrame = {
     val bounds = scored.agg(
       expr(s"percentile_disc($Q1) WITHIN GROUP (ORDER BY nll_ppm)").as("q1"),
       expr(s"percentile_disc($Q2) WITHIN GROUP (ORDER BY nll_ppm)").as("q2"))
@@ -186,8 +191,17 @@ object LangModel {
       .crossJoin(broadcast(bounds))
       .select(col("doc_id"), col("n_bigrams"), col("nll_ppm"),
         bucketCol.as("bucket"))
-      .presentSorted(col("doc_id"))
   }
+
+  /** Self-trained scored+bucketed frame for composition (unsorted). */
+  private[ext] def bucketsOf(in: DataFrame): DataFrame =
+    bucketGlobalFrame(scoreCore(selfTrainedScored(in)))
+
+  /** Global tertile-bounds SQL over the `s` CTE from
+    * [[ScoredCtesBody]] — shared with [[Funnel]]'s oracle. */
+  private[ext] val BoundsSql: String =
+    s"SELECT quantile_disc(nll_ppm, $Q1) AS q1, " +
+    s"quantile_disc(nll_ppm, $Q2) AS q2 FROM s"
 
   private def bucketCol =
     when(col("nll_ppm") <= col("q1"), lit("head"))
@@ -223,8 +237,8 @@ object LangModel {
     * via the proven term_pmi unnest(range) idiom, ln == Spark's natural
     * log — ending at the scored frame `s`. Both bucketing oracles
     * append their own bounds. */
-  private val ScoredCtes: String =
-      s"""WITH t AS (
+  private[ext] val ScoredCtesBody: String =
+      s"""t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
          |  WHERE len(string_split(text, ' ')) >= 2),
          |bg AS (
@@ -247,7 +261,7 @@ object LangModel {
 
   val oracles: Map[String, String] = Map(
     "lm_perplexity" ->
-      s"""$ScoredCtes,
+      s"""WITH $ScoredCtesBody,
          |b AS (SELECT quantile_disc(nll_ppm, $Q1) AS q1,
          |             quantile_disc(nll_ppm, $Q2) AS q2 FROM s)
          |SELECT doc_id, n_bigrams, nll_ppm,
@@ -256,7 +270,7 @@ object LangModel {
          |       ELSE 'tail' END AS bucket
          |FROM s CROSS JOIN b ORDER BY doc_id""".stripMargin,
     "lm_perplexity_lang" ->
-      s"""$ScoredCtes,
+      s"""WITH $ScoredCtesBody,
          |sl AS (SELECT s.*, d.lang FROM s
          |       JOIN documents d ON d.doc_id = s.doc_id),
          |b AS (SELECT lang, quantile_disc(nll_ppm, $Q1) AS q1,

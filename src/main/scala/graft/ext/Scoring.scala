@@ -56,8 +56,8 @@ object Scoring {
   /** Band thresholds — the standard 3-way curation gate (keep / send to
     * review / drop). On the stub's uniform scores the bands split the
     * corpus ~20/40/40; a real model's calibration replaces them. */
-  private val KeepMin   = 0.8
-  private val ReviewMin = 0.4
+  private[ext] val KeepMin   = 0.8
+  private[ext] val ReviewMin = 0.4
 
   /** Column-path scoring over ANY frame with (doc_id, text) — batch or
     * STREAMING (pure per-row expressions, no state: ScoringSpec pins

@@ -14,8 +14,8 @@ class FunnelSpec extends AnyFunSuite {
     CacheScope.scoped(spark) {
       val rows = ext.Funnel.corpusFunnel(spark, sfDir).collect()
         .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
-      assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L))
-      (1L to 4L).foreach { s =>
+      assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+      (1L to 6L).foreach { s =>
         assert(rows(s)._1 >= rows(s + 1)._1 && rows(s)._2 >= rows(s + 1)._2,
           s"stage $s -> ${s + 1} grew: $rows")
       }

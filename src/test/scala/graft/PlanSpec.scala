@@ -311,4 +311,27 @@ class PlanSpec extends AnyFunSuite {
              plan)
     } finally spark.conf.set(key, old)
   }
+
+  test("round-17 ops prune the documents scan to the columns they read") {
+    // ReadSchema pins (the scan_pruned practice): a 100 TB corpus scan
+    // that drags `text` into a query needing only counts — or `source`
+    // into one needing only text — pays the full corpus width
+    def readSchemas(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      "ReadSchema: struct<[^>]*>".r
+        .findAllIn(df.queryExecution.executedPlan.toString).toSeq
+    CacheScope.scoped(spark) {
+      // perplexity needs doc_id + text only — n_chars/source never read
+      readSchemas(ext.LangModel.lmPerplexity(spark, sfDir)).foreach { rs =>
+        assert(!rs.contains("n_chars") && !rs.contains("source"), rs)
+      }
+      // the datasheet needs no n_chars (it recomputes width from text)
+      readSchemas(ext.Card.corpusCard(spark, sfDir)).foreach { rs =>
+        assert(!rs.contains("n_chars"), rs)
+      }
+      // temperature sampling never reads text at all
+      readSchemas(ext.Corpus.langTemperatureSample(spark, sfDir)).foreach { rs =>
+        assert(!rs.contains("text"), rs)
+      }
+    }
+  }
 }
