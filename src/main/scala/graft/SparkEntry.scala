@@ -40,6 +40,7 @@ object SparkEntry {
     (ext.Funnel.queries, ext.Funnel.oracles),
     (ext.Bpe.queries, ext.Bpe.oracles),
     (ext.Card.queries, ext.Card.oracles),
+    (ext.KMeans.queries, ext.KMeans.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),
     (ext.Dedup.queries, ext.Dedup.oracles),
     (ext.Cluster.queries, ext.Cluster.oracles),

@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Distributed Lloyd's k-means over the embedding corpus — the
+  * TRAINED coarse quantizer the IVF family ([[Similarity]]) assumes:
+  * X10's cells come from a pre-assigned label column; this op LEARNS
+  * the codebook, which is how a production IVF/SemDeDup deployment
+  * actually gets one (train on a sample, assign the corpus).
+  *
+  * Per round (classic assign/update):
+  *   - ASSIGN: score = |c|² − 2·v·c (the |v|² term is constant per
+  *     vector, so dropping it preserves the argmin — and keeps the
+  *     expression two [[graft.functions.ArrayDot]] codegen'd dots, no
+  *     per-pair difference array). Candidates = corpus × broadcast
+  *     codebook (K rows); the per-vector argmin is a MIN-STRUCT
+  *     aggregate with map-side partial collapse — each vector's K
+  *     score rows reduce before the exchange, so shuffled rows are
+  *     O(vectors), and ties break on cell id identically in both
+  *     engines.
+  *   - UPDATE: per-(cell, dim) FIXED-POINT sums (floor(x·10⁶) BIGINT —
+  *     [[Similarity]]'s centroidRows trick: double summation order
+  *     varies per partitioning, quantized longs are exact and
+  *     order-independent), centroid = qsum/10⁶/n rebuilt into a
+  *     dim-sorted vector; an EMPTIED cell keeps its previous centroid
+  *     (left-join coalesce — the deterministic spelling of the
+  *     standard k-means empty-cell rule).
+  *
+  * Loop hygiene is [[Graph.pageRank]]'s: per-round localCheckpoint
+  * (the codebook is K rows — the checkpoint truncates plan growth,
+  * not data), superseded blocks freed, no driver collects. Init is
+  * the first K vectors (deterministic; a production run seeds
+  * k-means++ from a sample — only `init` changes).
+  *
+  * Gate output is the final round's UPDATE table (cell, dim, qsum, n)
+  * — all BIGINT, so the hash gate sees integers even though the
+  * inter-round centroids are doubles (deterministic: fixed-order dots
+  * over values derived from exact integer sums). Oracle is the
+  * [[Bpe]]/[[Graph]]-style R-round unrolled CTE chain.
+  */
+object KMeans {
+
+  private[ext] val NumCells  = 8
+  private[ext] val NumRounds = 4
+
+  def kmeansTrain(spark: SparkSession, dir: String,
+                  k: Int = NumCells, rounds: Int = NumRounds): DataFrame =
+    kmeansFrame(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v")),
+      k, rounds)
+
+  /** Frame-level trainer: `in` needs (vec_id, v: ARRAY<DOUBLE>). */
+  def kmeansFrame(in: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val vecs = graft.CacheScope.pin(in)
+    var codebook = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast(LongType).as("cell"), col("v").as("cv"))
+      .localCheckpoint()
+    var lastUpdate: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val scored = vecs.crossJoin(broadcast(codebook))
+        .select(col("vec_id"), col("v"), col("cell"),
+          (graft.functions.ArrayDot(col("cv"), col("cv")) -
+           lit(2.0) * graft.functions.ArrayDot(col("v"), col("cv")))
+            .as("score"))
+      val assigned = scored
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("score"), col("cell"))).as("b"),
+             first(col("v")).as("v")) // v is functionally dependent
+        .select(col("b.cell").as("cell"), col("v"))
+      val update = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(floor(col("x") * 1e6).cast(LongType)).as("qsum"),
+             count(lit(1)).as("n"))
+        .localCheckpoint()
+      val rebuilt = update
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"),
+            (col("qsum").cast(DoubleType) / 1e6 / col("n")).as("c")))),
+          s => s.getField("c")).as("ucv"))
+      val next = codebook.join(rebuilt, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("ucv"), col("cv")).as("cv"))
+        .localCheckpoint()
+      Graph.freeCheckpoint(codebook)
+      if (lastUpdate != null) Graph.freeCheckpoint(lastUpdate)
+      codebook = next
+      lastUpdate = update
+    }
+    Graph.freeCheckpoint(codebook)
+    graft.Present.sorted(
+      lastUpdate.select(col("cell"), col("dim").cast(LongType).as("dim"),
+                        col("qsum"), col("n")),
+      col("cell"), col("dim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_train" -> ((s, d) => kmeansTrain(s, d)))
+
+  private def roundCtes(r: Int): String = (1 to r).map { i =>
+    s"""a$i AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT x.vec_id, x.v, c.cell,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |        list_dot_product(c.cv, c.cv)
+       |          - 2 * list_dot_product(x.v, c.cv), c.cell) AS rn
+       |    FROM v x CROSS JOIN c${i - 1} c)
+       |  WHERE rn = 1),
+       |u$i AS MATERIALIZED (
+       |  SELECT cell, i - 1 AS dim,
+       |    CAST(sum(floor(v[i] * 1000000)) AS BIGINT) AS qsum,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT cell, v, unnest(range(1, len(v) + 1)) AS i FROM a$i)
+       |  GROUP BY 1, 2),
+       |c$i AS MATERIALIZED (
+       |  SELECT p.cell, coalesce(u.cv, p.cv) AS cv
+       |  FROM c${i - 1} p LEFT JOIN (
+       |    SELECT cell, array_agg(qsum / 1e6 / n ORDER BY dim) AS cv
+       |    FROM u$i GROUP BY cell) u ON u.cell = p.cell)""".stripMargin
+  }.mkString(",\n")
+
+  val oracles: Map[String, String] = Map(
+    "kmeans_train" ->
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, v AS cv
+         |       FROM v WHERE vec_id < $NumCells),
+         |${roundCtes(NumRounds)}
+         |SELECT cell, dim, qsum, n FROM u$NumRounds
+         |ORDER BY cell, dim""".stripMargin)
+}
