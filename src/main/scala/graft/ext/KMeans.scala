@@ -56,7 +56,27 @@ object KMeans {
 
   /** Frame-level trainer: `in` needs (vec_id, v: ARRAY<DOUBLE>). */
   def kmeansFrame(in: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val vecs = graft.CacheScope.pin(in)
+    val (codebook, lastUpdate) = loop(graft.CacheScope.pin(in), k, rounds)
+    Graph.freeCheckpoint(codebook)
+    graft.Present.sorted(
+      lastUpdate.select(col("cell"), col("dim").cast(LongType).as("dim"),
+                        col("qsum"), col("n")),
+      col("cell"), col("dim"))
+  }
+
+  /** Final codebook (cell, cv) after `rounds` — for [[ivfAssign]]. The
+    * K-row checkpoint stays live for the caller's plan; its blocks are
+    * reclaimed by the ContextCleaner when the frame drops. */
+  private def trainedCodebook(vecs: DataFrame, k: Int,
+                              rounds: Int): DataFrame = {
+    val (codebook, lastUpdate) = loop(vecs, k, rounds)
+    Graph.freeCheckpoint(lastUpdate)
+    codebook
+  }
+
+  /** The Lloyd loop; returns (final codebook, final update table). */
+  private def loop(vecs: DataFrame, k: Int,
+                   rounds: Int): (DataFrame, DataFrame) = {
     var codebook = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").cast(LongType).as("cell"), col("v").as("cv"))
       .localCheckpoint()
@@ -92,15 +112,34 @@ object KMeans {
       codebook = next
       lastUpdate = update
     }
-    Graph.freeCheckpoint(codebook)
+    (codebook, lastUpdate)
+  }
+
+  /** Corpus ASSIGNMENT under the trained codebook — the deploy step
+    * that turns [[kmeansTrain]]'s artifact into X10's `label` column
+    * (train on a sample, assign the corpus): one broadcast of the K
+    * final centroids, one argmin pass, integer output. */
+  def ivfAssign(spark: SparkSession, dir: String,
+                k: Int = NumCells, rounds: Int = NumRounds): DataFrame = {
+    val vecs = graft.CacheScope.pin(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v")))
+    val codebook = trainedCodebook(vecs, k, rounds)
     graft.Present.sorted(
-      lastUpdate.select(col("cell"), col("dim").cast(LongType).as("dim"),
-                        col("qsum"), col("n")),
-      col("cell"), col("dim"))
+      vecs.crossJoin(broadcast(codebook))
+        .select(col("vec_id"), col("cell"),
+          (graft.functions.ArrayDot(col("cv"), col("cv")) -
+           lit(2.0) * graft.functions.ArrayDot(col("v"), col("cv")))
+            .as("score"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("score"), col("cell"))).as("b"))
+        .select(col("vec_id"), col("b.cell").as("cell")),
+      col("vec_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "kmeans_train" -> ((s, d) => kmeansTrain(s, d)))
+    "kmeans_train" -> ((s, d) => kmeansTrain(s, d)),
+    "ivf_assign"   -> ((s, d) => ivfAssign(s, d)))
 
   private def roundCtes(r: Int): String = (1 to r).map { i =>
     s"""a$i AS (
@@ -134,5 +173,20 @@ object KMeans {
          |       FROM v WHERE vec_id < $NumCells),
          |${roundCtes(NumRounds)}
          |SELECT cell, dim, qsum, n FROM u$NumRounds
-         |ORDER BY cell, dim""".stripMargin)
+         |ORDER BY cell, dim""".stripMargin,
+    "ivf_assign" ->
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, v AS cv
+         |       FROM v WHERE vec_id < $NumCells),
+         |${roundCtes(NumRounds)}
+         |SELECT vec_id, cell FROM (
+         |  SELECT x.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |      list_dot_product(c.cv, c.cv)
+         |        - 2 * list_dot_product(x.v, c.cv), c.cell) AS rn
+         |  FROM v x CROSS JOIN c$NumRounds c)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
 }
