@@ -42,6 +42,12 @@ import graft.Present.PresentOps
 object Funnel {
 
   def corpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    // Five flag pipelines read this projection; pinning it was
+    // MEASURED SLOWER (4.7 → 5.5 s at sf0.1: the cache-materialization
+    // job costs more than the parquet rescans it saves — the scan is
+    // column-pruned and the per-pipeline work, not the scan, dominates
+    // each flag). At a corpus scale where the scan dominates, wrap the
+    // call in CacheScope.pin at the call site instead.
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         size(split(col("text"), " ")).cast(LongType).as("wc"),
