@@ -109,9 +109,52 @@ object Decontam {
       col("vec_id"))
   }
 
+  /** Window width and eval-set split for [[decontaminateSubstr]].
+    * The width matches [[Curation.substrDupSpans]]'s SpanW; the split
+    * is denser than [[BenchMod]]'s (eval suites are a few percent of a
+    * corpus, and the overlap witness needs real hits at gate SF). */
+  private[ext] val SubW = 8
+  private[ext] val SubMod = 13L
+  private[ext] val SubRem = 3L
+
+  /** EXACT-SUBSTRING eval decontamination (the Lee et al. 2022 /
+    * frontier-lab form of [[decontaminate]]): a training doc is
+    * contaminated if any stride-1 [[SubW]]-token window appears
+    * verbatim in the held-out set — catching long quoted spans that
+    * the distinct-shingle OVERLAP COUNT threshold can under-weigh and
+    * paraphrase-level embedding distance ([[decontaminateEmb]]) can
+    * miss. Together the three ops are the decontamination ladder a
+    * production eval audit runs: n-gram overlap, exact span, semantic.
+    *
+    * Window digests come from the native one-walk
+    * [[graft.functions.WordWindowMd5]] (no token arrays, no gram
+    * strings); the eval side collapses to one row per DISTINCT digest
+    * (min bench doc) BEFORE the join — broadcast O(eval windows) —
+    * so the corpus side streams through an equi-join and a per-doc
+    * partial-agg exchange of O(contaminated docs). Output lists only
+    * contaminated docs (the [[decontaminate]] convention: absent =
+    * clean). */
+  def decontaminateSubstr(spark: SparkSession, dir: String,
+                          w: Int = SubW): DataFrame = {
+    val g = graft.CacheScope.pin(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.WordWindowMd5(col("text"), lit(w)))
+            .as("digest")))
+    val bench = g.filter(col("doc_id") % SubMod === SubRem)
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("first_bench_id"))
+    g.filter(col("doc_id") % SubMod =!= SubRem)
+      .join(broadcast(bench), "digest")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("digest")).as("shared_windows"),
+           min(col("first_bench_id")).as("first_bench_id"))
+      .presentSorted(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> decontaminate _,
-    "decontaminate_emb" -> ((s, d) => decontaminateEmb(s, d)))
+    "decontaminate_emb" -> ((s, d) => decontaminateEmb(s, d)),
+    "decontaminate_substr" -> ((s, d) => decontaminateSubstr(s, d)))
 
   val oracles: Map[String, String] = Map(
     "decontaminate" ->
@@ -132,6 +175,23 @@ object Decontam {
          |  CAST(CASE WHEN count(DISTINCT c.shingle) >= $Threshold
          |            THEN 1 ELSE 0 END AS INTEGER) AS contaminated
          |FROM c JOIN b ON c.shingle = b.shingle
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "decontaminate_substr" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(toks[i:i + $SubW - 1], ' ')) AS digest
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(1, len(toks) - $SubW + 2)) AS i
+         |        FROM t WHERE len(toks) >= $SubW)),
+         |b AS (SELECT digest, min(doc_id) AS first_bench_id
+         |      FROM g WHERE doc_id % $SubMod = $SubRem GROUP BY 1)
+         |SELECT g.doc_id,
+         |  CAST(count(DISTINCT g.digest) AS BIGINT) AS shared_windows,
+         |  min(b.first_bench_id) AS first_bench_id
+         |FROM g JOIN b USING (digest)
+         |WHERE g.doc_id % $SubMod <> $SubRem
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "decontaminate_emb" ->
       s"""WITH v AS (

@@ -169,6 +169,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got.contains(3L))                 // benchmark excluded
   }
 
+  test("substring decontamination flags exactly the planted verbatim spans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_subst").toString
+    val span = (1 to 8).map(i => s"w$i").mkString(" ") // one exact window
+    // eval doc: id 3 (3 % 13 == 3); doc 10 quotes the full 8-token
+    // window verbatim; doc 7 shares only 7 of its tokens (no full
+    // window); doc 20 shares nothing
+    Seq(
+      (3L, s"eval preamble $span eval closing", "en", "unit", 0L),
+      (10L, s"training text quoting $span and then more", "en", "unit", 0L),
+      (7L, "w1 w2 w3 w4 w5 w6 w7 different tail here", "en", "unit", 0L),
+      (20L, "completely unrelated training document body text", "en", "unit", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = CacheScope.scoped(spark) {
+      ext.Decontam.decontaminateSubstr(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    assert(got(10L) === ((1L, 3L))) // one shared window, from eval doc 3
+    assert(!got.contains(7L))       // 7-token partial overlap: clean
+    assert(!got.contains(20L))
+    assert(!got.contains(3L))       // eval doc itself excluded
+  }
+
   test("decontamination broadcasts the benchmark side, never the corpus") {
     val plan = ext.Decontam.decontaminate(spark, sfDir)
       .queryExecution.executedPlan.toString
