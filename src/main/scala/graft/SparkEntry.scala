@@ -41,6 +41,7 @@ object SparkEntry {
     (ext.Bpe.queries, ext.Bpe.oracles),
     (ext.Card.queries, ext.Card.oracles),
     (ext.KMeans.queries, ext.KMeans.oracles),
+    (ext.Pq.queries, ext.Pq.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),
     (ext.Dedup.queries, ext.Dedup.oracles),
     (ext.Cluster.queries, ext.Cluster.oracles),

@@ -1,0 +1,192 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Product quantization (Jégou et al. 2011) — the memory-bound ANN
+  * representation at corpus scale: split each D-dim vector into M
+  * subspaces and vector-quantize each subspace independently with its
+  * own K-codeword codebook, so a vector stores as M small codes
+  * (M·log₂K bits) instead of D floats and distance evaluation becomes
+  * M table lookups (ADC). [[Similarity]]'s int8 path (X11/X47)
+  * compresses 4× per dimension; PQ at M=4, K=8 here stores 64 floats
+  * in 4×3 bits — the representation IVF-PQ indexes actually ship.
+  *
+  * Training is [[KMeans]]'s Lloyd loop run over (subspace, cell) keys
+  * in ONE set of jobs — all M codebooks train simultaneously, not M
+  * sequential loops: the subvector frame carries `sub`, the codebook
+  * broadcast carries `sub`, and the assign join constrains on it, so
+  * each subspace only ever scores against its own codewords. All of
+  * [[KMeans]]'s determinism decisions carry over verbatim (argmin via
+  * |c|²−2·v·c min-struct with map-side collapse, fixed-point exact
+  * update sums, empty-cell keep-seed, R-round unrolled MATERIALIZED
+  * oracle, zero driver collects).
+  */
+object Pq {
+
+  private[ext] val NumSubs   = 4
+  private[ext] val NumCells  = 8
+  private[ext] val NumRounds = 3
+
+  /** (vec_id, sub, sv) — the subvector frame. `dims` must divide into
+    * [[NumSubs]] equal slices; the synthetic embeddings are 64-dim. */
+  private def subVectors(in: DataFrame, m: Int): DataFrame = {
+    val d = size(col("v"))
+    in.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("vec_id"), col("sub").cast(LongType).as("sub"),
+        slice(col("v"), (col("sub") * (d / m) + 1).cast(IntegerType),
+              (d / m).cast(IntegerType)).as("sv"))
+  }
+
+  private def score =
+    (graft.functions.ArrayDot(col("cv"), col("cv")) -
+     lit(2.0) * graft.functions.ArrayDot(col("sv"), col("cv"))).as("score")
+
+  /** The grouped Lloyd loop; returns (codebooks (sub, cell, cv), final
+    * update table (sub, cell, dim, qsum, n)). */
+  private def loop(subVecs: DataFrame, k: Int,
+                   rounds: Int): (DataFrame, DataFrame) = {
+    var codebook = subVecs.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast(LongType).as("cell"),
+              col("sv").as("cv"))
+      .localCheckpoint()
+    var lastUpdate: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val assigned = subVecs.join(broadcast(codebook), "sub")
+        .select(col("vec_id"), col("sub"), col("sv"), col("cell"), score)
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("score"), col("cell"))).as("b"),
+             first(col("sv")).as("sv")) // sv functionally dependent
+        .select(col("sub"), col("b.cell").as("cell"), col("sv"))
+      val update = assigned
+        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("cell"), col("dim"))
+        .agg(sum(floor(col("x") * 1e6).cast(LongType)).as("qsum"),
+             count(lit(1)).as("n"))
+        .localCheckpoint()
+      val rebuilt = update
+        .groupBy(col("sub"), col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"),
+            (col("qsum").cast(DoubleType) / 1e6 / col("n")).as("c")))),
+          s => s.getField("c")).as("ucv"))
+      val next = codebook.join(rebuilt, Seq("sub", "cell"), "left")
+        .select(col("sub"), col("cell"),
+                coalesce(col("ucv"), col("cv")).as("cv"))
+        .localCheckpoint()
+      Graph.freeCheckpoint(codebook)
+      if (lastUpdate != null) Graph.freeCheckpoint(lastUpdate)
+      codebook = next
+      lastUpdate = update
+    }
+    (codebook, lastUpdate)
+  }
+
+  /** Gate query: the final per-(subspace, cell, dim) update table —
+    * all BIGINT. */
+  def pqTrain(spark: SparkSession, dir: String,
+              m: Int = NumSubs, k: Int = NumCells,
+              rounds: Int = NumRounds): DataFrame =
+    pqTrainFrame(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v")),
+      m, k, rounds)
+
+  /** Frame-level trainer: `in` needs (vec_id, v: ARRAY<DOUBLE>). */
+  def pqTrainFrame(in: DataFrame, m: Int, k: Int,
+                   rounds: Int): DataFrame = {
+    val (codebook, lastUpdate) = loop(
+      graft.CacheScope.pin(subVectors(in, m)), k, rounds)
+    Graph.freeCheckpoint(codebook)
+    graft.Present.sorted(
+      lastUpdate.select(col("sub"), col("cell"),
+                        col("dim").cast(LongType).as("dim"),
+                        col("qsum"), col("n")),
+      col("sub"), col("cell"), col("dim"))
+  }
+
+  /** Corpus encoding under the trained codebooks: each vector becomes
+    * M codes — the compressed representation an IVF-PQ index stores.
+    * One broadcast of the M·K codewords, one argmin pass per (vector,
+    * subspace), integer output (vec_id, sub, code). */
+  def pqAssign(spark: SparkSession, dir: String,
+               m: Int = NumSubs, k: Int = NumCells,
+               rounds: Int = NumRounds): DataFrame = {
+    val subVecs = graft.CacheScope.pin(subVectors(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v")),
+      m))
+    val (codebook, lastUpdate) = loop(subVecs, k, rounds)
+    Graph.freeCheckpoint(lastUpdate)
+    graft.Present.sorted(
+      subVecs.join(broadcast(codebook), "sub")
+        .select(col("vec_id"), col("sub"), col("cell"), score)
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("score"), col("cell"))).as("b"))
+        .select(col("vec_id"), col("sub"), col("b.cell").as("code")),
+      col("vec_id"), col("sub"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pq_train"  -> ((s, d) => pqTrain(s, d)),
+    "pq_assign" -> ((s, d) => pqAssign(s, d)))
+
+  // ---- oracles: the KMeans unrolled chain with `sub` in every key ----
+
+  private def subCtes: String =
+    s"""v AS MATERIALIZED (
+       |  SELECT vec_id, sub,
+       |    v[sub * (len(v) / $NumSubs) + 1 :
+       |      (sub + 1) * (len(v) / $NumSubs)] AS sv
+       |  FROM (SELECT vec_id,
+       |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |          unnest(range(0, $NumSubs)) AS sub
+       |        FROM embeddings)),
+       |c0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cell, sv AS cv
+       |       FROM v WHERE vec_id < $NumCells)""".stripMargin
+
+  private def roundCtes(r: Int): String = (1 to r).map { i =>
+    s"""a$i AS (
+       |  SELECT vec_id, sub, sv, cell FROM (
+       |    SELECT x.vec_id, x.sub, x.sv, c.cell,
+       |      row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+       |        list_dot_product(c.cv, c.cv)
+       |          - 2 * list_dot_product(x.sv, c.cv), c.cell) AS rn
+       |    FROM v x JOIN c${i - 1} c ON c.sub = x.sub)
+       |  WHERE rn = 1),
+       |u$i AS MATERIALIZED (
+       |  SELECT sub, cell, i - 1 AS dim,
+       |    CAST(sum(floor(sv[i] * 1000000)) AS BIGINT) AS qsum,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT sub, cell, sv, unnest(range(1, len(sv) + 1)) AS i
+       |        FROM a$i)
+       |  GROUP BY 1, 2, 3),
+       |c$i AS MATERIALIZED (
+       |  SELECT p.sub, p.cell, coalesce(u.cv, p.cv) AS cv
+       |  FROM c${i - 1} p LEFT JOIN (
+       |    SELECT sub, cell, array_agg(qsum / 1e6 / n ORDER BY dim) AS cv
+       |    FROM u$i GROUP BY 1, 2) u
+       |    ON u.sub = p.sub AND u.cell = p.cell)""".stripMargin
+  }.mkString(",\n")
+
+  val oracles: Map[String, String] = Map(
+    "pq_train" ->
+      s"""WITH $subCtes,
+         |${roundCtes(NumRounds)}
+         |SELECT sub, cell, dim, qsum, n FROM u$NumRounds
+         |ORDER BY sub, cell, dim""".stripMargin,
+    "pq_assign" ->
+      s"""WITH $subCtes,
+         |${roundCtes(NumRounds)}
+         |SELECT vec_id, sub, cell AS code FROM (
+         |  SELECT x.vec_id, x.sub, c.cell,
+         |    row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+         |      list_dot_product(c.cv, c.cv)
+         |        - 2 * list_dot_product(x.sv, c.cv), c.cell) AS rn
+         |  FROM v x JOIN c$NumRounds c ON c.sub = x.sub)
+         |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin)
+}

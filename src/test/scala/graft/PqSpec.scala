@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[ext.Pq]]'s defining property: the jointly-trained grouped
+  * loop is EXACTLY M independent [[ext.KMeans]] trainings over the
+  * sliced subvectors — no cross-subspace leakage through the shared
+  * jobs. */
+class PqSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+
+  test("grouped PQ training ≡ per-subspace k-means on the slices") {
+    val (m, k, rounds) = (4, 8, 3)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), ext.Vectors.asDouble(col("embedding")).as("v"))
+    val joint = CacheScope.scoped(spark) {
+      ext.Pq.pqTrainFrame(vecs, m, k, rounds).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+                  (r.getLong(3), r.getLong(4))).toMap
+    }
+    val d = vecs.select(size(col("v"))).head.getInt(0) / m
+    (0 until m).foreach { sub =>
+      val solo = CacheScope.scoped(spark) {
+        ext.KMeans.kmeansFrame(
+          vecs.select(col("vec_id"),
+            slice(col("v"), sub * d + 1, d).as("v")), k, rounds)
+          .collect()
+          .map(r => (sub.toLong, r.getLong(0), r.getLong(1)) ->
+                    (r.getLong(2), r.getLong(3))).toMap
+      }
+      solo.foreach { case (key, v) =>
+        assert(joint.get(key).contains(v), s"mismatch at $key")
+      }
+      assert(joint.count(_._1._1 == sub) == solo.size)
+    }
+  }
+
+  test("codes are within range and every (vector, subspace) gets exactly one") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val codes = CacheScope.scoped(spark) {
+      ext.Pq.pqAssign(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    assert(codes.length == n * 4)
+    assert(codes.map(c => (c._1, c._2)).distinct.length == codes.length)
+    assert(codes.forall(c => c._3 >= 0 && c._3 < 8))
+  }
+}
