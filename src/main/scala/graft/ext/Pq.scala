@@ -131,9 +131,65 @@ object Pq {
       col("vec_id"), col("sub"))
   }
 
+  private[ext] val NumQueries = 10
+  private[ext] val TopK       = 3
+
+  /** ADC top-k search over the PQ codes — the probe an IVF-PQ index
+    * actually runs: each query precomputes an M×K table of squared
+    * distances to every codeword (broadcast — a few hundred rows per
+    * query regardless of corpus size), and scanning a vector costs M
+    * integer lookups + adds instead of D float ops.
+    *
+    * Determinism: the lookup entries are quantized to integer ppm AT
+    * THE TABLE (floor(d²·10⁶) BIGINT), so the per-vector ADC sum is
+    * LONG arithmetic — exact and order-independent — and the rank
+    * window orders on integers; a float sum here would rank-swap
+    * near-tied neighbors on 1-ulp summation-order differences between
+    * engines. Approximation quality is measured, not assumed: PqSpec
+    * reports recall@$TopK against [[Similarity.knnBrute]]'s exact
+    * answer (the X10b practice). */
+  def knnPq(spark: SparkSession, dir: String,
+            m: Int = NumSubs, k: Int = NumCells, rounds: Int = NumRounds,
+            numQueries: Int = NumQueries, topK: Int = TopK): DataFrame = {
+    val subVecs = graft.CacheScope.pin(subVectors(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v")),
+      m))
+    val (codebook, lastUpdate) = loop(subVecs, k, rounds)
+    Graph.freeCheckpoint(lastUpdate)
+    val codes = subVecs.join(broadcast(codebook), "sub")
+      .select(col("vec_id"), col("sub"), col("cell"), score)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("score"), col("cell"))).as("b"))
+      .select(col("vec_id"), col("sub"), col("b.cell").as("code"))
+    // per-(query, subspace, codeword) squared distance, ppm-quantized
+    val qd = subVecs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("sv"))
+      .join(broadcast(codebook), "sub")
+      .select(col("query_id"), col("sub"), col("cell"),
+        floor((graft.functions.ArrayDot(col("sv"), col("sv")) +
+               graft.functions.ArrayDot(col("cv"), col("cv")) -
+               lit(2.0) * graft.functions.ArrayDot(col("sv"), col("cv")))
+              * lit(1000000L)).cast(LongType).as("d2_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_ppm"), col("nn_id"))
+    graft.Present.sorted(
+      codes.join(broadcast(qd),
+          codes("sub") === qd("sub") && codes("code") === qd("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("nn_id"))
+        .agg(sum(col("d2_ppm")).as("adc_ppm"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("rank"), col("nn_id"), col("adc_ppm")),
+      col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq_train"  -> ((s, d) => pqTrain(s, d)),
-    "pq_assign" -> ((s, d) => pqAssign(s, d)))
+    "pq_assign" -> ((s, d) => pqAssign(s, d)),
+    "knn_pq"    -> ((s, d) => knnPq(s, d)))
 
   // ---- oracles: the KMeans unrolled chain with `sub` in every key ----
 
@@ -188,5 +244,35 @@ object Pq {
          |      list_dot_product(c.cv, c.cv)
          |        - 2 * list_dot_product(x.sv, c.cv), c.cell) AS rn
          |  FROM v x JOIN c$NumRounds c ON c.sub = x.sub)
-         |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin)
+         |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+    "knn_pq" ->
+      s"""WITH $subCtes,
+         |${roundCtes(NumRounds)},
+         |codes AS (
+         |  SELECT vec_id, sub, cell AS code FROM (
+         |    SELECT x.vec_id, x.sub, c.cell,
+         |      row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+         |        list_dot_product(c.cv, c.cv)
+         |          - 2 * list_dot_product(x.sv, c.cv), c.cell) AS rn
+         |    FROM v x JOIN c$NumRounds c ON c.sub = x.sub)
+         |  WHERE rn = 1),
+         |qd AS (
+         |  SELECT q.vec_id AS query_id, q.sub, c.cell,
+         |    CAST(floor((list_dot_product(q.sv, q.sv)
+         |                + list_dot_product(c.cv, c.cv)
+         |                - 2 * list_dot_product(q.sv, c.cv)) * 1000000)
+         |         AS BIGINT) AS d2_ppm
+         |  FROM v q JOIN c$NumRounds c ON c.sub = q.sub
+         |  WHERE q.vec_id < $NumQueries),
+         |s AS (
+         |  SELECT qd.query_id, codes.vec_id AS nn_id,
+         |    CAST(sum(qd.d2_ppm) AS BIGINT) AS adc_ppm
+         |  FROM codes JOIN qd
+         |    ON qd.sub = codes.sub AND qd.cell = codes.code
+         |  WHERE codes.vec_id <> qd.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id, adc_ppm
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY adc_ppm, nn_id) AS rank FROM s)
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)
 }
