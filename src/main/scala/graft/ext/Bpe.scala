@@ -40,10 +40,14 @@ import graft.Tables
   * anywhere; even the winner stays a DataFrame).
   *
   * The DuckDB oracle is the [[Graph]]-style UNROLLED form: K generated
-  * rounds of (pairs → top-1 → `replace`) CTEs over a bracket-delimited
-  * symbol-string dictionary — `[a][b][c]` — where `replace('[a][b]',
-  * '[ab]')` is boundary-exact (symbols never contain brackets) and
-  * left-to-right non-overlapping like the fold.
+  * rounds of (pairs → top-1 → `replace`) CTEs over a delimiter-framed
+  * symbol-string dictionary — `⟨a⟩⟨b⟩⟨c⟩` with chr(30)/chr(31)
+  * (RS/US control bytes) as the frames — where `replace('⟨a⟩⟨b⟩',
+  * '⟨ab⟩')` is boundary-exact BECAUSE the frames lie outside the
+  * corpus alphabet: symbols are raw corpus word characters, so a
+  * printable delimiter (brackets, say) could be ambiguous on real
+  * text; control bytes cannot, and the d0 CTE `error()`s loudly on
+  * any word that does carry one rather than silently diverging.
   */
 object Bpe {
 
@@ -148,29 +152,43 @@ object Bpe {
 
   // ---- oracles (generated K-round unrolled CTE chains) ----
 
-  /** d0..dK dictionary CTEs over bracket-delimited symbol strings. */
+  /** Symbol frames for the oracle's delimited strings: RS/US control
+    * bytes, chosen OUTSIDE any plausible corpus alphabet so the
+    * round's `replace` can only ever match at symbol boundaries. */
+  private val FrO = "chr(30)"
+  private val FrC = "chr(31)"
+
+  /** d0..dK dictionary CTEs over delimiter-framed symbol strings.
+    * d0 `error()`s on any corpus word carrying a frame byte — the
+    * no-collision assumption is asserted, not silently relied on. */
   private def dictCtes(k: Int): String = {
     val d0 =
-      """d0 AS MATERIALIZED (
-        |  SELECT word, CAST(count(*) AS BIGINT) AS n,
-        |    '[' || array_to_string(
-        |      list_transform(range(1, len(word) + 1), i -> word[i:i]),
-        |      '][') || ']' AS s
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  WHERE word <> '' GROUP BY word)""".stripMargin
+      s"""d0 AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n,
+         |    $FrO || array_to_string(
+         |      list_transform(range(1, len(word) + 1), i -> word[i:i]),
+         |      $FrC || $FrO) || $FrC AS s
+         |  FROM (SELECT CASE WHEN word LIKE '%' || $FrO || '%'
+         |                      OR word LIKE '%' || $FrC || '%'
+         |               THEN error('bpe oracle: corpus word contains a frame byte (chr 30/31)')
+         |               ELSE word END AS word
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |              FROM documents))
+         |  WHERE word <> '' GROUP BY word)""".stripMargin
     val rounds = (1 to k).map { r =>
       s"""p$r AS (
          |  SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
          |  FROM (SELECT n, l, unnest(range(1, len(l))) AS i
-         |        FROM (SELECT n, string_split(substr(s, 2, len(s) - 2), '][') AS l
+         |        FROM (SELECT n, string_split(substr(s, 2, len(s) - 2),
+         |                                     $FrC || $FrO) AS l
          |              FROM d${r - 1}))
          |  GROUP BY 1, 2),
          |m$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
          |d$r AS MATERIALIZED (
          |  SELECT d.word, d.n,
          |    CASE WHEN m.a IS NULL THEN d.s
-         |         ELSE replace(d.s, '[' || m.a || '][' || m.b || ']',
-         |                           '[' || m.a || m.b || ']') END AS s
+         |         ELSE replace(d.s, $FrO || m.a || $FrC || $FrO || m.b || $FrC,
+         |                           $FrO || m.a || m.b || $FrC) END AS s
          |  FROM d${r - 1} d LEFT JOIN m$r m ON TRUE)""".stripMargin
     }
     (d0 +: rounds).mkString(",\n")
@@ -187,7 +205,8 @@ object Bpe {
     "bpe_tokens" ->
       s"""WITH ${dictCtes(NumMerges)},
          |seg AS (
-         |  SELECT word, string_split(substr(s, 2, len(s) - 2), '][') AS l
+         |  SELECT word, string_split(substr(s, 2, len(s) - 2),
+         |                            $FrC || $FrO) AS l
          |  FROM d$NumMerges),
          |dw AS (
          |  SELECT doc_id, w.word, w.i

@@ -170,17 +170,27 @@ object Corpus {
     * fractional part — seedable, rand()-free, and a given doc always
     * resolves the same way run-to-run. Plan shape: ONE O(languages)
     * aggregate; the per-language weights and the 1-row (N, Σp^α) stats
-    * broadcast back, so the corpus itself never shuffles. Fractional
-    * weights are floats but the gate columns quantize (ppm weight,
-    * integer copies) before hashing. */
+    * broadcast back, so the corpus itself never shuffles.
+    *
+    * Determinism: the Σ n_l^α normalizer is NOT summed as doubles —
+    * Spark's partial-agg order varies run-to-run and a 1-ulp wobble on
+    * a floor boundary would flip the gate columns. Instead each
+    * language's pow term quantizes to ppm LONGs first (the repo's
+    * fixed-point practice, as in KMeans/Pq), so the sum is exact and
+    * order-independent; every later double op (two divides, one
+    * multiply, in pinned order) is IEEE-deterministic given identical
+    * operands. The only residual cross-engine surface is the single
+    * per-language floor(pow·10⁶). */
   def langTemperatureSample(spark: SparkSession, dir: String,
                             alpha: Double = TempAlpha): DataFrame = {
     val counts = Tables.documents(spark, dir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      .withColumn("pa_ppm",
+        floor(pow(col("n_l"), alpha) * lit(1000000d)).cast(LongType))
     val stats = counts.agg(sum(col("n_l")).as("n"),
-                           sum(pow(col("n_l"), alpha)).as("sa"))
-    // q_l·N / n_l, spelled in the oracle's exact operation order
-    val wl = pow(col("n_l"), alpha) / col("sa") * col("n") / col("n_l")
+                           sum(col("pa_ppm")).as("sa_ppm"))
+    // q_l·N / n_l over the ppm terms, in the oracle's exact op order
+    val wl = col("pa_ppm").cast(DoubleType) / col("sa_ppm") * col("n") / col("n_l")
     val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4),
                       16, 10).cast(IntegerType) % 10000
     Tables.documents(spark, dir)
@@ -330,11 +340,14 @@ object Corpus {
       s"""WITH c AS (
          |  SELECT lang, CAST(count(*) AS BIGINT) AS n_l
          |  FROM documents GROUP BY 1),
+         |cq AS (SELECT lang, n_l,
+         |         CAST(floor(pow(n_l, $TempAlpha) * 1000000) AS BIGINT) AS pa_ppm
+         |       FROM c),
          |st AS (SELECT CAST(sum(n_l) AS BIGINT) AS n,
-         |              sum(pow(n_l, $TempAlpha)) AS sa FROM c),
-         |w AS (SELECT c.lang, c.n_l,
-         |        pow(c.n_l, $TempAlpha) / st.sa * st.n / c.n_l AS wl
-         |      FROM c CROSS JOIN st)
+         |              CAST(sum(pa_ppm) AS BIGINT) AS sa_ppm FROM cq),
+         |w AS (SELECT cq.lang, cq.n_l,
+         |        CAST(cq.pa_ppm AS DOUBLE) / st.sa_ppm * st.n / cq.n_l AS wl
+         |      FROM cq CROSS JOIN st)
          |SELECT d.doc_id, d.lang, w.n_l,
          |  CAST(floor(wl * 1000000) AS BIGINT) AS weight_ppm,
          |  CAST(CAST(floor(wl) AS BIGINT) +

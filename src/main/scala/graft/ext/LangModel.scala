@@ -167,12 +167,19 @@ object LangModel {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
              // add-one bigram log-prob: ln((c(w1w2)+1) / (c(w1·)+V));
-             // OOV rows smooth through the coalesced zeros
-             sum(log((coalesce(col("pair_n"), lit(0L)) + lit(1.0)) /
-                     (coalesce(col("n1"), lit(0L)) + col("v"))))
-               .as("ll"))
+             // OOV rows smooth through the coalesced zeros. Each ln
+             // term quantizes to ppm LONGs BEFORE the sum — Spark's
+             // partial-agg order varies run-to-run, and a float sum's
+             // 1-ulp wobble on the later floor boundary would flake
+             // the gate; the long sum is exact and order-independent
+             // (the KMeans/Pq fixed-point discipline). Residual
+             // cross-engine surface: the single per-term floor(ln·10⁶).
+             sum(floor(log((coalesce(col("pair_n"), lit(0L)) + lit(1.0)) /
+                           (coalesce(col("n1"), lit(0L)) + col("v"))) *
+                       lit(1000000L)).cast(LongType))
+               .as("ll_ppm"))
         .select(col("doc_id"), col("n_bigrams"),
-          floor(-col("ll") / col("n_bigrams") * lit(1000000L))
+          floor((-col("ll_ppm")).cast(DoubleType) / col("n_bigrams"))
             .cast(LongType).as("nll_ppm")))
     scored
   }
@@ -251,8 +258,10 @@ object LangModel {
          |      FROM (SELECT w1 AS w FROM pc UNION ALL SELECT w2 FROM pc)),
          |s AS (
          |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |    CAST(floor(-sum(ln((pc.pair_n + 1.0) / (ctx.n1 + v.v)))
-         |               / count(*) * 1000000) AS BIGINT) AS nll_ppm
+         |    CAST(floor(-CAST(sum(CAST(floor(
+         |                 ln((pc.pair_n + 1.0) / (ctx.n1 + v.v)) * 1000000)
+         |               AS BIGINT)) AS DOUBLE)
+         |               / count(*)) AS BIGINT) AS nll_ppm
          |  FROM bg
          |  JOIN pc ON pc.w1 = bg.w1 AND pc.w2 = bg.w2
          |  JOIN ctx ON ctx.w1 = bg.w1

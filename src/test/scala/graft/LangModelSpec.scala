@@ -82,10 +82,13 @@ class LangModelSpec extends AnyFunSuite {
         Seq((10L, "x y x y"), (11L, "p q r s")).toDF("doc_id", "text"),
         model).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       // doc 11's bigrams are all OOV: every term is ln(1/V) with the
-      // model vocab V = {x, y} = 2 — mean NLL exactly ln(2), and the
-      // doc SURVIVES (3 bigrams) instead of dropping from the join
+      // model vocab V = {x, y} = 2 — mean NLL is ln(2) under the
+      // per-term ppm quantization (each ln term floors to ppm LONGs
+      // before the exact sum), and the doc SURVIVES (3 bigrams)
+      // instead of dropping from the join
       assert(out(11L)._1 == 3L)
-      assert(out(11L)._2 == math.floor(math.log(2.0) * 1e6).toLong)
+      val termPpm = math.floor(math.log(0.5) * 1e6).toLong
+      assert(out(11L)._2 == math.floor(-(3L * termPpm).toDouble / 3L).toLong)
       // doc 10 is pure in-model text: strictly better than OOV
       assert(out(10L)._2 < out(11L)._2)
     }
