@@ -42,6 +42,7 @@ object SparkEntry {
     (ext.Card.queries, ext.Card.oracles),
     (ext.KMeans.queries, ext.KMeans.oracles),
     (ext.Pq.queries, ext.Pq.oracles),
+    (ext.IvfPq.queries, ext.IvfPq.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),
     (ext.Dedup.queries, ext.Dedup.oracles),
     (ext.Cluster.queries, ext.Cluster.oracles),

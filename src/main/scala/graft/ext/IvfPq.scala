@@ -1,0 +1,216 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** The composed IVF-PQ index (Jégou et al. 2011, IVFADC §V) — the
+  * production ANN shape the [[KMeans]]/[[Pq]] trainers exist to feed:
+  * a TRAINED coarse quantizer routes every vector to one inverted
+  * list, PQ codes compress it inside that list, and a query probes
+  * only its top-`probeCells` closest lists, ADC-scanning a
+  * `probeCells / K` fraction of the corpus instead of all of it
+  * (`knn_pq`'s honest full-scan caveat, closed).
+  *
+  * This module is the TRAIN-ONCE / PERSIST / PROBE-FOREVER seam the
+  * [[LangModel]] external-model path established for scoring: the
+  * three artifacts — coarse codebook (K rows), PQ codebooks (M·K'
+  * rows), corpus codes (vec_id, ivf_cell, sub, code) — round-trip
+  * through parquet ([[writeIndex]]/[[readIndex]]), and IvfPqSpec pins
+  * that re-encoding under the LOADED codebooks is bit-identical to
+  * the in-training assignment (pure integer/parquet-exact-double
+  * artifacts, no re-train drift).
+  *
+  * 100 TB posture: [[writeIndex]] lays the codes out PARTITIONED BY
+  * `ivf_cell`, so a probe's cell restriction prunes at the FILE level
+  * — the scan never opens unprobed cells' files (IvfPqSpec pins
+  * PartitionFilters on the loaded read). In-plan, the probe set
+  * (queries × probeCells rows) and the per-query distance tables
+  * (M·K' rows/query) both broadcast, so the corpus codes never
+  * shuffle; the only exchange is the O(survivors) ADC aggregate,
+  * collapsed map-side. Every determinism decision is inherited:
+  * argmin min-structs with cell-id tiebreaks, ppm-quantized lookup
+  * tables, exact LONG ADC sums ([[Pq.knnPq]]'s rationale).
+  */
+object IvfPq {
+
+  val NumQueries = 10
+  val TopK       = 3
+  val ProbeCells = 2
+
+  /** The three persisted artifacts of a trained index. `codes` rows
+    * are (vec_id, ivf_cell, sub, code) — the inverted lists, keyed by
+    * the coarse cell they live in. */
+  final case class Index(coarse: DataFrame, codebooks: DataFrame,
+                         codes: DataFrame)
+
+  private def vecsOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+
+  /** Train both quantizers on `in` = (vec_id, v) and encode the same
+    * corpus: ONE coarse Lloyd run + ONE grouped-PQ Lloyd run + one
+    * argmin pass each. (A production run trains on a sample and
+    * [[encode]]s the full corpus — only the training frame changes.) */
+  def trainIndex(in: DataFrame,
+                 kCoarse: Int = KMeans.NumCells,
+                 coarseRounds: Int = KMeans.NumRounds,
+                 m: Int = Pq.NumSubs,
+                 kSub: Int = Pq.NumCells,
+                 pqRounds: Int = Pq.NumRounds): Index = {
+    val vecs = graft.CacheScope.pin(in)
+    val coarse = KMeans.trainedCodebook(vecs, kCoarse, coarseRounds)
+    val subVecs = graft.CacheScope.pin(Pq.subVectors(vecs, m))
+    val (codebooks, lastUpdate) = Pq.loop(subVecs, kSub, pqRounds)
+    Graph.freeCheckpoint(lastUpdate)
+    val codes = Pq.assignCodes(subVecs, codebooks)
+      .join(KMeans.assignCells(vecs, coarse)
+              .withColumnRenamed("cell", "ivf_cell"),
+            "vec_id")
+      .select(col("vec_id"), col("ivf_cell"), col("sub"), col("code"))
+    Index(coarse, codebooks, codes)
+  }
+
+  /** Persist the three artifacts. Codes go down PARTITIONED BY
+    * `ivf_cell` — the inverted-list file layout: a probe restricted
+    * to p cells reads p directories and skips the rest entirely. */
+  def writeIndex(index: Index, dir: String): Unit = {
+    index.coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    index.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    index.codes.write.mode("overwrite").partitionBy("ivf_cell")
+      .parquet(s"$dir/codes")
+  }
+
+  /** Load a persisted index. The partition column comes back
+    * type-inferred (INT directories) — re-cast to the written LONG so
+    * loaded artifacts are schema-identical to trained ones. */
+  def readIndex(spark: SparkSession, dir: String): Index =
+    Index(
+      spark.read.parquet(s"$dir/coarse"),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes")
+        .select(col("vec_id"), col("ivf_cell").cast(LongType).as("ivf_cell"),
+                col("sub"), col("code")))
+
+  /** Encode NEW vectors (vec_id, v) under the trained codebooks — the
+    * incremental-ingest path: no training, two broadcast argmin
+    * passes, output appends straight into the partitioned layout. */
+  def encode(in: DataFrame, coarse: DataFrame,
+             codebooks: DataFrame, m: Int = Pq.NumSubs): DataFrame = {
+    val vecs = graft.CacheScope.pin(in)
+    Pq.assignCodes(Pq.subVectors(vecs, m), codebooks)
+      .join(KMeans.assignCells(vecs, coarse)
+              .withColumnRenamed("cell", "ivf_cell"),
+            "vec_id")
+      .select(col("vec_id"), col("ivf_cell"), col("sub"), col("code"))
+  }
+
+  /** Cell-restricted ADC top-k: rank coarse cells per query, keep the
+    * top `probeCells`, and scan ONLY those cells' codes. `queries` is
+    * (query_id, v); output is (query_id, rank, nn_id, adc_ppm) —
+    * [[Pq.knnPq]]'s exact output contract, so the two are directly
+    * comparable (IvfPqSpec measures both recalls side by side). */
+  def search(queries: DataFrame, index: Index,
+             probeCells: Int = ProbeCells, topK: Int = TopK,
+             m: Int = Pq.NumSubs): DataFrame = {
+    val q = graft.CacheScope.pin(queries)
+    // top-probeCells coarse cells per query — the probe set: O(queries
+    // × probeCells) rows, broadcast. Rank score is the same |c|²−2·q·c
+    // argmin form the assignment uses, so a corpus query's rank-1 cell
+    // IS its own cell (single-probe ⊂ multi-probe by construction).
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("score"), col("cell"))
+    val probes = q.crossJoin(broadcast(index.coarse))
+      .select(col("query_id"), col("cell"),
+        (graft.functions.ArrayDot(col("cv"), col("cv")) -
+         lit(2.0) * graft.functions.ArrayDot(col("v"), col("cv")))
+          .as("score"))
+      .withColumn("crank", row_number().over(pw))
+      .filter(col("crank") <= probeCells)
+      .select(col("query_id"), col("cell").as("ivf_cell"))
+    // per-(query, subspace, codeword) ADC lookup tables, ppm-quantized
+    // at the table so the per-vector sum is exact LONG arithmetic
+    val qd = Pq.subVectors(q.select(col("query_id").as("vec_id"), col("v")), m)
+      .select(col("vec_id").as("query_id"), col("sub"), col("sv"))
+      .join(broadcast(index.codebooks), "sub")
+      .select(col("query_id"), col("sub"), col("cell").as("code"),
+        floor((graft.functions.ArrayDot(col("sv"), col("sv")) +
+               graft.functions.ArrayDot(col("cv"), col("cv")) -
+               lit(2.0) * graft.functions.ArrayDot(col("sv"), col("cv")))
+              * lit(1000000L)).cast(LongType).as("d2_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_ppm"), col("nn_id"))
+    // THE cell restriction: codes ⋈ broadcast probe set on ivf_cell —
+    // only probed cells' rows survive into the ADC join, and on the
+    // partitioned layout the restriction prunes whole files
+    index.codes.join(broadcast(probes), "ivf_cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qd), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("nn_id"))
+      .agg(sum(col("d2_ppm")).as("adc_ppm"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("adc_ppm"))
+  }
+
+  /** Gate query: train both quantizers, encode, probe, ADC — all in
+    * one plan so the DuckDB oracle can replay it exactly. The
+    * persisted-artifact round trip is IvfPqSpec's job (a gate query
+    * can't carry cross-run state); the plan here is IDENTICAL to the
+    * loaded-artifact probe because search() takes the artifacts as
+    * plain frames either way. */
+  def knnIvfPq(spark: SparkSession, dir: String,
+               numQueries: Int = NumQueries, probeCells: Int = ProbeCells,
+               topK: Int = TopK): DataFrame = {
+    val index = trainIndex(vecsOf(spark, dir))
+    graft.Present.sorted(
+      search(
+        vecsOf(spark, dir).filter(col("vec_id") < numQueries)
+          .select(col("vec_id").as("query_id"), col("v")),
+        index, probeCells, topK),
+      col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_ivf_pq" -> ((s, d) => knnIvfPq(s, d)))
+
+  // ---- oracle: BOTH unrolled trainer chains composed in one WITH,
+  //      coarse under the "k" prefix, PQ under "p" — the fragments are
+  //      the trainers' own generators, so the chains can't drift ----
+
+  val oracles: Map[String, String] = Map(
+    "knn_ivf_pq" ->
+      s"""WITH ${KMeans.vCtes(KMeans.NumCells, "k")},
+         |${KMeans.roundCtes(KMeans.NumRounds, "k")},
+         |asg AS (${KMeans.assignSql(KMeans.NumRounds, "k")}),
+         |${Pq.subCtes("p")},
+         |${Pq.roundCtes(Pq.NumRounds, "p")},
+         |codes AS (${Pq.codesSql(Pq.NumRounds, "p")}),
+         |qd AS (${Pq.qdSql(Pq.NumRounds, NumQueries, "p")}),
+         |pr AS (
+         |  SELECT query_id, cell AS ivf_cell FROM (
+         |    SELECT q.vec_id AS query_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_dot_product(c.cv, c.cv)
+         |          - 2 * list_dot_product(q.v, c.cv), c.cell) AS crank
+         |    FROM kv q CROSS JOIN kc${KMeans.NumRounds} c
+         |    WHERE q.vec_id < $NumQueries)
+         |  WHERE crank <= $ProbeCells),
+         |s AS (
+         |  SELECT qd.query_id, codes.vec_id AS nn_id,
+         |    CAST(sum(qd.d2_ppm) AS BIGINT) AS adc_ppm
+         |  FROM codes
+         |  JOIN asg ON asg.vec_id = codes.vec_id
+         |  JOIN pr ON pr.ivf_cell = asg.cell
+         |  JOIN qd ON qd.query_id = pr.query_id AND qd.sub = codes.sub
+         |         AND qd.cell = codes.code
+         |  WHERE codes.vec_id <> qd.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id, adc_ppm
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY adc_ppm, nn_id) AS rank FROM s)
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)
+}

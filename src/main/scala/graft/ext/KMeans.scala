@@ -64,11 +64,12 @@ object KMeans {
       col("cell"), col("dim"))
   }
 
-  /** Final codebook (cell, cv) after `rounds` — for [[ivfAssign]]. The
-    * K-row checkpoint stays live for the caller's plan; its blocks are
-    * reclaimed by the ContextCleaner when the frame drops. */
-  private def trainedCodebook(vecs: DataFrame, k: Int,
-                              rounds: Int): DataFrame = {
+  /** Final codebook (cell, cv) after `rounds` — for [[ivfAssign]] and
+    * [[IvfPq]]'s coarse quantizer. The K-row checkpoint stays live for
+    * the caller's plan; its blocks are reclaimed by the ContextCleaner
+    * when the frame drops. */
+  private[ext] def trainedCodebook(vecs: DataFrame, k: Int,
+                                   rounds: Int): DataFrame = {
     val (codebook, lastUpdate) = loop(vecs, k, rounds)
     Graph.freeCheckpoint(lastUpdate)
     codebook
@@ -124,69 +125,80 @@ object KMeans {
     val vecs = graft.CacheScope.pin(
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v")))
-    val codebook = trainedCodebook(vecs, k, rounds)
     graft.Present.sorted(
-      vecs.crossJoin(broadcast(codebook))
-        .select(col("vec_id"), col("cell"),
-          (graft.functions.ArrayDot(col("cv"), col("cv")) -
-           lit(2.0) * graft.functions.ArrayDot(col("v"), col("cv")))
-            .as("score"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("score"), col("cell"))).as("b"))
-        .select(col("vec_id"), col("b.cell").as("cell")),
-      col("vec_id"))
+      assignCells(vecs, trainedCodebook(vecs, k, rounds)), col("vec_id"))
   }
+
+  /** Argmin cell assignment of (vec_id, v) rows under a (cell, cv)
+    * codebook → (vec_id, cell). The codebook broadcasts (K rows); the
+    * min-struct collapses map-side, so shuffled rows are O(vectors). */
+  private[ext] def assignCells(vecs: DataFrame,
+                               codebook: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("cell"),
+        (graft.functions.ArrayDot(col("cv"), col("cv")) -
+         lit(2.0) * graft.functions.ArrayDot(col("v"), col("cv")))
+          .as("score"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("score"), col("cell"))).as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_train" -> ((s, d) => kmeansTrain(s, d)),
     "ivf_assign"   -> ((s, d) => ivfAssign(s, d)))
 
-  private def roundCtes(r: Int): String = (1 to r).map { i =>
-    s"""a$i AS (
+  /** Oracle CTE prelude: `${p}v` vector frame + `${p}c0` seed codebook.
+    * The name prefix lets [[IvfPq]] compose this chain with [[Pq]]'s in
+    * ONE oracle without CTE-name collisions — one source of truth, the
+    * fragments can't drift. */
+  private[ext] def vCtes(k: Int, p: String = ""): String =
+    s"""${p}v AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${p}c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, v AS cv
+       |       FROM ${p}v WHERE vec_id < $k)""".stripMargin
+
+  private[ext] def roundCtes(r: Int, p: String = ""): String = (1 to r).map { i =>
+    s"""${p}a$i AS (
        |  SELECT vec_id, v, cell FROM (
        |    SELECT x.vec_id, x.v, c.cell,
        |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
        |        list_dot_product(c.cv, c.cv)
        |          - 2 * list_dot_product(x.v, c.cv), c.cell) AS rn
-       |    FROM v x CROSS JOIN c${i - 1} c)
+       |    FROM ${p}v x CROSS JOIN ${p}c${i - 1} c)
        |  WHERE rn = 1),
-       |u$i AS MATERIALIZED (
+       |${p}u$i AS MATERIALIZED (
        |  SELECT cell, i - 1 AS dim,
        |    CAST(sum(floor(v[i] * 1000000)) AS BIGINT) AS qsum,
        |    CAST(count(*) AS BIGINT) AS n
-       |  FROM (SELECT cell, v, unnest(range(1, len(v) + 1)) AS i FROM a$i)
+       |  FROM (SELECT cell, v, unnest(range(1, len(v) + 1)) AS i FROM ${p}a$i)
        |  GROUP BY 1, 2),
-       |c$i AS MATERIALIZED (
+       |${p}c$i AS MATERIALIZED (
        |  SELECT p.cell, coalesce(u.cv, p.cv) AS cv
-       |  FROM c${i - 1} p LEFT JOIN (
+       |  FROM ${p}c${i - 1} p LEFT JOIN (
        |    SELECT cell, array_agg(qsum / 1e6 / n ORDER BY dim) AS cv
-       |    FROM u$i GROUP BY cell) u ON u.cell = p.cell)""".stripMargin
+       |    FROM ${p}u$i GROUP BY cell) u ON u.cell = p.cell)""".stripMargin
   }.mkString(",\n")
+
+  /** Argmin-assignment oracle fragment over the final `${p}c$r`. */
+  private[ext] def assignSql(r: Int, p: String = ""): String =
+    s"""SELECT vec_id, cell FROM (
+       |  SELECT x.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |      list_dot_product(c.cv, c.cv)
+       |        - 2 * list_dot_product(x.v, c.cv), c.cell) AS rn
+       |  FROM ${p}v x CROSS JOIN ${p}c$r c)
+       |WHERE rn = 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "kmeans_train" ->
-      s"""WITH v AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, v AS cv
-         |       FROM v WHERE vec_id < $NumCells),
+      s"""WITH ${vCtes(NumCells)},
          |${roundCtes(NumRounds)}
          |SELECT cell, dim, qsum, n FROM u$NumRounds
          |ORDER BY cell, dim""".stripMargin,
     "ivf_assign" ->
-      s"""WITH v AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, v AS cv
-         |       FROM v WHERE vec_id < $NumCells),
+      s"""WITH ${vCtes(NumCells)},
          |${roundCtes(NumRounds)}
-         |SELECT vec_id, cell FROM (
-         |  SELECT x.vec_id, c.cell,
-         |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
-         |      list_dot_product(c.cv, c.cv)
-         |        - 2 * list_dot_product(x.v, c.cv), c.cell) AS rn
-         |  FROM v x CROSS JOIN c$NumRounds c)
-         |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+         |${assignSql(NumRounds)} ORDER BY vec_id""".stripMargin)
 }

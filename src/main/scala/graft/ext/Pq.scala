@@ -33,7 +33,7 @@ object Pq {
 
   /** (vec_id, sub, sv) — the subvector frame. `dims` must divide into
     * [[NumSubs]] equal slices; the synthetic embeddings are 64-dim. */
-  private def subVectors(in: DataFrame, m: Int): DataFrame = {
+  private[ext] def subVectors(in: DataFrame, m: Int): DataFrame = {
     val d = size(col("v"))
     in.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
@@ -48,8 +48,8 @@ object Pq {
 
   /** The grouped Lloyd loop; returns (codebooks (sub, cell, cv), final
     * update table (sub, cell, dim, qsum, n)). */
-  private def loop(subVecs: DataFrame, k: Int,
-                   rounds: Int): (DataFrame, DataFrame) = {
+  private[ext] def loop(subVecs: DataFrame, k: Int,
+                        rounds: Int): (DataFrame, DataFrame) = {
     var codebook = subVecs.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").cast(LongType).as("cell"),
               col("sv").as("cv"))
@@ -109,6 +109,17 @@ object Pq {
       col("sub"), col("cell"), col("dim"))
   }
 
+  /** Argmin code assignment of (vec_id, sub, sv) rows under a (sub,
+    * cell, cv) codebook → (vec_id, sub, code). The M·K codewords
+    * broadcast; the min-struct collapses map-side. */
+  private[ext] def assignCodes(subVecs: DataFrame,
+                               codebook: DataFrame): DataFrame =
+    subVecs.join(broadcast(codebook), "sub")
+      .select(col("vec_id"), col("sub"), col("cell"), score)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("score"), col("cell"))).as("b"))
+      .select(col("vec_id"), col("sub"), col("b.cell").as("code"))
+
   /** Corpus encoding under the trained codebooks: each vector becomes
     * M codes — the compressed representation an IVF-PQ index stores.
     * One broadcast of the M·K codewords, one argmin pass per (vector,
@@ -122,12 +133,7 @@ object Pq {
       m))
     val (codebook, lastUpdate) = loop(subVecs, k, rounds)
     Graph.freeCheckpoint(lastUpdate)
-    graft.Present.sorted(
-      subVecs.join(broadcast(codebook), "sub")
-        .select(col("vec_id"), col("sub"), col("cell"), score)
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min(struct(col("score"), col("cell"))).as("b"))
-        .select(col("vec_id"), col("sub"), col("b.cell").as("code")),
+    graft.Present.sorted(assignCodes(subVecs, codebook),
       col("vec_id"), col("sub"))
   }
 
@@ -157,20 +163,8 @@ object Pq {
       m))
     val (codebook, lastUpdate) = loop(subVecs, k, rounds)
     Graph.freeCheckpoint(lastUpdate)
-    val codes = subVecs.join(broadcast(codebook), "sub")
-      .select(col("vec_id"), col("sub"), col("cell"), score)
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("score"), col("cell"))).as("b"))
-      .select(col("vec_id"), col("sub"), col("b.cell").as("code"))
-    // per-(query, subspace, codeword) squared distance, ppm-quantized
-    val qd = subVecs.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("sub"), col("sv"))
-      .join(broadcast(codebook), "sub")
-      .select(col("query_id"), col("sub"), col("cell"),
-        floor((graft.functions.ArrayDot(col("sv"), col("sv")) +
-               graft.functions.ArrayDot(col("cv"), col("cv")) -
-               lit(2.0) * graft.functions.ArrayDot(col("sv"), col("cv")))
-              * lit(1000000L)).cast(LongType).as("d2_ppm"))
+    val codes = assignCodes(subVecs, codebook)
+    val qd = queryDistanceTables(subVecs, codebook, numQueries)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_ppm"), col("nn_id"))
@@ -186,15 +180,33 @@ object Pq {
       col("query_id"), col("rank"))
   }
 
+  /** Per-(query, subspace, codeword) squared distance LOOKUP TABLES,
+    * ppm-quantized at the table so the downstream ADC sum is exact
+    * LONG arithmetic — M·K rows per query regardless of corpus size
+    * (always broadcastable). */
+  private[ext] def queryDistanceTables(subVecs: DataFrame,
+                                       codebook: DataFrame,
+                                       numQueries: Int): DataFrame =
+    subVecs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("sv"))
+      .join(broadcast(codebook), "sub")
+      .select(col("query_id"), col("sub"), col("cell"),
+        floor((graft.functions.ArrayDot(col("sv"), col("sv")) +
+               graft.functions.ArrayDot(col("cv"), col("cv")) -
+               lit(2.0) * graft.functions.ArrayDot(col("sv"), col("cv")))
+              * lit(1000000L)).cast(LongType).as("d2_ppm"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq_train"  -> ((s, d) => pqTrain(s, d)),
     "pq_assign" -> ((s, d) => pqAssign(s, d)),
     "knn_pq"    -> ((s, d) => knnPq(s, d)))
 
   // ---- oracles: the KMeans unrolled chain with `sub` in every key ----
+  // The name prefix lets [[IvfPq]] compose this chain with [[KMeans]]'s
+  // in ONE oracle without CTE-name collisions.
 
-  private def subCtes: String =
-    s"""v AS MATERIALIZED (
+  private[ext] def subCtes(p: String = ""): String =
+    s"""${p}v AS MATERIALIZED (
        |  SELECT vec_id, sub,
        |    v[sub * (len(v) / $NumSubs) + 1 :
        |      (sub + 1) * (len(v) / $NumSubs)] AS sv
@@ -202,68 +214,68 @@ object Pq {
        |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
        |          unnest(range(0, $NumSubs)) AS sub
        |        FROM embeddings)),
-       |c0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cell, sv AS cv
-       |       FROM v WHERE vec_id < $NumCells)""".stripMargin
+       |${p}c0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cell, sv AS cv
+       |       FROM ${p}v WHERE vec_id < $NumCells)""".stripMargin
 
-  private def roundCtes(r: Int): String = (1 to r).map { i =>
-    s"""a$i AS (
+  private[ext] def roundCtes(r: Int, p: String = ""): String = (1 to r).map { i =>
+    s"""${p}a$i AS (
        |  SELECT vec_id, sub, sv, cell FROM (
        |    SELECT x.vec_id, x.sub, x.sv, c.cell,
        |      row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
        |        list_dot_product(c.cv, c.cv)
        |          - 2 * list_dot_product(x.sv, c.cv), c.cell) AS rn
-       |    FROM v x JOIN c${i - 1} c ON c.sub = x.sub)
+       |    FROM ${p}v x JOIN ${p}c${i - 1} c ON c.sub = x.sub)
        |  WHERE rn = 1),
-       |u$i AS MATERIALIZED (
+       |${p}u$i AS MATERIALIZED (
        |  SELECT sub, cell, i - 1 AS dim,
        |    CAST(sum(floor(sv[i] * 1000000)) AS BIGINT) AS qsum,
        |    CAST(count(*) AS BIGINT) AS n
        |  FROM (SELECT sub, cell, sv, unnest(range(1, len(sv) + 1)) AS i
-       |        FROM a$i)
+       |        FROM ${p}a$i)
        |  GROUP BY 1, 2, 3),
-       |c$i AS MATERIALIZED (
+       |${p}c$i AS MATERIALIZED (
        |  SELECT p.sub, p.cell, coalesce(u.cv, p.cv) AS cv
-       |  FROM c${i - 1} p LEFT JOIN (
+       |  FROM ${p}c${i - 1} p LEFT JOIN (
        |    SELECT sub, cell, array_agg(qsum / 1e6 / n ORDER BY dim) AS cv
-       |    FROM u$i GROUP BY 1, 2) u
+       |    FROM ${p}u$i GROUP BY 1, 2) u
        |    ON u.sub = p.sub AND u.cell = p.cell)""".stripMargin
   }.mkString(",\n")
 
+  /** Code-assignment oracle fragment over the final `${p}c$r`. */
+  private[ext] def codesSql(r: Int, p: String = ""): String =
+    s"""SELECT vec_id, sub, cell AS code FROM (
+       |  SELECT x.vec_id, x.sub, c.cell,
+       |    row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+       |      list_dot_product(c.cv, c.cv)
+       |        - 2 * list_dot_product(x.sv, c.cv), c.cell) AS rn
+       |  FROM ${p}v x JOIN ${p}c$r c ON c.sub = x.sub)
+       |WHERE rn = 1""".stripMargin
+
+  /** Query-distance-table oracle fragment over the final `${p}c$r`. */
+  private[ext] def qdSql(r: Int, numQueries: Int, p: String = ""): String =
+    s"""SELECT q.vec_id AS query_id, q.sub, c.cell,
+       |    CAST(floor((list_dot_product(q.sv, q.sv)
+       |                + list_dot_product(c.cv, c.cv)
+       |                - 2 * list_dot_product(q.sv, c.cv)) * 1000000)
+       |         AS BIGINT) AS d2_ppm
+       |  FROM ${p}v q JOIN ${p}c$r c ON c.sub = q.sub
+       |  WHERE q.vec_id < $numQueries""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "pq_train" ->
-      s"""WITH $subCtes,
+      s"""WITH ${subCtes()},
          |${roundCtes(NumRounds)}
          |SELECT sub, cell, dim, qsum, n FROM u$NumRounds
          |ORDER BY sub, cell, dim""".stripMargin,
     "pq_assign" ->
-      s"""WITH $subCtes,
+      s"""WITH ${subCtes()},
          |${roundCtes(NumRounds)}
-         |SELECT vec_id, sub, cell AS code FROM (
-         |  SELECT x.vec_id, x.sub, c.cell,
-         |    row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
-         |      list_dot_product(c.cv, c.cv)
-         |        - 2 * list_dot_product(x.sv, c.cv), c.cell) AS rn
-         |  FROM v x JOIN c$NumRounds c ON c.sub = x.sub)
-         |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+         |${codesSql(NumRounds)} ORDER BY vec_id, sub""".stripMargin,
     "knn_pq" ->
-      s"""WITH $subCtes,
+      s"""WITH ${subCtes()},
          |${roundCtes(NumRounds)},
-         |codes AS (
-         |  SELECT vec_id, sub, cell AS code FROM (
-         |    SELECT x.vec_id, x.sub, c.cell,
-         |      row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
-         |        list_dot_product(c.cv, c.cv)
-         |          - 2 * list_dot_product(x.sv, c.cv), c.cell) AS rn
-         |    FROM v x JOIN c$NumRounds c ON c.sub = x.sub)
-         |  WHERE rn = 1),
-         |qd AS (
-         |  SELECT q.vec_id AS query_id, q.sub, c.cell,
-         |    CAST(floor((list_dot_product(q.sv, q.sv)
-         |                + list_dot_product(c.cv, c.cv)
-         |                - 2 * list_dot_product(q.sv, c.cv)) * 1000000)
-         |         AS BIGINT) AS d2_ppm
-         |  FROM v q JOIN c$NumRounds c ON c.sub = q.sub
-         |  WHERE q.vec_id < $NumQueries),
+         |codes AS (${codesSql(NumRounds)}),
+         |qd AS (${qdSql(NumRounds, NumQueries)}),
          |s AS (
          |  SELECT qd.query_id, codes.vec_id AS nn_id,
          |    CAST(sum(qd.d2_ppm) AS BIGINT) AS adc_ppm
