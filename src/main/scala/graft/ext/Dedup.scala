@@ -603,6 +603,20 @@ object Dedup {
       when(col(s"c$j") * 2 > col("n"),
         lit(if (j == 63) Long.MinValue else 1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+    graft.Present.sorted(
+      bandedHammingPairs(all.select(col("doc_id"), sig.as("sig")), hammingMax),
+      col("doc_a"), col("doc_b"))
+  }
+
+  /** The production 64-bit banded Hamming pairing, factored for reuse
+    * ([[dedupSimhashPairs]] and [[Multimodal.mmDedup]] share it
+    * verbatim): explode each (doc_id, sig BIGINT) into 4 × 16-bit band
+    * keys, self-equi-join within (band, key) buckets with the
+    * signature CARRIED on the band rows, verify per-row with
+    * `bit_count(sig_a ^ sig_b) <= hammingMax`, distinct. Returns
+    * (doc_a, doc_b, hamming), unsorted. */
+  private[ext] def bandedHammingPairs(sigFrame: DataFrame,
+                                      hammingMax: Int): DataFrame = {
     // sigs feeds BOTH sides of the band self-join — pin like the LSH
     // bands (released via CacheScope.scoped/release). The count is one
     // cheap action over the cached frame that fills the cache BEFORE the
@@ -612,8 +626,7 @@ object Dedup {
     // (measured: 3.5 s vs 1.8 s at sf0.1 — the signature pipeline ran
     // twice), and with the pin but no count a broadcast build thread
     // and the probe scan race the unfilled cache to the same effect.
-    val sigs = graft.CacheScope.pin(
-      all.select(col("doc_id"), sig.as("sig")))
+    val sigs = graft.CacheScope.pin(sigFrame)
     sigs.count()
     // The signature RIDES the band rows (8 extra bytes each) through the
     // self-join, so the Hamming verify is a per-row expression on the
@@ -638,14 +651,13 @@ object Dedup {
     val right = bands.select(col("doc_id").as("doc_b"),
       col("sig").as("sig_b"), col("band_id").as("band_id_r"),
       col("bkey").as("bkey_r"))
-    val verified = left.join(right,
+    left.join(right,
         col("band_id") === col("band_id_r") && col("bkey") === col("bkey_r") &&
         col("doc_a") < col("doc_b"))
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(IntegerType))
       .filter(col("hamming") <= hammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
-    graft.Present.sorted(verified, col("doc_a"), col("doc_b"))
   }
 
   /** Sorted-neighborhood block width for [[dedupEmbedding]]: each vector
@@ -762,6 +774,24 @@ object Dedup {
        |  THEN $w ELSE 0 END""".stripMargin
   }.mkString(" + ")
 
+  /** Oracle spelling of [[bandedHammingPairs]] over a preceding CTE
+    * `s(doc_id, sig)` — shared verbatim by the simhash and
+    * [[Multimodal.mmDedup]] pairings so the join semantics can't
+    * drift between them. */
+  private[ext] def bandPairSql(hammingMax: Int): String =
+    s"""b AS (
+       |  SELECT doc_id, band_id, (sig >> (16 * band_id)) & 65535 AS bkey
+       |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM b a JOIN b c ON a.band_id = c.band_id AND a.bkey = c.bkey
+       |                    AND a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+       |FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b
+       |WHERE bit_count(xor(x.sig, y.sig)) <= $hammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
@@ -869,18 +899,7 @@ object Dedup {
          |  FROM corpus),
          |s AS (
          |  SELECT doc_id, CAST($simhash64TermsSql AS BIGINT) AS sig FROM h),
-         |b AS (
-         |  SELECT doc_id, band_id, (sig >> (16 * band_id)) & 65535 AS bkey
-         |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) bands),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-         |  FROM b a JOIN b c ON a.band_id = c.band_id AND a.bkey = c.bkey
-         |                    AND a.doc_id < c.doc_id)
-         |SELECT doc_a, doc_b,
-         |  CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
-         |FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b
-         |WHERE bit_count(xor(x.sig, y.sig)) <= $SimPairHammingMax
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |${bandPairSql(SimPairHammingMax)}""".stripMargin,
     "dedup_embedding" ->
       s"""WITH v0 AS (
          |  SELECT vec_id, label,

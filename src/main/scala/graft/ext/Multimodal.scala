@@ -96,6 +96,76 @@ object Multimodal {
                    col("frame_idx").cast(StringType))).as("frame_sig"))
       .presentSorted(col("doc_id"), col("frame_idx"))
 
+  /** Hamming radius for [[mmDedup]]'s verify: a planted twin differs
+    * in ≤ 3 of 64 dHash bits (two perturbed tiles touch at most three
+    * adjacent-pixel comparisons), while independent payloads sit at
+    * Hamming ≈ 32 (sd ≈ 4) — 4 separates the populations by ≫ 5σ. */
+  private val MmHammingMax = 4
+
+  /** Grid geometry for the dHash: 8 rows × 9 columns of tiles, 8
+    * row-adjacent comparisons per row → 64 signature bits. */
+  private val GridRows = 8
+  private val GridCols = 9
+
+  /** Perceptual-hash IMAGE near-dup pairing — the dedup rung for the
+    * multimodal payloads: text has MinHash/SimHash/ExactSubstr,
+    * embeddings have cosine/SemDeDup; re-encoded or lightly-edited
+    * images need a signature of the DECODED PICTURE, not the container
+    * bytes (same picture, different bytes ⇒ equal exact digests never
+    * match). The standard answer is dHash (difference hash, Krawetz
+    * 2013): downscale to an (rows × cols) grayscale grid, emit one bit
+    * per row-adjacent pixel pair (right > left), pair signatures by
+    * Hamming distance.
+    *
+    * The GRID IS THE DECODE-STUB SEAM (this container has no codecs —
+    * the module-level contract): tile luma is a deterministic
+    * projection of the payload digest, exactly [[fakeLuma]] extended
+    * to 72 tiles, and each doc plants a NEAR-DUP TWIN (−doc_id − 1,
+    * [[Dedup.dedupSimhashPairs]]'s collision-free mirror) whose grid
+    * differs in two tiles — the grid-level image of a local edit or
+    * re-encode, which the real decoder would produce from a truly
+    * edited image. Swapping in a real decoder changes only the luma
+    * source; the signature build, the planted-pair contract, and the
+    * pairing join are production-shaped.
+    *
+    * Plan shape: ONE wide per-row projection (72 shared luma
+    * subexpressions → two 64-term signatures, whole-stage codegen, no
+    * shuffle, no aggregate — cf. the simhash build, which needs a
+    * 65-sum aggregate because its per-TOKEN evidence must reduce), a
+    * 2-struct explode for base+twin, then the SHARED
+    * [[Dedup.bandedHammingPairs]] — one banded self-equi-join, never
+    * all-pairs, `bit_count` verify per-row on the join output. */
+  def mmDedup(spark: SparkSession, dir: String,
+              hammingMax: Int = MmHammingMax): DataFrame = {
+    val nTiles = GridRows * GridCols
+    // one digest per payload; each tile hashes (digest : tile_index)
+    val base = media(spark, dir)
+      .select(col("doc_id"), md5(col("payload")).as("dg"))
+    def rawLuma(i: Int): Column =
+      conv(substring(md5(concat(col("dg"), lit(":" + i))), 1, 2), 16, 10)
+        .cast(LongType)
+    val grid = base.select(
+      col("doc_id") +: (0 until nTiles).map(i => rawLuma(i).as(s"l$i")): _*)
+    def lumaB(i: Int): Column = col(s"l$i")
+    // the twin's "local edit": tiles 0 and 40 brightened by 16 (mod
+    // 256 wrap keeps the value a valid luma in both engines)
+    def lumaT(i: Int): Column =
+      if (i == 0 || i == 40) (lumaB(i) + 16) % 256 else lumaB(i)
+    def sigOf(luma: Int => Column): Column =
+      (0 until 64).map { j =>
+        val tile = (j / 8) * GridCols + j % 8
+        when(luma(tile + 1) > luma(tile),
+          lit(if (j == 63) Long.MinValue else 1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val sigs = grid.select(explode(array(
+        struct(col("doc_id").as("doc_id"), sigOf(lumaB).as("sig")),
+        struct((-col("doc_id") - 1).as("doc_id"), sigOf(lumaT).as("sig"))))
+      .as("r"))
+      .select(col("r.*"))
+    graft.Present.sorted(Dedup.bandedHammingPairs(sigs, hammingMax),
+      col("doc_a"), col("doc_b"))
+  }
+
   /** One media row as the partition-decode path sees it. */
   case class MediaRow(doc_id: Long, payload: Array[Byte], format: String,
                       width: Long, height: Long, n_frames: Long)
@@ -145,7 +215,8 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures _,
     "mm_resize"   -> mmResize _,
-    "mm_frames"   -> mmFrames _)
+    "mm_frames"   -> mmFrames _,
+    "mm_dedup"    -> ((s, d) => mmDedup(s, d)))
 
   private val mediaSql =
     """(SELECT doc_id, encode(text) AS payload,
@@ -156,7 +227,37 @@ object Multimodal {
       |  text
       |FROM documents) m""".stripMargin
 
+  /** dHash bit terms over a 1-based DuckDB list `l` of tile lumas;
+    * `tl` renders the lookup for a 0-based tile index (the twin wraps
+    * two tiles). Bit 63's weight spelled `(-MAX - 1)` so the literal
+    * parses as BIGINT. */
+  private def dhashTermsSql(tl: Int => String): String = (0 until 64).map { j =>
+    val tile = (j / 8) * GridCols + j % 8
+    val w = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+    s"CASE WHEN ${tl(tile + 1)} > ${tl(tile)} THEN $w ELSE 0 END"
+  }.mkString("\n    + ")
+
+  private def baseTile(i: Int): String = s"l[${i + 1}]"
+  private def twinTile(i: Int): String =
+    if (i == 0 || i == 40) s"((l[${i + 1}] + 16) % 256)" else baseTile(i)
+
   val oracles: Map[String, String] = Map(
+    "mm_dedup" ->
+      s"""WITH m AS (SELECT doc_id, md5(text) AS dg FROM documents),
+         |g AS (
+         |  SELECT doc_id, i,
+         |    ('0x' || substr(md5(dg || ':' || i), 1, 2))::BIGINT AS luma
+         |  FROM (SELECT doc_id, dg,
+         |          unnest(range(0, ${GridRows * GridCols})) AS i FROM m)),
+         |l AS (SELECT doc_id, array_agg(luma ORDER BY i) AS l
+         |      FROM g GROUP BY 1),
+         |s AS (
+         |  SELECT doc_id, CAST(${dhashTermsSql(baseTile)} AS BIGINT) AS sig
+         |  FROM l
+         |  UNION ALL
+         |  SELECT -doc_id - 1, CAST(${dhashTermsSql(twinTile)} AS BIGINT) AS sig
+         |  FROM l),
+         |${Dedup.bandPairSql(MmHammingMax)}""".stripMargin,
     "mm_features" ->
       s"""SELECT doc_id, format, width, height,
          |  CAST(octet_length(payload) AS BIGINT) AS byte_len,
