@@ -284,8 +284,10 @@ object Dedup {
 
   /** Every 5th doc_id is the "new batch" for [[dedupIncremental]]; the
     * other 80% play the standing history snapshot. A modulo split keeps
-    * the fixture SF-independent and the oracle a one-term predicate. */
-  private val IncrMod = 5
+    * the fixture SF-independent and the oracle a one-term predicate.
+    * Shared with [[Funnel.incrementalFunnel]], which reports the full
+    * per-increment survivor accounting over the same split. */
+  private[ext] val IncrMod = 5
 
   /** Incremental NEAR-DUP dedup of a new crawl batch against a standing
     * history snapshot — the per-increment form of [[dedupMinhashLsh]].
@@ -316,7 +318,14 @@ object Dedup {
     * verified-duplicate count against history, the earliest matching
     * history doc (null when novel), and the keep decision. */
   def dedupIncremental(spark: SparkSession, dir: String,
-                       jaccardMin: Double = 0.5): DataFrame = {
+                       jaccardMin: Double = 0.5): DataFrame =
+    graft.Present.sorted(incrementalManifest(spark, dir, jaccardMin),
+      col("doc_id"))
+
+  /** [[dedupIncremental]]'s manifest without the gate sort — the
+    * composable form [[Funnel.incrementalFunnel]] joins on. */
+  private[ext] def incrementalManifest(spark: SparkSession, dir: String,
+                                       jaccardMin: Double = 0.5): DataFrame = {
     val isNew = col("doc_id") % IncrMod === 0
     val sh = graft.CacheScope.pin(shingleSets(spark, dir))
     val bands = graft.CacheScope.pin(bandsOf(signaturesFrom(sh)))
@@ -345,14 +354,12 @@ object Dedup {
       .filter(graft.functions.JaccardSim(col("xss"), col("yss")) >= jaccardMin)
       .groupBy(col("doc_n"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_h")).as("dup_of"))
-    graft.Present.sorted(
-      Tables.documents(spark, dir).filter(isNew).select(col("doc_id"))
-        .join(broadcast(verified), col("doc_id") === col("doc_n"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-          col("dup_of"),
-          col("doc_n").isNull.as("kept")),
-      col("doc_id"))
+    Tables.documents(spark, dir).filter(isNew).select(col("doc_id"))
+      .join(broadcast(verified), col("doc_id") === col("doc_n"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("dup_of"),
+        col("doc_n").isNull.as("kept"))
   }
 
   /** Verified near-dup pairs lifted to SOURCE pairs — the syndication-
@@ -774,6 +781,31 @@ object Dedup {
        |  THEN $w ELSE 0 END""".stripMargin
   }.mkString(" + ")
 
+  /** Oracle CTEs of [[incrementalManifest]]'s cross-split verify —
+    * `sh`/`bands`/`cand`/`ver` — shared by the `dedup_incremental`
+    * gate and [[Funnel]]'s incremental-funnel oracle so the increment
+    * semantics can't drift between them. */
+  private[ext] def incrVerCtes: String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(string_split(text, ' ')) >= 3
+       |         THEN $shingleSql ELSE [] END AS ss
+       |  FROM documents),
+       |bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS doc_n, h.doc_id AS doc_h
+       |  FROM bands n JOIN bands h
+       |    ON n.band_id = h.band_id AND n.bkey = h.bkey
+       |   AND n.doc_id % $IncrMod = 0 AND h.doc_id % $IncrMod <> 0),
+       |ver AS (
+       |  SELECT doc_n, CAST(count(*) AS BIGINT) AS n_dups,
+       |         min(doc_h) AS dup_of
+       |  FROM cand JOIN sh x ON x.doc_id = doc_n
+       |            JOIN sh y ON y.doc_id = doc_h
+       |  WHERE CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)
+       |      / len(list_distinct(x.ss || y.ss)) >= 0.5
+       |  GROUP BY doc_n)""".stripMargin
+
   /** Oracle spelling of [[bandedHammingPairs]] over a preceding CTE
     * `s(doc_id, sig)` — shared verbatim by the simhash and
     * [[Multimodal.mmDedup]] pairings so the join semantics can't
@@ -831,25 +863,7 @@ object Dedup {
     // band join) — so the oracle is the funnel's EXACT semantics:
     // band-join new×history, Jaccard-verify, left-join the manifest
     "dedup_incremental" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(string_split(text, ' ')) >= 3
-         |         THEN $shingleSql ELSE [] END AS ss
-         |  FROM documents),
-         |bands AS ($bandsSql),
-         |cand AS (
-         |  SELECT DISTINCT n.doc_id AS doc_n, h.doc_id AS doc_h
-         |  FROM bands n JOIN bands h
-         |    ON n.band_id = h.band_id AND n.bkey = h.bkey
-         |   AND n.doc_id % $IncrMod = 0 AND h.doc_id % $IncrMod <> 0),
-         |ver AS (
-         |  SELECT doc_n, CAST(count(*) AS BIGINT) AS n_dups,
-         |         min(doc_h) AS dup_of
-         |  FROM cand JOIN sh x ON x.doc_id = doc_n
-         |            JOIN sh y ON y.doc_id = doc_h
-         |  WHERE CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)
-         |      / len(list_distinct(x.ss || y.ss)) >= 0.5
-         |  GROUP BY doc_n)
+      s"""WITH $incrVerCtes
          |SELECT d.doc_id, coalesce(v.n_dups, 0) AS n_dups, v.dup_of,
          |  v.doc_n IS NULL AS kept
          |FROM documents d LEFT JOIN ver v ON v.doc_n = d.doc_id

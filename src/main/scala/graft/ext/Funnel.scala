@@ -110,8 +110,168 @@ object Funnel {
       .presentSorted(col("stage"))
   }
 
+  /** Per-INCREMENT funnel — [[corpusFunnel]]'s operational sibling: a
+    * new crawl batch (the [[Dedup.IncrMod]] split [[Dedup
+    * .dedupIncremental]] defines) runs the same 7-stage survivor
+    * accounting, but every history-dependent stage consults a FROZEN
+    * history artifact instead of re-processing the corpus:
+    *
+    *  - exact dedup = batch-internal digest keeper AND digest absent
+    *    from the history digest set. The history side is probed BY the
+    *    batch's broadcast digest list (O(batch) rows out, broadcast
+    *    back), so history text/digests never shuffle — at production
+    *    scale the digest set is a persisted bucketed artifact and this
+    *    probe is the [[Dedup.dedupIncremental]] bloom+join funnel.
+    *  - near dedup = X84's `kept` manifest verbatim
+    *    ([[Dedup.incrementalManifest]] — bloom-prefiltered band join,
+    *    history bands probed by the tiny batch build side).
+    *  - perplexity = the batch scored under the HISTORY-trained bigram
+    *    model ([[LangModel.bucketsWith]] — the frozen-model artifact
+    *    path; a production run loads the persisted model, LangModelSpec
+    *    round-trips it), per-increment tertile bounds.
+    *  - quality / decontam / classifier are per-doc (Gopher rules, the
+    *    eval-set n-gram probe, the scoring seam) — history-free.
+    *
+    * The gate query builds the artifacts inline because a gate query is
+    * self-contained; in the plan the history text feeds ONLY the
+    * artifact builds (digest aggregate, band/shingle build, model
+    * counts) — the per-batch stage joins are all batch-keyed, and
+    * IncrementalFunnelSpec pins the funnel plan (bloom probe present,
+    * history digest restriction broadcast, no cartesian). */
+  def incrementalFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % Dedup.IncrMod === 0
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast(LongType).as("wc"),
+        md5(col("text")).as("digest"))
+    val batch = docs.filter(isNew)
+    val hist = docs.filter(!isNew)
+    // batch-internal exact keeper (same min-aggregate rule as X85)
+    val exKeep = batch.groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keeper"))
+    // frozen digest artifact, probed by the broadcast batch digest set:
+    // hits are O(batch ∩ history) ≤ O(batch) — broadcastable back, and
+    // the history side never shuffles
+    val dupDigests = hist.select(col("digest"))
+      .join(broadcast(batch.select(col("digest")).distinct()), "digest")
+      .distinct()
+      .withColumn("in_hist", lit(1))
+    val man = Dedup.incrementalManifest(spark, dir)
+      .select(col("doc_id"), col("kept"))
+    val gopher = Text.gopherFlags(batch.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("pass"))
+    val cont = Decontam.contaminationFrame(spark, dir)
+      .select(col("doc_id"), col("contaminated"))
+    val model = LangModel.trainBigramModel(
+      hist.select(col("doc_id"), col("text")))
+    val ppl = LangModel.bucketsWith(
+        batch.select(col("doc_id"), col("text")), model)
+      .select(col("doc_id"), col("bucket"))
+    val cls = Scoring.scored(batch.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("band"))
+    val s2 = col("doc_id") === col("keeper") && col("in_hist").isNull
+    val s3 = s2 && col("kept")
+    val s4 = s3 && col("pass") === 1
+    val s5 = s4 && coalesce(col("contaminated"), lit(0)) === 0
+    val s6 = s5 && col("bucket").isNotNull && col("bucket") =!= "tail"
+    val s7 = s6 && col("band") =!= "drop"
+    def d(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    def t(c: org.apache.spark.sql.Column) = sum(when(c, col("wc")).otherwise(0L))
+    batch
+      .join(exKeep, "digest")
+      .join(broadcast(dupDigests), Seq("digest"), "left")
+      .join(man, "doc_id")
+      .join(gopher, "doc_id")
+      .join(cont, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .join(cls, "doc_id")
+      .agg(count(lit(1)).as("d1"), sum(col("wc")).as("t1"),
+           d(s2).as("d2"), t(s2).as("t2"),
+           d(s3).as("d3"), t(s3).as("t3"),
+           d(s4).as("d4"), t(s4).as("t4"),
+           d(s5).as("d5"), t(s5).as("t5"),
+           d(s6).as("d6"), t(s6).as("t6"),
+           d(s7).as("d7"), t(s7).as("t7"))
+      .select(expr(
+        """stack(7,
+          |  CAST(1 AS BIGINT), 'ingest',      d1, t1,
+          |  CAST(2 AS BIGINT), 'exact_dedup', d2, t2,
+          |  CAST(3 AS BIGINT), 'near_dedup',  d3, t3,
+          |  CAST(4 AS BIGINT), 'quality',     d4, t4,
+          |  CAST(5 AS BIGINT), 'decontam',    d5, t5,
+          |  CAST(6 AS BIGINT), 'perplexity',  d6, t6,
+          |  CAST(7 AS BIGINT), 'classifier',  d7, t7
+          |) AS (stage, stage_name, n_docs, n_tokens)""".stripMargin))
+      .presentSorted(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_funnel" -> corpusFunnel _)
+    "corpus_funnel" -> corpusFunnel _,
+    "incremental_funnel" -> incrementalFunnel _)
+
+  /** Eval-contamination CTEs (`dsh`/`dcont`) — [[Decontam]]'s n-gram
+    * probe, shared by both funnel oracles. */
+  private val decontamCtes: String =
+    s"""dsh AS (
+       |  SELECT doc_id,
+       |    unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+       |                THEN ${Dedup.shingleSql} ELSE [] END) AS shingle
+       |  FROM documents),
+       |dcont AS (
+       |  SELECT c.doc_id
+       |  FROM (SELECT doc_id, shingle FROM dsh
+       |        WHERE doc_id % ${Decontam.BenchMod} <> ${Decontam.BenchRem}) c
+       |  JOIN (SELECT doc_id AS bench_id, shingle FROM dsh
+       |        WHERE doc_id % ${Decontam.BenchMod} = ${Decontam.BenchRem}) b
+       |    ON c.shingle = b.shingle
+       |  GROUP BY c.doc_id
+       |  HAVING count(DISTINCT c.shingle) >= ${Decontam.Threshold})""".stripMargin
+
+  /** Classifier-score CTE (`cb`) — [[Scoring.scored]]'s hash score,
+    * shared by both funnel oracles. */
+  private val classifierCte: String =
+    """cb AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000
+      |         AS DOUBLE) / 1e6 AS score
+      |  FROM documents)""".stripMargin
+
+  /** Perplexity-bucket CTE (`pb` over `s` + `lb`) — shared spelling. */
+  private val bucketCte: String =
+    s"""lb AS (${LangModel.BoundsSql}),
+       |pb AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN s.nll_ppm <= lb.q1 THEN 'head'
+       |         WHEN s.nll_ppm <= lb.q2 THEN 'middle'
+       |         ELSE 'tail' END AS bucket
+       |  FROM s CROSS JOIN lb)""".stripMargin
+
+  /** The stacked 7-row stage report over a flags CTE `f(doc_id, wc,
+    * s2..s7)` — shared tail of both funnel oracles. */
+  private val stageReportSql: String =
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'ingest' AS stage_name,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(wc) AS BIGINT) AS n_tokens FROM f
+      |  UNION ALL SELECT 2, 'exact_dedup',
+      |    CAST(count(*) FILTER (WHERE s2) AS BIGINT),
+      |    CAST(coalesce(sum(wc) FILTER (WHERE s2), 0) AS BIGINT) FROM f
+      |  UNION ALL SELECT 3, 'near_dedup',
+      |    CAST(count(*) FILTER (WHERE s3) AS BIGINT),
+      |    CAST(coalesce(sum(wc) FILTER (WHERE s3), 0) AS BIGINT) FROM f
+      |  UNION ALL SELECT 4, 'quality',
+      |    CAST(count(*) FILTER (WHERE s4) AS BIGINT),
+      |    CAST(coalesce(sum(wc) FILTER (WHERE s4), 0) AS BIGINT) FROM f
+      |  UNION ALL SELECT 5, 'decontam',
+      |    CAST(count(*) FILTER (WHERE s5) AS BIGINT),
+      |    CAST(coalesce(sum(wc) FILTER (WHERE s5), 0) AS BIGINT) FROM f
+      |  UNION ALL SELECT 6, 'perplexity',
+      |    CAST(count(*) FILTER (WHERE s6) AS BIGINT),
+      |    CAST(coalesce(sum(wc) FILTER (WHERE s6), 0) AS BIGINT) FROM f
+      |  UNION ALL SELECT 7, 'classifier',
+      |    CAST(count(*) FILTER (WHERE s7) AS BIGINT),
+      |    CAST(coalesce(sum(wc) FILTER (WHERE s7), 0) AS BIGINT) FROM f)
+      |ORDER BY stage""".stripMargin
 
   /** Oracle: the same five cumulative stage sets, built from the shared
     * fragments — [[Cluster.ClosureCtes]] for the near-dup assignment,
@@ -127,33 +287,10 @@ object Funnel {
          |  FROM documents),
          |ex AS (SELECT digest, min(doc_id) AS keeper FROM dd GROUP BY 1),
          |g AS (${Text.gopherPassSql}),
-         |dsh AS (
-         |  SELECT doc_id,
-         |    unnest(CASE WHEN len(string_split(text, ' ')) >= 3
-         |                THEN ${Dedup.shingleSql} ELSE [] END) AS shingle
-         |  FROM documents),
-         |dcont AS (
-         |  SELECT c.doc_id
-         |  FROM (SELECT doc_id, shingle FROM dsh
-         |        WHERE doc_id % ${Decontam.BenchMod} <> ${Decontam.BenchRem}) c
-         |  JOIN (SELECT doc_id AS bench_id, shingle FROM dsh
-         |        WHERE doc_id % ${Decontam.BenchMod} = ${Decontam.BenchRem}) b
-         |    ON c.shingle = b.shingle
-         |  GROUP BY c.doc_id
-         |  HAVING count(DISTINCT c.shingle) >= ${Decontam.Threshold}),
+         |$decontamCtes,
          |${LangModel.ScoredCtesBody},
-         |lb AS (${LangModel.BoundsSql}),
-         |pb AS (
-         |  SELECT s.doc_id,
-         |    CASE WHEN s.nll_ppm <= lb.q1 THEN 'head'
-         |         WHEN s.nll_ppm <= lb.q2 THEN 'middle'
-         |         ELSE 'tail' END AS bucket
-         |  FROM s CROSS JOIN lb),
-         |cb AS (
-         |  SELECT doc_id,
-         |    CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000
-         |         AS DOUBLE) / 1e6 AS score
-         |  FROM documents),
+         |$bucketCte,
+         |$classifierCte,
          |f AS (
          |  SELECT dd.doc_id, dd.wc,
          |    dd.doc_id = ex.keeper AS s2,
@@ -176,27 +313,50 @@ object Funnel {
          |          JOIN g USING (doc_id)
          |          LEFT JOIN pb ON pb.doc_id = dd.doc_id
          |          JOIN cb ON cb.doc_id = dd.doc_id)
-         |SELECT * FROM (
-         |  SELECT CAST(1 AS BIGINT) AS stage, 'ingest' AS stage_name,
-         |    CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(wc) AS BIGINT) AS n_tokens FROM f
-         |  UNION ALL SELECT 2, 'exact_dedup',
-         |    CAST(count(*) FILTER (WHERE s2) AS BIGINT),
-         |    CAST(coalesce(sum(wc) FILTER (WHERE s2), 0) AS BIGINT) FROM f
-         |  UNION ALL SELECT 3, 'near_dedup',
-         |    CAST(count(*) FILTER (WHERE s3) AS BIGINT),
-         |    CAST(coalesce(sum(wc) FILTER (WHERE s3), 0) AS BIGINT) FROM f
-         |  UNION ALL SELECT 4, 'quality',
-         |    CAST(count(*) FILTER (WHERE s4) AS BIGINT),
-         |    CAST(coalesce(sum(wc) FILTER (WHERE s4), 0) AS BIGINT) FROM f
-         |  UNION ALL SELECT 5, 'decontam',
-         |    CAST(count(*) FILTER (WHERE s5) AS BIGINT),
-         |    CAST(coalesce(sum(wc) FILTER (WHERE s5), 0) AS BIGINT) FROM f
-         |  UNION ALL SELECT 6, 'perplexity',
-         |    CAST(count(*) FILTER (WHERE s6) AS BIGINT),
-         |    CAST(coalesce(sum(wc) FILTER (WHERE s6), 0) AS BIGINT) FROM f
-         |  UNION ALL SELECT 7, 'classifier',
-         |    CAST(count(*) FILTER (WHERE s7) AS BIGINT),
-         |    CAST(coalesce(sum(wc) FILTER (WHERE s7), 0) AS BIGINT) FROM f)
-         |ORDER BY stage""".stripMargin)
+         |$stageReportSql""".stripMargin,
+    "incremental_funnel" ->
+      s"""WITH ${Dedup.incrVerCtes},
+         |man AS (
+         |  SELECT d.doc_id, v.doc_n IS NULL AS kept
+         |  FROM documents d LEFT JOIN ver v ON v.doc_n = d.doc_id
+         |  WHERE d.doc_id % ${Dedup.IncrMod} = 0),
+         |dd AS (
+         |  SELECT doc_id, md5(text) AS digest,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+         |  FROM documents),
+         |nb AS (SELECT * FROM dd WHERE doc_id % ${Dedup.IncrMod} = 0),
+         |ex AS (SELECT digest, min(doc_id) AS keeper FROM nb GROUP BY 1),
+         |hd AS (SELECT DISTINCT digest FROM dd
+         |       WHERE doc_id % ${Dedup.IncrMod} <> 0),
+         |g AS (${Text.gopherPassSql}),
+         |$decontamCtes,
+         |${LangModel.splitScoredCtes(
+             s"doc_id % ${Dedup.IncrMod} <> 0",
+             s"doc_id % ${Dedup.IncrMod} = 0")},
+         |$bucketCte,
+         |$classifierCte,
+         |f0 AS (
+         |  SELECT nb.doc_id, nb.wc,
+         |    nb.doc_id = ex.keeper AND hd.digest IS NULL AS p2,
+         |    man.kept AS p3,
+         |    g.pass = 1 AS p4,
+         |    nb.doc_id NOT IN (SELECT doc_id FROM dcont) AS p5,
+         |    pb.bucket IS NOT NULL AND pb.bucket <> 'tail' AS p6,
+         |    cb.score >= ${Scoring.ReviewMin} AS p7
+         |  FROM nb JOIN ex USING (digest)
+         |          LEFT JOIN hd USING (digest)
+         |          JOIN man USING (doc_id)
+         |          JOIN g USING (doc_id)
+         |          LEFT JOIN pb ON pb.doc_id = nb.doc_id
+         |          JOIN cb ON cb.doc_id = nb.doc_id),
+         |f AS (
+         |  SELECT doc_id, wc,
+         |    p2 AS s2,
+         |    p2 AND p3 AS s3,
+         |    p2 AND p3 AND p4 AS s4,
+         |    p2 AND p3 AND p4 AND p5 AS s5,
+         |    p2 AND p3 AND p4 AND p5 AND p6 AS s6,
+         |    p2 AND p3 AND p4 AND p5 AND p6 AND p7 AS s7
+         |  FROM f0)
+         |$stageReportSql""".stripMargin)
 }

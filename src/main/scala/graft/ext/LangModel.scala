@@ -204,6 +204,15 @@ object LangModel {
   private[ext] def bucketsOf(in: DataFrame): DataFrame =
     bucketGlobalFrame(scoreCore(selfTrainedScored(in)))
 
+  /** EXTERNAL-model scored+bucketed frame for composition (unsorted):
+    * `in` scores under a frozen `model` artifact with OOV smoothing
+    * ([[scoreWith]]'s left-join semantics); tertile bounds come from
+    * the scored frame itself — per-increment bounds, the snapshot-
+    * local form of CCNet's percentiles. [[Funnel.incrementalFunnel]]'s
+    * history-model perplexity stage. */
+  private[ext] def bucketsWith(in: DataFrame, model: DataFrame): DataFrame =
+    bucketGlobalFrame(scoreCore(graft.CacheScope.pin(pairsOf(in)), model))
+
   /** Global tertile-bounds SQL over the `s` CTE from
     * [[ScoredCtesBody]] — shared with [[Funnel]]'s oracle. */
   private[ext] val BoundsSql: String =
@@ -267,6 +276,45 @@ object LangModel {
          |  JOIN ctx ON ctx.w1 = bg.w1
          |  CROSS JOIN v
          |  GROUP BY bg.doc_id)""".stripMargin
+
+  /** Split-trained oracle CTEs for [[bucketsWith]]: the model trains
+    * on `trainPred` documents, `scorePred` documents score under it
+    * with the LEFT-join OOV smoothing [[scoreWith]] defines (coalesced
+    * zero counts → ln(1/V) per unseen bigram), ending at the scored
+    * frame `s` — [[BoundsSql]] composes on top unchanged. Same ppm
+    * per-term quantization as [[ScoredCtesBody]]. */
+  private[ext] def splitScoredCtes(trainPred: String,
+                                   scorePred: String): String =
+    s"""tt AS (
+       |  SELECT string_split(text, ' ') AS toks FROM documents
+       |  WHERE ($trainPred) AND len(string_split(text, ' ')) >= 2),
+       |tbg AS (
+       |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tt)),
+       |pc AS (SELECT w1, w2, count(*) AS pair_n FROM tbg GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(sum(pair_n) AS BIGINT) AS n1
+       |        FROM pc GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w) AS v
+       |      FROM (SELECT w1 AS w FROM pc UNION ALL SELECT w2 FROM pc)),
+       |qt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE ($scorePred) AND len(string_split(text, ' ')) >= 2),
+       |qbg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+       |        FROM qt)),
+       |s AS (
+       |  SELECT qbg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(floor(-CAST(sum(CAST(floor(
+       |                 ln((coalesce(pc.pair_n, 0) + 1.0)
+       |                    / (coalesce(ctx.n1, 0) + v.v)) * 1000000)
+       |               AS BIGINT)) AS DOUBLE)
+       |               / count(*)) AS BIGINT) AS nll_ppm
+       |  FROM qbg
+       |  LEFT JOIN pc ON pc.w1 = qbg.w1 AND pc.w2 = qbg.w2
+       |  LEFT JOIN ctx ON ctx.w1 = qbg.w1
+       |  CROSS JOIN v
+       |  GROUP BY qbg.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "lm_perplexity" ->
