@@ -185,6 +185,20 @@ object StreamBench {
       .option("checkpointLocation", s"$ckpt/sessions").start()
     val sessStats = measure(sessQ, secs)
 
+    // Leg 6: streaming curation — the LLM-pipeline leg: Gopher rules +
+    // classifier banding as a stateless per-row gate ("clean the crawl
+    // as it lands"). Half the docs carry a 64-word passing body, half a
+    // failing stub, so both branches of the quality gate run every
+    // batch. Smaller batch than the scalar legs: each row tokenizes a
+    // ~65-word text through the Gopher HOFs, the same per-row cost the
+    // batch gopher_rules gate pays.
+    val curBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_CUR_BATCH", "1000000").toLong
+    val curQ = graft.stream.CurationPipeline
+      .curated(Sources.microBatchDocs(spark, curBatch))
+      .writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", s"$ckpt/curation").start()
+    val curStats = measure(curQ, secs)
+
     def jm(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
@@ -192,10 +206,10 @@ object StreamBench {
     val json =
       s"""{"metric":"stream_throughput","unit":"rows/sec","secs_per_leg":$secs,""" +
       s""""cal_single_sec":${fc(calSingle)},"cal_par_sec":${fc(calPar)},""" +
-      s""""rows_per_batch":{"candle_pipeline":$tickBatch,"rolling_tail":$candleBatch,"ingest_dedup":$docBatch,"interval_join":${2 * joinBatch},"session_windows":$sessBatch},""" +
+      s""""rows_per_batch":{"candle_pipeline":$tickBatch,"rolling_tail":$candleBatch,"ingest_dedup":$docBatch,"interval_join":${2 * joinBatch},"session_windows":$sessBatch,"curation":$curBatch},""" +
       s""""candle_pipeline":${jm(candleStats)},"rolling_tail":${jm(tailStats)},""" +
       s""""ingest_dedup":${jm(dedupStats)},"interval_join":${jm(joinStats)},""" +
-      s""""session_windows":${jm(sessStats)},""" +
+      s""""session_windows":${jm(sessStats)},"curation":${jm(curStats)},""" +
       s""""baseline_reference":{"msgs_per_sec":50,"micro_batch_sec":"1-2"}}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("STREAMBENCH.json"),
@@ -203,7 +217,7 @@ object StreamBench {
     catch { case e: Throwable => System.err.println(s"[streambench] write: $e") }
     spark.stop()
     // a crashed leg's numbers are not a measurement — fail the run loudly
-    if (Seq(candleStats, tailStats, dedupStats, joinStats, sessStats)
+    if (Seq(candleStats, tailStats, dedupStats, joinStats, sessStats, curStats)
           .exists(_.contains("failed")))
       sys.exit(1)
   }

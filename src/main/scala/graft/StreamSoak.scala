@@ -88,9 +88,20 @@ object StreamSoak {
     * return (stats, ok). First 2 data batches are warmup (JIT + state
     * ramp), excluded from the first-minute window. */
   private def soakLeg(spark: SparkSession, name: String, df: DataFrame,
-                      ckpt: String, secs: Int): (String, Boolean) = {
-    val q = df.writeStream.format("noop").outputMode("append")
-      .option("checkpointLocation", s"$ckpt/$name").start()
+                      ckpt: String, secs: Int): (String, Boolean) =
+    soakWriter(spark, name,
+      df.writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", s"$ckpt/$name"),
+      secs)
+
+  /** Writer-level form of [[soakLeg]] — the curation leg soaks its
+    * foreachBatch micro-pipeline (a real parquet-appending sink), not
+    * a noop wrapper, so the measured path IS the production path. */
+  private def soakWriter(spark: SparkSession, name: String,
+                         writer: org.apache.spark.sql.streaming.DataStreamWriter[
+                           org.apache.spark.sql.Row],
+                         secs: Int): (String, Boolean) = {
+    val q = writer.start()
     val collector = new Collector(q.runId)
     spark.streams.addListener(collector)
     Thread.sleep(secs * 1000L)
@@ -156,18 +167,31 @@ object StreamSoak {
       leg(joinBatch, "quote_id", "quote_ts"),
       maxLag = "10 seconds", watermark = "5 seconds")
 
+    // Leg 3: the curation foreachBatch micro-pipeline — STATELESS, so
+    // the soak's claim here is not state boundedness (state_rows stays
+    // 0) but that minute-10 batch latency matches minute-1 while the
+    // sink genuinely appends band-partitioned parquet the whole time
+    // (file-commit overhead must not compound as the output directory
+    // accumulates ~hundreds of batches of files).
+    val curBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_CUR_BATCH", "1000000").toLong
+    val curOut = java.nio.file.Files.createTempDirectory("graft-soak-cur").toString
+    val curation = graft.stream.CurationPipeline.curatedParquetSink(
+      graft.stream.Sources.microBatchDocs(spark, curBatch),
+      s"$curOut/out", s"$curOut/ckpt")
+
     val (sessJson, sessOk) = soakLeg(spark, "session_windows", sessions, ckpt, secs)
     val (joinJson, joinOk) = soakLeg(spark, "interval_join", ijoin, ckpt, secs)
+    val (curJson, curOk) = soakWriter(spark, "curation", curation, secs)
 
     val json =
       s"""{"metric":"stream_soak","unit":"ms","secs_per_leg":$secs,""" +
       s""""degrade_bound":$DegradeBound,"state_growth_bound":$StateGrowthBound,""" +
-      s"""$sessJson,$joinJson}"""
+      s"""$sessJson,$joinJson,$curJson}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("STREAMSOAK.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[soak] write: $e") }
     spark.stop()
-    if (!(sessOk && joinOk)) sys.exit(1)
+    if (!(sessOk && joinOk && curOk)) sys.exit(1)
   }
 }

@@ -263,6 +263,21 @@ object Curation {
       .presentSorted(col("doc_id"))
   }
 
+  /** Streaming-stateless curation kernel — "clean the crawl as it
+    * lands": Gopher quality rules ([[Text.gopherFlags]]) and the
+    * classifier band gate ([[Scoring.scoredKeeping]]) stacked as ONE
+    * per-row pipeline over (doc_id, text, ...). Deliberately NO join
+    * and NO aggregate: a doc_id self-join in a stream is stateful
+    * stream-stream, and this kernel must run identically in batch and
+    * inside a micro-batch ([[graft.stream.CurationPipeline]] — the
+    * CdcApply batch-kernel pattern). Survivors = Gopher pass ∧ band ≠
+    * drop, with the flag/score columns carried for downstream
+    * accounting. CurationStreamSpec pins batch/stream bit-parity and
+    * the StateStore-free plan. */
+  def curateStream(docs: DataFrame): DataFrame =
+    Scoring.scoredKeeping(Text.gopherFlags(docs))
+      .filter(col("pass") === 1 && col("band") =!= "drop")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_caps"       -> ((s, d) => domainCaps(s, d)),
     "dedup_keep_first"  -> keepFirst _,

@@ -59,6 +59,11 @@ object Scoring {
   private[ext] val KeepMin   = 0.8
   private[ext] val ReviewMin = 0.4
 
+  private def bandOf(score: Column): Column =
+    when(score >= KeepMin, lit("keep"))
+      .when(score >= ReviewMin, lit("review"))
+      .otherwise(lit("drop"))
+
   /** Column-path scoring over ANY frame with (doc_id, text) — batch or
     * STREAMING (pure per-row expressions, no state: ScoringSpec pins
     * that a streaming plan through this carries no StateStore). The
@@ -69,10 +74,17 @@ object Scoring {
         col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_words"),
         fakeLogit(col("text")).as("score"))
-      .withColumn("band",
-        when(col("score") >= KeepMin, lit("keep"))
-          .when(col("score") >= ReviewMin, lit("review"))
-          .otherwise(lit("drop")))
+      .withColumn("band", bandOf(col("score")))
+
+  /** Column-PRESERVING form of [[scored]]: appends score/band to the
+    * input's own columns — the mid-pipeline composition shape
+    * ([[Curation.curateStream]] stacks it on the Gopher flags in one
+    * per-row streaming plan, where a doc_id self-join would be
+    * stateful stream-stream). */
+  def scoredKeeping(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("score", fakeLogit(col("text")))
+      .withColumn("band", bandOf(col("score")))
 
   /** Gate query: every document scored and banded — the shape a curation
     * run materializes once and filters many times. `n_words` rides along

@@ -204,12 +204,20 @@ object Text {
     * repetitiousness rules). symbol_ok/alpha_ok pass vacuously on this
     * all-alphabetic synthetic corpus; wc/wlen/stop discriminate. */
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
-    gopherFlags(Tables.documents(spark, dir)).presentSorted(col("doc_id"))
+    gopherFlags(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("word_count"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_word_ratio"),
+        col("n_required_stops"), col("wc_ok"), col("wlen_ok"),
+        col("symbol_ok"), col("alpha_ok"), col("stop_ok"), col("pass"))
+      .presentSorted(col("doc_id"))
 
-  /** Frame-level core of [[gopherRules]], unsorted — composable
-    * mid-plan (the presentation sort would repartition(1) a corpus
-    * frame if it ran before downstream stages, so it lives only on the
-    * gate query). `in` needs (doc_id, text). */
+  /** Frame-level core of [[gopherRules]], unsorted and COLUMN-
+    * PRESERVING: the stat/flag columns append to `in`'s own columns,
+    * so the rules compose mid-pipeline (the funnels join on `pass`;
+    * [[Curation.curateStream]] needs `text` to survive into the
+    * classifier stage of a one-pass STREAMING plan, where a doc_id
+    * self-join would be stateful stream-stream). The gate query
+    * projects the flag columns back out. `in` needs (doc_id, text). */
   private[ext] def gopherFlags(in: DataFrame): DataFrame = {
     val t = col("toks")
     val wc = size(t)
@@ -220,13 +228,12 @@ object Text {
       array(GopherStops.map(lit): _*)))
     in
       .withColumn("toks", toks)
-      .select(
-        col("doc_id"),
-        wc.cast(LongType).as("word_count"),
-        (sumLen.cast(DoubleType) / wc).as("mean_word_len"),
-        (nSym.cast(DoubleType) / wc).as("symbol_ratio"),
-        (nAlpha.cast(DoubleType) / wc).as("alpha_word_ratio"),
-        nStops.cast(LongType).as("n_required_stops"))
+      .withColumn("word_count", wc.cast(LongType))
+      .withColumn("mean_word_len", sumLen.cast(DoubleType) / wc)
+      .withColumn("symbol_ratio", nSym.cast(DoubleType) / wc)
+      .withColumn("alpha_word_ratio", nAlpha.cast(DoubleType) / wc)
+      .withColumn("n_required_stops", nStops.cast(LongType))
+      .drop("toks")
       .withColumn("wc_ok", (col("word_count") >= 50 &&
         col("word_count") <= 100000).cast(IntegerType))
       .withColumn("wlen_ok", (col("mean_word_len") >= 3.0 &&

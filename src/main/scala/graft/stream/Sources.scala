@@ -93,4 +93,28 @@ object Sources {
   def microBatchTicks(spark: SparkSession, rowsPerBatch: Long): DataFrame =
     TickGen.ticksFromEvents(eventsFromRate(microBatchRows(spark, rowsPerBatch)))
       .select("json_str")
+
+  /** A 64-word Gopher-passing body (word count ≥ 50, mean word length
+    * in [3, 10], ≥ 2 required stopwords, all-alphabetic): 4 copies of a
+    * 16-word base sentence. A per-doc variant token appends at
+    * generation time so the classifier hash decorrelates across docs. */
+  private val PassBody: String = {
+    val base = "the quick brown fox jumps over a lazy dog and runs " +
+      "with great speed that day"
+    Seq.fill(4)(base).mkString(" ")
+  }
+
+  /** Synthetic curation documents over [[microBatchRows]] for the
+    * curation leg ([[CurationPipeline]]): even ids carry the Gopher-
+    * passing [[PassBody]], odd ids a 3-word failing stub — so the
+    * quality gate exercises both branches every batch — and every text
+    * ends in a variant token, so the classifier band hash is
+    * uniform-ish across docs rather than 2-valued. */
+  def microBatchDocs(spark: SparkSession, rowsPerBatch: Long): DataFrame =
+    microBatchRows(spark, rowsPerBatch)
+      .select(col("value").as("doc_id"),
+        concat(
+          when(col("value") % 2 === 0, lit(PassBody))
+            .otherwise(lit("short failing stub")),
+          lit(" w"), (col("value") % 9973).cast(StringType)).as("text"))
 }
