@@ -174,14 +174,207 @@ object IvfPq {
       col("query_id"), col("rank"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_ivf_pq" -> ((s, d) => knnIvfPq(s, d)))
+  // ==== the RESIDUAL-encoded variant: IVFADC proper (Jégou et al.
+  // 2011 §V.B) ====
+  //
+  // [[trainIndex]] PQ-encodes RAW vectors — simple, and correct as far
+  // as it goes — but the published index encodes each vector's
+  // RESIDUAL r = v − centroid(cell(v)): residuals concentrate near the
+  // origin, so the same M·log₂K bits quantize a much tighter
+  // distribution and recall rises at identical storage. The cost is
+  // query-side: distance tables become per-(query, PROBED CELL) — the
+  // query's residual differs per cell — i.e. probeCells × M × K table
+  // rows per query instead of M × K. Still O(queries) broadcast rows,
+  // never corpus-scale.
 
-  // ---- oracle: BOTH unrolled trainer chains composed in one WITH,
+  /** Train the residual index: coarse quantizer as before, PQ trained
+    * on ASSIGNMENT RESIDUALS. Same artifact shape as [[trainIndex]]
+    * (the two are drop-in interchangeable on disk — only the search
+    * must match the encoding). */
+  def trainResidualIndex(in: DataFrame,
+                         kCoarse: Int = KMeans.NumCells,
+                         coarseRounds: Int = KMeans.NumRounds,
+                         m: Int = Pq.NumSubs,
+                         kSub: Int = Pq.NumCells,
+                         pqRounds: Int = Pq.NumRounds): Index = {
+    val vecs = graft.CacheScope.pin(in)
+    val coarse = KMeans.trainedCodebook(vecs, kCoarse, coarseRounds)
+    // residual build: one corpus join on the assignment (index-build
+    // cost), centroid side broadcast; per-element a − b is one IEEE op,
+    // bit-identical in both engines
+    val resid = graft.CacheScope.pin(
+      vecs.join(KMeans.assignCells(vecs, coarse), "vec_id")
+        .join(broadcast(coarse), "cell")
+        .select(col("vec_id"), col("cell").as("ivf_cell"),
+          zip_with(col("v"), col("cv"), (a, b) => a - b).as("v")))
+    val subVecs = graft.CacheScope.pin(Pq.subVectors(resid, m))
+    val (codebooks, lastUpdate) = Pq.loop(subVecs, kSub, pqRounds)
+    Graph.freeCheckpoint(lastUpdate)
+    val codes = Pq.assignCodes(subVecs, codebooks)
+      .join(resid.select(col("vec_id"), col("ivf_cell")), "vec_id")
+      .select(col("vec_id"), col("ivf_cell"), col("sub"), col("code"))
+    Index(coarse, codebooks, codes)
+  }
+
+  /** Encode NEW vectors under a residual index: assign → residual →
+    * codes. Two broadcast passes plus one small join, no training. */
+  def encodeResidual(in: DataFrame, coarse: DataFrame,
+                     codebooks: DataFrame, m: Int = Pq.NumSubs): DataFrame = {
+    val vecs = graft.CacheScope.pin(in)
+    val resid = vecs.join(KMeans.assignCells(vecs, coarse), "vec_id")
+      .join(broadcast(coarse), "cell")
+      .select(col("vec_id"), col("cell").as("ivf_cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+    val rp = graft.CacheScope.pin(resid)
+    Pq.assignCodes(Pq.subVectors(rp, m), codebooks)
+      .join(rp.select(col("vec_id"), col("ivf_cell")), "vec_id")
+      .select(col("vec_id"), col("ivf_cell"), col("sub"), col("code"))
+  }
+
+  /** Cell-restricted ADC over a RESIDUAL index: the lookup tables are
+    * per-(query, probed cell) — the query's residual against cell c is
+    * q − centroid(c), so each probed cell gets its own M×K table. The
+    * codes join keys on (ivf_cell, sub, code), which restricts to
+    * probed cells AND selects the matching per-cell table in ONE
+    * broadcast join. */
+  def searchResidual(queries: DataFrame, index: Index,
+                     probeCells: Int = ProbeCells, topK: Int = TopK,
+                     m: Int = Pq.NumSubs): DataFrame = {
+    val q = graft.CacheScope.pin(queries)
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("score"), col("cell"))
+    val probes = q.crossJoin(broadcast(index.coarse))
+      .select(col("query_id"), col("cell"),
+        (graft.functions.ArrayDot(col("cv"), col("cv")) -
+         lit(2.0) * graft.functions.ArrayDot(col("v"), col("cv")))
+          .as("score"))
+      .withColumn("crank", row_number().over(pw))
+      .filter(col("crank") <= probeCells)
+      .select(col("query_id"), col("cell").as("ivf_cell"))
+    // per-(query, probed cell) residual, sliced into subvectors with
+    // the cell key carried (Pq.subVectors drops extra columns)
+    val d = size(col("v"))
+    val qres = probes
+      .join(q, "query_id")
+      .join(broadcast(index.coarse.withColumnRenamed("cell", "ivf_cell")),
+            "ivf_cell")
+      .select(col("query_id"), col("ivf_cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+    val qsub = qres
+      .select(col("query_id"), col("ivf_cell"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("query_id"), col("ivf_cell"),
+        col("sub").cast(LongType).as("sub"),
+        slice(col("v"), (col("sub") * (d / m) + 1).cast(IntegerType),
+              (d / m).cast(IntegerType)).as("sv"))
+    val qd = qsub
+      .join(broadcast(index.codebooks), "sub")
+      .select(col("query_id"), col("ivf_cell"), col("sub"),
+        col("cell").as("code"),
+        floor((graft.functions.ArrayDot(col("sv"), col("sv")) +
+               graft.functions.ArrayDot(col("cv"), col("cv")) -
+               lit(2.0) * graft.functions.ArrayDot(col("sv"), col("cv")))
+              * lit(1000000L)).cast(LongType).as("d2_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_ppm"), col("nn_id"))
+    index.codes.join(broadcast(qd), Seq("ivf_cell", "sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nn_id"))
+      .agg(sum(col("d2_ppm")).as("adc_ppm"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("adc_ppm"))
+  }
+
+  /** Gate query for the residual index — output contract identical to
+    * [[knnIvfPq]], so IvfPqSpec measures both recalls side by side. */
+  def knnIvfAdc(spark: SparkSession, dir: String,
+                numQueries: Int = NumQueries, probeCells: Int = ProbeCells,
+                topK: Int = TopK): DataFrame = {
+    val index = trainResidualIndex(vecsOf(spark, dir))
+    graft.Present.sorted(
+      searchResidual(
+        vecsOf(spark, dir).filter(col("vec_id") < numQueries)
+          .select(col("vec_id").as("query_id"), col("v")),
+        index, probeCells, topK),
+      col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_ivf_pq" -> ((s, d) => knnIvfPq(s, d)),
+    "knn_ivfadc" -> ((s, d) => knnIvfAdc(s, d)))
+
+  // ---- oracles: BOTH unrolled trainer chains composed in one WITH,
   //      coarse under the "k" prefix, PQ under "p" — the fragments are
   //      the trainers' own generators, so the chains can't drift ----
 
+  /** Shared probe CTE: top-[[ProbeCells]] coarse cells per query. */
+  private def probesSql: String =
+    s"""pr AS (
+       |  SELECT query_id, cell AS ivf_cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(c.cv, c.cv)
+       |          - 2 * list_dot_product(q.v, c.cv), c.cell) AS crank
+       |    FROM kv q CROSS JOIN kc${KMeans.NumRounds} c
+       |    WHERE q.vec_id < $NumQueries)
+       |  WHERE crank <= $ProbeCells)""".stripMargin
+
+  /** Shared ranked-top-k tail over `s(query_id, nn_id, adc_ppm)`. */
+  private def rankSql: String =
+    s"""SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id, adc_ppm
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |              ORDER BY adc_ppm, nn_id) AS rank FROM s)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "knn_ivfadc" ->
+      s"""WITH ${KMeans.vCtes(KMeans.NumCells, "k")},
+         |${KMeans.roundCtes(KMeans.NumRounds, "k")},
+         |asg AS (${KMeans.assignSql(KMeans.NumRounds, "k")}),
+         |rv AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cell AS ivf_cell,
+         |    list_transform(list_zip(x.v, c.cv),
+         |                   z -> struct_extract(z, 1) - struct_extract(z, 2))
+         |      AS v
+         |  FROM asg a JOIN kv x ON x.vec_id = a.vec_id
+         |             JOIN kc${KMeans.NumRounds} c ON c.cell = a.cell),
+         |${Pq.subCtesFrom("(SELECT vec_id, v FROM rv)", "p")},
+         |${Pq.roundCtes(Pq.NumRounds, "p")},
+         |codes0 AS (${Pq.codesSql(Pq.NumRounds, "p")}),
+         |codes AS (
+         |  SELECT c.vec_id, r.ivf_cell, c.sub, c.code
+         |  FROM codes0 c JOIN rv r ON r.vec_id = c.vec_id),
+         |$probesSql,
+         |qr AS (
+         |  SELECT pr.query_id, pr.ivf_cell,
+         |    list_transform(list_zip(x.v, cc.cv),
+         |                   z -> struct_extract(z, 1) - struct_extract(z, 2))
+         |      AS v
+         |  FROM pr JOIN kv x ON x.vec_id = pr.query_id
+         |          JOIN kc${KMeans.NumRounds} cc ON cc.cell = pr.ivf_cell),
+         |qs AS (
+         |  SELECT query_id, ivf_cell, sub,
+         |    v[sub * (len(v) / ${Pq.NumSubs}) + 1 :
+         |      (sub + 1) * (len(v) / ${Pq.NumSubs})] AS sv
+         |  FROM (SELECT query_id, ivf_cell, v,
+         |          unnest(range(0, ${Pq.NumSubs})) AS sub FROM qr)),
+         |qd AS (
+         |  SELECT qs.query_id, qs.ivf_cell, qs.sub, c.cell AS code,
+         |    CAST(floor((list_dot_product(qs.sv, qs.sv)
+         |                + list_dot_product(c.cv, c.cv)
+         |                - 2 * list_dot_product(qs.sv, c.cv)) * 1000000)
+         |         AS BIGINT) AS d2_ppm
+         |  FROM qs JOIN pc${Pq.NumRounds} c ON c.sub = qs.sub),
+         |s AS (
+         |  SELECT qd.query_id, codes.vec_id AS nn_id,
+         |    CAST(sum(qd.d2_ppm) AS BIGINT) AS adc_ppm
+         |  FROM codes
+         |  JOIN qd ON qd.ivf_cell = codes.ivf_cell
+         |         AND qd.sub = codes.sub AND qd.code = codes.code
+         |  WHERE codes.vec_id <> qd.query_id
+         |  GROUP BY 1, 2)
+         |$rankSql""".stripMargin,
     "knn_ivf_pq" ->
       s"""WITH ${KMeans.vCtes(KMeans.NumCells, "k")},
          |${KMeans.roundCtes(KMeans.NumRounds, "k")},
@@ -190,15 +383,7 @@ object IvfPq {
          |${Pq.roundCtes(Pq.NumRounds, "p")},
          |codes AS (${Pq.codesSql(Pq.NumRounds, "p")}),
          |qd AS (${Pq.qdSql(Pq.NumRounds, NumQueries, "p")}),
-         |pr AS (
-         |  SELECT query_id, cell AS ivf_cell FROM (
-         |    SELECT q.vec_id AS query_id, c.cell,
-         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |        list_dot_product(c.cv, c.cv)
-         |          - 2 * list_dot_product(q.v, c.cv), c.cell) AS crank
-         |    FROM kv q CROSS JOIN kc${KMeans.NumRounds} c
-         |    WHERE q.vec_id < $NumQueries)
-         |  WHERE crank <= $ProbeCells),
+         |$probesSql,
          |s AS (
          |  SELECT qd.query_id, codes.vec_id AS nn_id,
          |    CAST(sum(qd.d2_ppm) AS BIGINT) AS adc_ppm
@@ -209,8 +394,5 @@ object IvfPq {
          |         AND qd.cell = codes.code
          |  WHERE codes.vec_id <> qd.query_id
          |  GROUP BY 1, 2)
-         |SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id, adc_ppm
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |              ORDER BY adc_ppm, nn_id) AS rank FROM s)
-         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)
+         |$rankSql""".stripMargin)
 }

@@ -249,9 +249,9 @@ object Multimodal {
          |    ('0x' || substr(md5(dg || ':' || i), 1, 2))::BIGINT AS luma
          |  FROM (SELECT doc_id, dg,
          |          unnest(range(0, ${GridRows * GridCols})) AS i FROM m)),
-         |l AS (SELECT doc_id, array_agg(luma ORDER BY i) AS l
+         |l AS MATERIALIZED (SELECT doc_id, array_agg(luma ORDER BY i) AS l
          |      FROM g GROUP BY 1),
-         |s AS (
+         |s AS MATERIALIZED (
          |  SELECT doc_id, CAST(${dhashTermsSql(baseTile)} AS BIGINT) AS sig
          |  FROM l
          |  UNION ALL

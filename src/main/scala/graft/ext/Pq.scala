@@ -205,17 +205,22 @@ object Pq {
   // The name prefix lets [[IvfPq]] compose this chain with [[KMeans]]'s
   // in ONE oracle without CTE-name collisions.
 
-  private[ext] def subCtes(p: String = ""): String =
+  /** [[subCtes]] over an arbitrary (vec_id, v DOUBLE[]) source — the
+    * residual-encoded [[IvfPq]] variant trains the same chain on
+    * residual vectors instead of raw embeddings. */
+  private[ext] def subCtesFrom(src: String, p: String): String =
     s"""${p}v AS MATERIALIZED (
        |  SELECT vec_id, sub,
        |    v[sub * (len(v) / $NumSubs) + 1 :
        |      (sub + 1) * (len(v) / $NumSubs)] AS sv
-       |  FROM (SELECT vec_id,
-       |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-       |          unnest(range(0, $NumSubs)) AS sub
-       |        FROM embeddings)),
+       |  FROM (SELECT vec_id, v, unnest(range(0, $NumSubs)) AS sub
+       |        FROM $src)),
        |${p}c0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cell, sv AS cv
        |       FROM ${p}v WHERE vec_id < $NumCells)""".stripMargin
+
+  private[ext] def subCtes(p: String = ""): String = subCtesFrom(
+    "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+    p)
 
   private[ext] def roundCtes(r: Int, p: String = ""): String = (1 to r).map { i =>
     s"""${p}a$i AS (

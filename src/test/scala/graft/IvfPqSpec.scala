@@ -96,6 +96,39 @@ class IvfPqSpec extends AnyFunSuite {
            s"corpus codes shuffled for the probe:\n$plan")
   }
 
+  test("residual index: loaded-artifact probe ≡ inline gate, re-encode " +
+       "bit-identical, probe plan broadcast-only") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc").toString
+    val (trained, gate) = CacheScope.scoped(spark) {
+      val index = ext.IvfPq.trainResidualIndex(vecs)
+      ext.IvfPq.writeIndex(index, dir)
+      (codeRows(index.codes),
+       ext.IvfPq.knnIvfAdc(spark, sfDir).collect().map(_.toSeq).toSeq)
+    }
+    val loaded = ext.IvfPq.readIndex(spark, dir)
+    assert(codeRows(loaded.codes) == trained)
+    val reencoded = CacheScope.scoped(spark) {
+      codeRows(ext.IvfPq.encodeResidual(vecs, loaded.coarse, loaded.codebooks))
+    }
+    assert(reencoded == trained,
+           "residual re-encode under loaded codebooks diverged")
+    val probed = CacheScope.scoped(spark) {
+      val df = ext.IvfPq.searchResidual(
+        vecs.filter(col("vec_id") < ext.IvfPq.NumQueries)
+          .select(col("vec_id").as("query_id"), col("v")),
+        loaded)
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("SortMergeJoin") &&
+             !plan.contains("ShuffledHashJoin") &&
+             !plan.contains("CartesianProduct"),
+             s"residual probe must stay broadcast-only:\n$plan")
+      Present.sorted(df, col("query_id"), col("rank"))
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(probed == gate,
+           "loaded-artifact residual probe diverged from the inline gate")
+  }
+
   test("recall@3 vs exact brute force is measured, positive, and reported " +
        "alongside full-scan PQ") {
     def topSets(rows: Array[(Long, Long)]) =
@@ -112,15 +145,21 @@ class IvfPqSpec extends AnyFunSuite {
       ext.Pq.knnPq(spark, sfDir).collect()
         .map(r => r.getLong(0) -> r.getLong(2))
     })
+    val ivfadc = topSets(CacheScope.scoped(spark) {
+      ext.IvfPq.knnIvfAdc(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getLong(2))
+    })
     assert(ivfpq.keySet == brute.keySet)
     def recall(got: Map[Long, Set[Long]]) = got.map { case (q, s) =>
       (s intersect brute(q)).size.toDouble / brute(q).size
     }.sum / got.size
-    val (rIvf, rFull) = (recall(ivfpq), recall(fullPq))
-    info(f"IVF-PQ (probe ${ext.IvfPq.ProbeCells}) recall@3 vs brute: $rIvf%.2f")
+    val (rIvf, rFull, rRes) = (recall(ivfpq), recall(fullPq), recall(ivfadc))
+    info(f"IVF-PQ raw (probe ${ext.IvfPq.ProbeCells}) recall@3 vs brute: $rIvf%.2f")
+    info(f"IVFADC residual (probe ${ext.IvfPq.ProbeCells}) recall@3 vs brute: $rRes%.2f")
     info(f"full-scan PQ recall@3 vs brute: $rFull%.2f (ADC ceiling)")
     // the X10b practice: measure honestly, assert the floor — the
-    // cell-restricted probe must still FIND true neighbors
+    // cell-restricted probes must still FIND true neighbors
     assert(rIvf > 0.0, s"cell-restricted ADC found no true neighbors: $rIvf")
+    assert(rRes > 0.0, s"residual ADC found no true neighbors: $rRes")
   }
 }
