@@ -130,12 +130,17 @@ object Bpe {
     * segmentation (the oracle reproduces it from the final-round
     * dictionary: for corpus words, encode-by-rank ≡ the training
     * segmentation). */
+  /** A trained (rank, a, b) table folded into the 1-row rank-ordered
+    * "a b" ARRAY the [[graft.functions.BpeEncode]] expression takes —
+    * the broadcastable in-plan form of the merge-list artifact. */
+  private def mergesArray(trained: DataFrame): DataFrame =
+    trained.agg(transform(
+      array_sort(collect_list(struct(col("rank"),
+        concat_ws(" ", col("a"), col("b")).as("m")))),
+      x => x.getField("m")).as("merges"))
+
   def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
-    val merges = trainBpe(spark, dir)
-      .agg(transform(
-        array_sort(collect_list(struct(col("rank"),
-          concat_ws(" ", col("a"), col("b")).as("m")))),
-        x => x.getField("m")).as("merges"))
+    val merges = mergesArray(trainBpe(spark, dir))
     val toks = graft.functions.BpeEncode(col("text"), col("merges"))
     graft.Present.sorted(
       Tables.documents(spark, dir)
@@ -146,9 +151,39 @@ object Bpe {
       col("doc_id"))
   }
 
+  /** FROZEN-artifact apply — the deployment contract [[bpeTokens]]
+    * can't show (it retrains on the same corpus it encodes, so every
+    * word it meets is in the training dictionary): merges train on
+    * the HISTORY split ([[Dedup.IncrMod]] — the increment fixture
+    * every frozen-artifact op shares) and the UNSEEN batch encodes
+    * under them. Out-of-vocabulary words are the point: a word absent
+    * from the training dictionary still segments under whatever
+    * learned merges apply inside it, code-point fallback for the
+    * rest — exactly what [[graft.functions.BpeEncode]]'s rank-order
+    * pass does for ANY input, and what a per-increment tokenize job
+    * does against the persisted merge list. Oracle: the history
+    * dictionary chain yields m1..mK; a second chain applies those
+    * winners to the BATCH word dictionary in rank order (one
+    * boundary-exact `replace` per rank — the same non-cascading
+    * argument as training). */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % Dedup.IncrMod === 0
+    val docs = Tables.documents(spark, dir)
+    val merges = mergesArray(trainBpeFrame(docs.filter(!isNew)))
+    val toks = graft.functions.BpeEncode(col("text"), col("merges"))
+    graft.Present.sorted(
+      docs.filter(isNew)
+        .crossJoin(broadcast(merges))
+        .select(col("doc_id"),
+          size(toks).cast(LongType).as("n_bpe_tokens"),
+          md5(concat_ws(" ", toks)).as("tokens_md5")),
+      col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> ((s, d) => bpeMerges(s, d)),
-    "bpe_tokens" -> ((s, d) => bpeTokens(s, d)))
+    "bpe_tokens" -> ((s, d) => bpeTokens(s, d)),
+    "bpe_apply"  -> ((s, d) => bpeApply(s, d)))
 
   // ---- oracles (generated K-round unrolled CTE chains) ----
 
@@ -158,23 +193,28 @@ object Bpe {
   private val FrO = "chr(30)"
   private val FrC = "chr(31)"
 
-  /** d0..dK dictionary CTEs over delimiter-framed symbol strings.
-    * d0 `error()`s on any corpus word carrying a frame byte — the
-    * no-collision assumption is asserted, not silently relied on. */
-  private def dictCtes(k: Int): String = {
-    val d0 =
-      s"""d0 AS MATERIALIZED (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS n,
-         |    $FrO || array_to_string(
-         |      list_transform(range(1, len(word) + 1), i -> word[i:i]),
-         |      $FrC || $FrO) || $FrC AS s
-         |  FROM (SELECT CASE WHEN word LIKE '%' || $FrO || '%'
-         |                      OR word LIKE '%' || $FrC || '%'
-         |               THEN error('bpe oracle: corpus word contains a frame byte (chr 30/31)')
-         |               ELSE word END AS word
-         |        FROM (SELECT unnest(string_split(text, ' ')) AS word
-         |              FROM documents))
-         |  WHERE word <> '' GROUP BY word)""".stripMargin
+  /** The delimiter-framed word dictionary seed (d0 shape) over
+    * documents matching `docPred`, `error()`ing on any word carrying
+    * a frame byte — the no-collision assumption is asserted, not
+    * silently relied on. */
+  private def seedDict(name: String, docPred: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n,
+       |    $FrO || array_to_string(
+       |      list_transform(range(1, len(word) + 1), i -> word[i:i]),
+       |      $FrC || $FrO) || $FrC AS s
+       |  FROM (SELECT CASE WHEN word LIKE '%' || $FrO || '%'
+       |                      OR word LIKE '%' || $FrC || '%'
+       |               THEN error('bpe oracle: corpus word contains a frame byte (chr 30/31)')
+       |               ELSE word END AS word
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |              FROM documents WHERE $docPred))
+       |  WHERE word <> '' GROUP BY word)""".stripMargin
+
+  /** d0..dK dictionary CTEs over delimiter-framed symbol strings for
+    * documents matching `docPred` (default: the whole corpus). */
+  private def dictCtes(k: Int, docPred: String = "TRUE"): String = {
+    val d0 = seedDict("d0", docPred)
     val rounds = (1 to k).map { r =>
       s"""p$r AS (
          |  SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
@@ -224,5 +264,44 @@ object Bpe {
          |  SELECT doc_id, sum(len(l)) AS nt,
          |    string_agg(array_to_string(l, ' '), ' ' ORDER BY i) AS ts
          |  FROM j GROUP BY doc_id) t ON t.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin,
+    "bpe_apply" -> {
+      // b0..bK: the BATCH word dictionary run through the HISTORY
+      // rounds' winners m1..mK in rank order — one boundary-exact
+      // replace per rank, the training chain's own non-cascading pass
+      val applyRounds = (1 to NumMerges).map { r =>
+        s"""b$r AS (
+           |  SELECT b.word,
+           |    CASE WHEN m.a IS NULL THEN b.s
+           |         ELSE replace(b.s, $FrO || m.a || $FrC || $FrO || m.b || $FrC,
+           |                           $FrO || m.a || m.b || $FrC) END AS s
+           |  FROM b${r - 1} b LEFT JOIN m$r m ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      val incrPred = s"doc_id % ${Dedup.IncrMod}"
+      s"""WITH ${dictCtes(NumMerges, s"$incrPred <> 0")},
+         |${seedDict("b0", s"$incrPred = 0")},
+         |$applyRounds,
+         |seg AS (
+         |  SELECT word, string_split(substr(s, 2, len(s) - 2),
+         |                            $FrC || $FrO) AS l
+         |  FROM b$NumMerges),
+         |dw AS (
+         |  SELECT doc_id, w.word, w.i
+         |  FROM (SELECT doc_id,
+         |          unnest(string_split(text, ' ')) AS word,
+         |          generate_subscripts(string_split(text, ' '), 1) AS i
+         |        FROM documents WHERE $incrPred = 0) w
+         |  WHERE w.word <> ''),
+         |j AS (SELECT dw.doc_id, dw.i, seg.l
+         |      FROM dw JOIN seg ON seg.word = dw.word)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(t.nt, 0) AS BIGINT) AS n_bpe_tokens,
+         |  md5(coalesce(t.ts, '')) AS tokens_md5
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id, sum(len(l)) AS nt,
+         |    string_agg(array_to_string(l, ' '), ' ' ORDER BY i) AS ts
+         |  FROM j GROUP BY doc_id) t ON t.doc_id = d.doc_id
+         |WHERE d.doc_id % ${Dedup.IncrMod} = 0
+         |ORDER BY d.doc_id""".stripMargin
+    })
 }

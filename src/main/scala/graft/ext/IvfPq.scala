@@ -300,9 +300,36 @@ object IvfPq {
       col("query_id"), col("rank"))
   }
 
+  /** Inverted-list statistics of the trained index — the operational
+    * report an ANN deployment watches alongside recall: probe latency
+    * is proportional to the probed cells' LIST SIZES, so the
+    * imbalance factor (cell size / mean size) is the worst-case probe
+    * multiplier, and a degenerate coarse codebook (one mega-cell)
+    * shows up here long before it shows up as tail latency. One
+    * aggregate over the assignment (the codes' sub = 0 slice — one
+    * row per vector), 1-row totals broadcast back; output is
+    * integer-exact end-to-end (the [[Card]] discipline: ppm via
+    * integer DIV, no float reaches the gate). */
+  def ivfPqStats(spark: SparkSession, dir: String): DataFrame = {
+    val index = trainIndex(vecsOf(spark, dir))
+    val cells = index.codes.filter(col("sub") === 0)
+      .groupBy(col("ivf_cell")).agg(count(lit(1)).as("n_vectors"))
+    val tot = cells.agg(sum(col("n_vectors")).as("n_total"),
+                        count(lit(1)).as("n_cells"))
+    graft.Present.sorted(
+      cells.crossJoin(broadcast(tot))
+        .select(col("ivf_cell"), col("n_vectors"),
+          expr("CAST(n_vectors * 1000000 DIV n_total AS BIGINT)")
+            .as("share_ppm"),
+          expr("CAST(n_vectors * n_cells * 1000000 DIV n_total AS BIGINT)")
+            .as("imbalance_ppm")),
+      col("ivf_cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_ivf_pq" -> ((s, d) => knnIvfPq(s, d)),
-    "knn_ivfadc" -> ((s, d) => knnIvfAdc(s, d)))
+    "knn_ivf_pq"  -> ((s, d) => knnIvfPq(s, d)),
+    "knn_ivfadc"  -> ((s, d) => knnIvfAdc(s, d)),
+    "ivfpq_stats" -> ((s, d) => ivfPqStats(s, d)))
 
   // ---- oracles: BOTH unrolled trainer chains composed in one WITH,
   //      coarse under the "k" prefix, PQ under "p" — the fragments are
@@ -328,6 +355,19 @@ object IvfPq {
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ivfpq_stats" ->
+      s"""WITH ${KMeans.vCtes(KMeans.NumCells, "k")},
+         |${KMeans.roundCtes(KMeans.NumRounds, "k")},
+         |asg AS (${KMeans.assignSql(KMeans.NumRounds, "k")}),
+         |c AS (SELECT cell AS ivf_cell, CAST(count(*) AS BIGINT) AS n_vectors
+         |      FROM asg GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n_total,
+         |             CAST(count(*) AS BIGINT) AS n_cells FROM c)
+         |SELECT ivf_cell, n_vectors,
+         |  CAST(n_vectors * 1000000 // n_total AS BIGINT) AS share_ppm,
+         |  CAST(n_vectors * n_cells * 1000000 // n_total AS BIGINT)
+         |    AS imbalance_ppm
+         |FROM c CROSS JOIN t ORDER BY ivf_cell""".stripMargin,
     "knn_ivfadc" ->
       s"""WITH ${KMeans.vCtes(KMeans.NumCells, "k")},
          |${KMeans.roundCtes(KMeans.NumRounds, "k")},

@@ -67,4 +67,22 @@ class BpeSpec extends AnyFunSuite {
     // and the most frequent word must compress the furthest
     assert(enc("low", merges).length <= enc("lowest", merges).length)
   }
+
+  test("frozen-artifact apply: OOV words segment under the trained merges") {
+    // the bpe_apply contract: merges trained on a REFERENCE corpus
+    // encode UNSEEN words — learned subword units fire inside words the
+    // dictionary never saw, code-point fallback covers the rest
+    val ref = Seq("low low low low lowest").toDF("text")
+    val merges = ext.Bpe.trainBpeFrame(ref, numMerges = 3).collect()
+      .map(r => s"${r.getString(1)} ${r.getString(2)}").toSeq
+    // "lowly" is OOV; its "low" prefix must still merge into the
+    // learned unit, the unseen tail staying code points
+    val toks = enc("lowly", merges)
+    assert(toks.mkString == "lowly", s"mutated: $toks")
+    assert(toks.head == "low" || toks.take(2) == Seq("lo", "w"),
+           s"learned units did not fire inside the OOV word: $toks")
+    assert(toks.length < "lowly".length, s"no compression at all: $toks")
+    // a fully-alien word falls back to pure code points
+    assert(enc("zqx", merges) == Seq("z", "q", "x"))
+  }
 }
