@@ -75,12 +75,29 @@ object KMeans {
     codebook
   }
 
+  /** Final codebook from an EXPLICIT seed frame (cell, cv) — the
+    * history-trained quantizer in [[Dedup.dedupEmbIncremental]] seeds
+    * rank-stably from its own split, where the default `vec_id < k`
+    * rule would pick a hole-ridden seed set. */
+  private[ext] def trainedCodebookFrom(vecs: DataFrame, codebook0: DataFrame,
+                                       rounds: Int): DataFrame = {
+    val (codebook, lastUpdate) = loopFrom(vecs, codebook0, rounds)
+    Graph.freeCheckpoint(lastUpdate)
+    codebook
+  }
+
   /** The Lloyd loop; returns (final codebook, final update table). */
   private def loop(vecs: DataFrame, k: Int,
-                   rounds: Int): (DataFrame, DataFrame) = {
-    var codebook = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").cast(LongType).as("cell"), col("v").as("cv"))
-      .localCheckpoint()
+                   rounds: Int): (DataFrame, DataFrame) =
+    loopFrom(vecs,
+      vecs.filter(col("vec_id") < k)
+        .select(col("vec_id").cast(LongType).as("cell"), col("v").as("cv")),
+      rounds)
+
+  /** [[loop]] from an explicit seed codebook (cell, cv). */
+  private[ext] def loopFrom(vecs: DataFrame, codebook0: DataFrame,
+                            rounds: Int): (DataFrame, DataFrame) = {
+    var codebook = codebook0.localCheckpoint()
     var lastUpdate: DataFrame = null
     for (_ <- 1 to rounds) {
       val scored = vecs.crossJoin(broadcast(codebook))
