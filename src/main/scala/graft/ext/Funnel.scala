@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -41,7 +41,11 @@ import graft.Present.PresentOps
   */
 object Funnel {
 
-  def corpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The joined flag frame + the seven cumulative stage predicates —
+    * shared by the corpus-global and per-language funnels (one
+    * definition, two aggregation scopes). */
+  private def flaggedDocs(spark: SparkSession,
+                          dir: String): (DataFrame, Seq[Column]) = {
     // Five flag pipelines read this projection; pinning it was
     // MEASURED SLOWER (4.7 → 5.5 s at sf0.1: the cache-materialization
     // job costs more than the parquet rescans it saves — the scan is
@@ -49,7 +53,7 @@ object Funnel {
     // each flag). At a corpus scale where the scan dominates, wrap the
     // call in CacheScope.pin at the call site instead.
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"), col("text"), col("lang"),
         size(split(col("text"), " ")).cast(LongType).as("wc"),
         md5(col("text")).as("digest"))
     // exact-dedup keeper: min-AGGREGATE per digest (the paragraphDedup
@@ -81,33 +85,64 @@ object Funnel {
     val s5 = s4 && coalesce(col("contaminated"), lit(0)) === 0
     val s6 = s5 && col("bucket").isNotNull && col("bucket") =!= "tail"
     val s7 = s6 && col("band") =!= "drop"
-    def d(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
-    def t(c: org.apache.spark.sql.Column) = sum(when(c, col("wc")).otherwise(0L))
-    docs
+    (docs
       .join(exactKeep, "digest")
       .join(lbl, "doc_id")
       .join(gopher, "doc_id")
       .join(cont, Seq("doc_id"), "left")
       .join(ppl, Seq("doc_id"), "left")
-      .join(cls, "doc_id")
-      .agg(count(lit(1)).as("d1"), sum(col("wc")).as("t1"),
-           d(s2).as("d2"), t(s2).as("t2"),
-           d(s3).as("d3"), t(s3).as("t3"),
-           d(s4).as("d4"), t(s4).as("t4"),
-           d(s5).as("d5"), t(s5).as("t5"),
-           d(s6).as("d6"), t(s6).as("t6"),
-           d(s7).as("d7"), t(s7).as("t7"))
-      .select(expr(
-        """stack(7,
-          |  CAST(1 AS BIGINT), 'ingest',      d1, t1,
-          |  CAST(2 AS BIGINT), 'exact_dedup', d2, t2,
-          |  CAST(3 AS BIGINT), 'near_dedup',  d3, t3,
-          |  CAST(4 AS BIGINT), 'quality',     d4, t4,
-          |  CAST(5 AS BIGINT), 'decontam',    d5, t5,
-          |  CAST(6 AS BIGINT), 'perplexity',  d6, t6,
-          |  CAST(7 AS BIGINT), 'classifier',  d7, t7
-          |) AS (stage, stage_name, n_docs, n_tokens)""".stripMargin))
+      .join(cls, "doc_id"),
+     Seq(s2, s3, s4, s5, s6, s7))
+  }
+
+  private def stageAggs(stages: Seq[Column]): Seq[Column] = {
+    def d(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def t(c: Column) = sum(when(c, col("wc")).otherwise(0L))
+    (count(lit(1)).as("d1") +: sum(col("wc")).as("t1") +:
+      stages.zipWithIndex.flatMap { case (s, i) =>
+        Seq(d(s).as(s"d${i + 2}"), t(s).as(s"t${i + 2}"))
+      })
+  }
+
+  private val StackSql =
+    """stack(7,
+      |  CAST(1 AS BIGINT), 'ingest',      d1, t1,
+      |  CAST(2 AS BIGINT), 'exact_dedup', d2, t2,
+      |  CAST(3 AS BIGINT), 'near_dedup',  d3, t3,
+      |  CAST(4 AS BIGINT), 'quality',     d4, t4,
+      |  CAST(5 AS BIGINT), 'decontam',    d5, t5,
+      |  CAST(6 AS BIGINT), 'perplexity',  d6, t6,
+      |  CAST(7 AS BIGINT), 'classifier',  d7, t7
+      |) AS (stage, stage_name, n_docs, n_tokens)""".stripMargin
+
+  def corpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val (flagged, stages) = flaggedDocs(spark, dir)
+    val aggs = stageAggs(stages)
+    flagged
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(StackSql))
       .presentSorted(col("stage"))
+  }
+
+  /** Per-LANGUAGE funnel — the survivor accounting that feeds
+    * multilingual sampling decisions: [[Corpus.langTemperatureSample]]
+    * resamples on per-language MASS, and the mass that actually
+    * enters training is each language's stage-7 output, not its
+    * ingest count (a language whose documents die at the quality or
+    * perplexity stage contributes far less than its crawl share
+    * suggests — exactly what this report shows). Same flag frame and
+    * predicates as [[corpusFunnel]] (one definition, shared via
+    * [[flaggedDocs]]); the only plan change is the aggregate key:
+    * groupBy(lang) with the identical conditional aggregates — still
+    * ONE scan, map-side partials, O(languages × 7) output rows. */
+  def corpusFunnelByLang(spark: SparkSession, dir: String): DataFrame = {
+    val (flagged, stages) = flaggedDocs(spark, dir)
+    val aggs = stageAggs(stages)
+    flagged
+      .groupBy(col("lang"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("lang"), expr(StackSql))
+      .presentSorted(col("lang"), col("stage"))
   }
 
   /** Per-INCREMENT funnel — [[corpusFunnel]]'s operational sibling: a
@@ -207,6 +242,7 @@ object Funnel {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_funnel" -> corpusFunnel _,
+    "funnel_by_lang" -> corpusFunnelByLang _,
     "incremental_funnel" -> incrementalFunnel _)
 
   /** Eval-contamination CTEs (`dsh`/`dcont`) — [[Decontam]]'s n-gram
@@ -246,74 +282,83 @@ object Funnel {
        |         ELSE 'tail' END AS bucket
        |  FROM s CROSS JOIN lb)""".stripMargin
 
+  private val StageNames = Seq("ingest", "exact_dedup", "near_dedup",
+    "quality", "decontam", "perplexity", "classifier")
+
   /** The stacked 7-row stage report over a flags CTE `f(doc_id, wc,
-    * s2..s7)` — shared tail of both funnel oracles. */
-  private val stageReportSql: String =
-    """SELECT * FROM (
-      |  SELECT CAST(1 AS BIGINT) AS stage, 'ingest' AS stage_name,
-      |    CAST(count(*) AS BIGINT) AS n_docs,
-      |    CAST(sum(wc) AS BIGINT) AS n_tokens FROM f
-      |  UNION ALL SELECT 2, 'exact_dedup',
-      |    CAST(count(*) FILTER (WHERE s2) AS BIGINT),
-      |    CAST(coalesce(sum(wc) FILTER (WHERE s2), 0) AS BIGINT) FROM f
-      |  UNION ALL SELECT 3, 'near_dedup',
-      |    CAST(count(*) FILTER (WHERE s3) AS BIGINT),
-      |    CAST(coalesce(sum(wc) FILTER (WHERE s3), 0) AS BIGINT) FROM f
-      |  UNION ALL SELECT 4, 'quality',
-      |    CAST(count(*) FILTER (WHERE s4) AS BIGINT),
-      |    CAST(coalesce(sum(wc) FILTER (WHERE s4), 0) AS BIGINT) FROM f
-      |  UNION ALL SELECT 5, 'decontam',
-      |    CAST(count(*) FILTER (WHERE s5) AS BIGINT),
-      |    CAST(coalesce(sum(wc) FILTER (WHERE s5), 0) AS BIGINT) FROM f
-      |  UNION ALL SELECT 6, 'perplexity',
-      |    CAST(count(*) FILTER (WHERE s6) AS BIGINT),
-      |    CAST(coalesce(sum(wc) FILTER (WHERE s6), 0) AS BIGINT) FROM f
-      |  UNION ALL SELECT 7, 'classifier',
-      |    CAST(count(*) FILTER (WHERE s7) AS BIGINT),
-      |    CAST(coalesce(sum(wc) FILTER (WHERE s7), 0) AS BIGINT) FROM f)
-      |ORDER BY stage""".stripMargin
+    * s2..s7, ...)` — shared tail of the funnel oracles. `by` adds a
+    * grouping column (the per-language report). */
+  private def stageReport(by: Option[String] = None): String = {
+    val sel = by.map(b => s"$b, ").getOrElse("")
+    val grp = by.map(b => s" GROUP BY $b").getOrElse("")
+    val blocks = StageNames.zipWithIndex.map { case (name, i0) =>
+      val i = i0 + 1
+      val docs =
+        if (i == 1) "CAST(count(*) AS BIGINT)"
+        else s"CAST(count(*) FILTER (WHERE s$i) AS BIGINT)"
+      val toks =
+        if (i == 1) "CAST(sum(wc) AS BIGINT)"
+        else s"CAST(coalesce(sum(wc) FILTER (WHERE s$i), 0) AS BIGINT)"
+      s"""SELECT ${sel}CAST($i AS BIGINT) AS stage, '$name' AS stage_name,
+         |    $docs AS n_docs, $toks AS n_tokens FROM f$grp""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""SELECT * FROM (
+       |  $blocks)
+       |ORDER BY ${by.map(_ + ", ").getOrElse("")}stage""".stripMargin
+  }
+
+  private val stageReportSql: String = stageReport()
 
   /** Oracle: the same five cumulative stage sets, built from the shared
     * fragments — [[Cluster.ClosureCtes]] for the near-dup assignment,
     * [[Text.gopherPassSql]] for the quality pass, [[Dedup.shingleSql]]
     * + [[Decontam]]'s constants for contamination — so the funnel can
     * never drift from the per-stage gates. */
+  /** The full-corpus flag chain ending at `f(doc_id, lang, wc,
+    * s2..s7)` — shared by the global and per-language funnel oracles
+    * (one spelling, two report scopes). */
+  private def corpusFlagsCtes: String =
+    s"""${Cluster.ClosureCtes},
+       |dd AS (
+       |  SELECT doc_id, lang, md5(text) AS digest,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+       |  FROM documents),
+       |ex AS (SELECT digest, min(doc_id) AS keeper FROM dd GROUP BY 1),
+       |g AS (${Text.gopherPassSql}),
+       |$decontamCtes,
+       |${LangModel.ScoredCtesBody},
+       |$bucketCte,
+       |$classifierCte,
+       |f AS (
+       |  SELECT dd.doc_id, dd.lang, dd.wc,
+       |    dd.doc_id = ex.keeper AS s2,
+       |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep AS s3,
+       |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
+       |      AND g.pass = 1 AS s4,
+       |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
+       |      AND g.pass = 1
+       |      AND dd.doc_id NOT IN (SELECT doc_id FROM dcont) AS s5,
+       |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
+       |      AND g.pass = 1
+       |      AND dd.doc_id NOT IN (SELECT doc_id FROM dcont)
+       |      AND pb.bucket IS NOT NULL AND pb.bucket <> 'tail' AS s6,
+       |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
+       |      AND g.pass = 1
+       |      AND dd.doc_id NOT IN (SELECT doc_id FROM dcont)
+       |      AND pb.bucket IS NOT NULL AND pb.bucket <> 'tail'
+       |      AND cb.score >= ${Scoring.ReviewMin} AS s7
+       |  FROM dd JOIN ex USING (digest) JOIN asg a USING (doc_id)
+       |          JOIN g USING (doc_id)
+       |          LEFT JOIN pb ON pb.doc_id = dd.doc_id
+       |          JOIN cb ON cb.doc_id = dd.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "corpus_funnel" ->
-      s"""${Cluster.ClosureCtes},
-         |dd AS (
-         |  SELECT doc_id, md5(text) AS digest,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
-         |  FROM documents),
-         |ex AS (SELECT digest, min(doc_id) AS keeper FROM dd GROUP BY 1),
-         |g AS (${Text.gopherPassSql}),
-         |$decontamCtes,
-         |${LangModel.ScoredCtesBody},
-         |$bucketCte,
-         |$classifierCte,
-         |f AS (
-         |  SELECT dd.doc_id, dd.wc,
-         |    dd.doc_id = ex.keeper AS s2,
-         |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep AS s3,
-         |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
-         |      AND g.pass = 1 AS s4,
-         |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
-         |      AND g.pass = 1
-         |      AND dd.doc_id NOT IN (SELECT doc_id FROM dcont) AS s5,
-         |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
-         |      AND g.pass = 1
-         |      AND dd.doc_id NOT IN (SELECT doc_id FROM dcont)
-         |      AND pb.bucket IS NOT NULL AND pb.bucket <> 'tail' AS s6,
-         |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
-         |      AND g.pass = 1
-         |      AND dd.doc_id NOT IN (SELECT doc_id FROM dcont)
-         |      AND pb.bucket IS NOT NULL AND pb.bucket <> 'tail'
-         |      AND cb.score >= ${Scoring.ReviewMin} AS s7
-         |  FROM dd JOIN ex USING (digest) JOIN asg a USING (doc_id)
-         |          JOIN g USING (doc_id)
-         |          LEFT JOIN pb ON pb.doc_id = dd.doc_id
-         |          JOIN cb ON cb.doc_id = dd.doc_id)
+      s"""$corpusFlagsCtes
          |$stageReportSql""".stripMargin,
+    "funnel_by_lang" ->
+      s"""$corpusFlagsCtes
+         |${stageReport(Some("lang"))}""".stripMargin,
     "incremental_funnel" ->
       s"""WITH ${Dedup.incrVerCtes},
          |man AS (

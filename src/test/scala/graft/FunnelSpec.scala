@@ -43,4 +43,29 @@ class FunnelSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), plan.take(400))
     }
   }
+
+  test("per-language funnel partitions the global funnel exactly") {
+    // same flag frame, two aggregation scopes: summing each stage over
+    // languages must reproduce the global report to the row
+    val global = CacheScope.scoped(spark) {
+      ext.Funnel.corpusFunnel(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    }
+    val byLang = CacheScope.scoped(spark) {
+      ext.Funnel.corpusFunnelByLang(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    }
+    assert(byLang.map(_._1).distinct.length > 1, "fixture lost its languages")
+    (1L to 7L).foreach { stage =>
+      val rows = byLang.filter(_._2 == stage)
+      assert((rows.map(_._3).sum, rows.map(_._4).sum) == global(stage),
+             s"stage $stage does not partition")
+    }
+    // and each language's own funnel is monotone
+    byLang.groupBy(_._1).foreach { case (lang, rows) =>
+      rows.sortBy(_._2).map(_._3).sliding(2).foreach { case Array(a, b) =>
+        assert(b <= a, s"$lang funnel not monotone")
+      }
+    }
+  }
 }
