@@ -696,7 +696,7 @@ object Dedup {
     * signature CARRIED on the band rows, verify per-row with
     * `bit_count(sig_a ^ sig_b) <= hammingMax`, distinct. Returns
     * (doc_a, doc_b, hamming), unsorted. */
-  private[ext] def bandedHammingPairs(sigFrame: DataFrame,
+  private[graft] def bandedHammingPairs(sigFrame: DataFrame,
                                       hammingMax: Int): DataFrame = {
     // sigs feeds BOTH sides of the band self-join — pin like the LSH
     // bands (released via CacheScope.scoped/release). The count is one

@@ -139,4 +139,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("array_dot"), plan)
     assert(!plan.toLowerCase.contains("zip_with"), plan)
   }
+
+  test("BpeEncode merge memo: a DIFFERENT merge list on the same thread " +
+       "never serves a stale parse (content guard, r17 advice)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(merges: String*) =
+      new GenericArrayData(merges.map(UTF8String.fromString).toArray)
+    def encode(text: String, m: org.apache.spark.sql.catalyst.util.ArrayData) =
+      graft.functions.BpeEncode.compute(UTF8String.fromString(text), m)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    // same thread, three lists with DISTINCT identities and contents —
+    // each call must use ITS list, not the memoized previous one
+    assert(encode("abc", arr("a b")) == Seq("ab", "c"))
+    assert(encode("abc", arr("b c")) == Seq("a", "bc"))
+    assert(encode("abc", arr()) == Seq("a", "b", "c"))
+    // identity hit path still works: the SAME instance twice
+    val same = arr("a b", "ab c")
+    assert(encode("abc", same) == Seq("abc"))
+    assert(encode("abcabc", same) == Seq("abc", "abc"))
+    // the hazard the guard exists for: a REUSED buffer whose contents
+    // were rewritten in place must not serve the old parse
+    val buf = new Array[AnyRef](1)
+    buf(0) = UTF8String.fromString("a b")
+    val mutable = new GenericArrayData(buf.asInstanceOf[Array[Any]])
+    assert(encode("abc", mutable) == Seq("ab", "c"))
+    buf(0) = UTF8String.fromString("b c") // in-place rewrite, same identity
+    assert(encode("abc", mutable) == Seq("a", "bc"),
+           "stale memo served after an in-place buffer rewrite")
+  }
 }
