@@ -191,6 +191,30 @@ object Curation {
     * ~54-word documents so duplicated spans exist at test SF. */
   private val SpanW = 8
 
+  /** The pinned window-digest frame (doc_id, n_tokens, pos, digest) +
+    * the cross-doc duplicated digest set — shared by the span REPORT
+    * ([[substrDupSpans]]) and the span REMOVAL ([[substrDedupApply]]).
+    * Digests come from the native one-walk expression
+    * (functions/WordWindowMd5.scala — same values as the composed
+    * split→transform→md5(concat_ws(slice)) chain, parity pinned by
+    * WordWindowMd5Spec; a short doc's empty array posexplodes to
+    * nothing, so no explicit length filter is needed). Duplicated
+    * windows = digests in ≥ 2 DISTINCT docs, via the two-level
+    * aggregation that collapses boilerplate digests map-side twice. */
+  private def spanGramsAndDups(spark: SparkSession, dir: String,
+                               w: Int): (DataFrame, DataFrame) = {
+    val grams = graft.CacheScope.pin(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          (size(split(col("text"), " "))).cast(LongType).as("n_tokens"),
+          posexplode(graft.functions.WordWindowMd5(col("text"), lit(w)))
+            .as(Seq("pos", "digest"))))
+    val dupDigests = grams.select(col("digest"), col("doc_id")).distinct()
+      .groupBy(col("digest")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("digest"))
+    (grams, dupDigests)
+  }
+
   /** Exact duplicated-SUBSTRING span statistics (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" — the
     * ExactSubstr family): for every document, find the maximal token
@@ -227,20 +251,7 @@ object Curation {
     */
   def substrDupSpans(spark: SparkSession, dir: String,
                      w: Int = SpanW): DataFrame = {
-    // window digests via the native one-walk expression
-    // (functions/WordWindowMd5.scala — same values as the composed
-    // split→transform→md5(concat_ws(slice)) chain, parity pinned by
-    // WordWindowMd5Spec; a short doc's empty array posexplodes to
-    // nothing, so no explicit length filter is needed)
-    val grams = graft.CacheScope.pin(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          (size(split(col("text"), " "))).cast(LongType).as("n_tokens"),
-          posexplode(graft.functions.WordWindowMd5(col("text"), lit(w)))
-            .as(Seq("pos", "digest"))))
-    val dupDigests = grams.select(col("digest"), col("doc_id")).distinct()
-      .groupBy(col("digest")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("digest"))
+    val (grams, dupDigests) = spanGramsAndDups(spark, dir, w)
     val starts = col("starts")
     val diffs = zip_with(
       slice(starts, lit(1), size(starts) - 1),
@@ -260,6 +271,53 @@ object Curation {
         col("n_spans"), col("dup_tokens"),
         floor(col("dup_tokens") * lit(1000000L) / col("n_tokens"))
           .cast(LongType).as("dup_ppm"))
+      .presentSorted(col("doc_id"))
+  }
+
+  /** Exact duplicated-substring REMOVAL — the APPLY step of
+    * [[substrDupSpans]]'s report (Lee et al. 2022 remove the spans;
+    * the report marks them): every token covered by ANY cross-doc
+    * duplicated [[SpanW]]-window is dropped and the document is
+    * reassembled from the survivors — the conservative boilerplate cut
+    * (quotes, syndicated fragments, templated text) that keeps the
+    * document itself.
+    *
+    * Scale shape — fully exploded, never per-row quadratic: covered
+    * positions come from one generator over the marked windows
+    * (DISTINCT collapses the ~W× overlap of adjacent windows
+    * map-side), tokens from one generator over the texts, and the cut
+    * is a doc+position LEFT-ANTI equi-join — O(tokens) rows through
+    * one doc_id-keyed exchange. (The per-row alternative — an
+    * `exists` HOF per token over the start array — is O(len²) on a
+    * heavily-duplicated document; the anti-join is linear and AQE
+    * handles a skewed mega-doc.) Reassembly is [[paragraphDedup]]'s
+    * collect-sort-concat, deterministic because (doc_id, idx) is
+    * unique; the gate hashes the cleaned text. */
+  def substrDedupApply(spark: SparkSession, dir: String,
+                       w: Int = SpanW): DataFrame = {
+    val (grams, dupDigests) = spanGramsAndDups(spark, dir, w)
+    val covered = grams.join(dupDigests, "digest")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("idx"))
+      .distinct()
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("idx", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
       .presentSorted(col("doc_id"))
   }
 
@@ -283,7 +341,8 @@ object Curation {
     "dedup_keep_first"  -> keepFirst _,
     "term_pmi"          -> ((s, d) => termPmi(s, d)),
     "paragraph_dedup"   -> ((s, d) => paragraphDedup(s, d)),
-    "dedup_substr_spans" -> ((s, d) => substrDupSpans(s, d)))
+    "dedup_substr_spans" -> ((s, d) => substrDupSpans(s, d)),
+    "substr_dedup_apply" -> ((s, d) => substrDedupApply(s, d)))
 
   val oracles: Map[String, String] = Map(
     "domain_caps" ->
@@ -378,5 +437,43 @@ object Curation {
          |  CAST(floor(sum(CASE WHEN prev IS NULL THEN $SpanW
          |                 ELSE least($SpanW, pos - prev) END)
          |             * 1000000.0 / n_tokens) AS BIGINT) AS dup_ppm
-         |FROM m GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin)
+         |FROM m GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    "substr_dedup_apply" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(array_to_string(toks[i:i + $SpanW - 1], ' ')) AS digest
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - $SpanW + 2)) AS i
+         |        FROM t WHERE len(toks) >= $SpanW)),
+         |dd AS (
+         |  SELECT digest FROM (SELECT DISTINCT digest, doc_id FROM g)
+         |  GROUP BY digest HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT g.doc_id, g.pos + u.o AS idx
+         |  FROM g JOIN dd USING (digest)
+         |       CROSS JOIN (SELECT unnest(range(0, $SpanW)) AS o) u),
+         |tok AS (
+         |  SELECT doc_id, i AS idx, toks[i] AS tok
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+         |        FROM t)),
+         |kept AS (
+         |  SELECT tok.doc_id, tok.idx, tok.tok
+         |  FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id
+         |                        AND cov.idx = tok.idx
+         |  WHERE cov.doc_id IS NULL),
+         |a AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         |    array_to_string(list_transform(
+         |      list({'idx': idx, 'tok': tok} ORDER BY idx),
+         |      s -> struct_extract(s, 'tok')), ' ') AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  CAST(len(string_split(d.text, ' ')) - coalesce(a.kept_tokens, 0)
+         |       AS BIGINT) AS removed_tokens,
+         |  md5(coalesce(a.clean_text, '')) AS clean_md5
+         |FROM documents d LEFT JOIN a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin)
 }

@@ -104,6 +104,47 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("substrDedupApply: removal is the report's dup_tokens to the row, " +
+       "and the cleaned text is exactly the uncovered subsequence") {
+    val w = 8
+    val applied = Curation.substrDedupApply(spark, dir, w = w).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    graft.CacheScope.release(spark)
+    val report = Curation.substrDupSpans(spark, dir, w = w).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap // dup_tokens
+    graft.CacheScope.release(spark)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    // the apply and the report must agree on how much was cut: the
+    // removed count IS the interval-union size the report computes
+    docs.foreach { case (id, toks) =>
+      val (n, kept, removed, _) = applied(id)
+      assert(n == toks.size.toLong, s"n_tokens($id)")
+      assert(kept + removed == n, s"accounting($id)")
+      assert(removed == report.getOrElse(id, 0L),
+             s"removed($id) != report dup_tokens")
+    }
+    // and the cleaned text is the original with covered positions cut —
+    // an order-preserving subsequence, recomputed brute-force
+    val grams = docs.flatMap { case (id, t) =>
+      t.sliding(w).zipWithIndex.collect {
+        case (g, i) if g.size == w => (id, i, g.mkString(" ")) } }
+    val dupSet = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val coveredByDoc = grams.filter(g => dupSet(g._3))
+      .groupBy(_._1).view.mapValues(_.flatMap(m => m._2 until m._2 + w).toSet)
+    docs.foreach { case (id, toks) =>
+      val covered = coveredByDoc.getOrElse(id, Set.empty[Int])
+      val expect = toks.zipWithIndex.collect {
+        case (tok, i) if !covered(i) => tok }.mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(expect.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(applied(id)._4 == hex, s"clean text diverged for $id")
+    }
+  }
+
   test("substrDupSpans: two-agg distinct-doc count, no Window, no Expand, one join") {
     // the boilerplate gram is the skewed key at crawl scale: distinct-doc
     // counting must stay groupBy(digest, doc).groupBy(digest) — partial
