@@ -66,6 +66,54 @@ class CurationStreamSpec extends AnyFunSuite {
       "no passing doc was drop-banded — variant hash not splitting bands")
   }
 
+  test("full ingest composition in ONE stream: watermarked exact dedup " +
+       "upstream of the stateless curation gate") {
+    // the complete "clean the crawl as it lands" pipeline: in-horizon
+    // duplicates die in the (bounded) dedup state, survivors flow
+    // straight through the per-row gate — one streaming plan, exactly
+    // one stateful operator
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val piped = graft.stream.CurationPipeline.curated(
+      graft.stream.IngestDedup.exactWithinWatermark(
+        input.toDF().toDF("doc_id", "ts", "text"), "ts", "10 seconds"))
+    val q = piped.writeStream.format("memory").queryName("graft_ingest_cur")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ingest_cur").toString)
+      .start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      // doc 0's text arrives THREE times in-horizon (ids 0, 100, 102);
+      // the dedup state must fold them to one before the gate
+      val dup = docs.head._2
+      input.addData(
+        docs.map { case (i, t) => (i, t0, t) } ++
+          Seq((100L, t0, dup), (102L, t0, dup)): _*)
+      q.processAllAvailable()
+      val out = spark.table("graft_ingest_cur")
+        .select(col("text")).collect().map(_.getString(0))
+      // every surviving text is unique (the duplicate died in state)...
+      assert(out.distinct.length == out.length, "a duplicate passed the gate")
+      // ...and the survivors are exactly the batch kernel's on the
+      // deduped set
+      val expect = ext.Curation.curateStream(docs.toDF("doc_id", "text"))
+        .select(col("text")).collect().map(_.getString(0)).sorted.toSeq
+      assert(out.sorted.toSeq == expect, "composition diverged from kernel")
+      // exactly ONE stateful operator — the watermarked dedup; the
+      // curation gate adds none (no StateStoreSave/Restore beyond it)
+      val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(
+        "StreamingDeduplicateWithinWatermark".r.findAllIn(exec).size == 1,
+        s"expected exactly the dedup state node:\n${exec.take(800)}")
+      assert(!exec.contains("StateStoreSave"),
+        s"the stateless gate grew state:\n${exec.take(800)}")
+    } finally q.stop()
+  }
+
   test("foreachBatch micro-pipeline lands the kernel's survivors " +
        "band-partitioned") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
