@@ -181,7 +181,20 @@ object StreamSoak {
 
     val (sessJson, sessOk) = soakLeg(spark, "session_windows", sessions, ckpt, secs)
     val (joinJson, joinOk) = soakLeg(spark, "interval_join", ijoin, ckpt, secs)
-    val (curJson, curOk) = soakWriter(spark, "curation", curation, secs)
+    // the curation leg writes ~10 min of band-partitioned parquet plus a
+    // checkpoint — real disk, unlike the noop legs — so delete its tree
+    // (and the noop legs' checkpoints) once the stats are collected
+    val (curJson, curOk) =
+      try soakWriter(spark, "curation", curation, secs)
+      finally Seq(curOut, ckpt).foreach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val p = java.nio.file.Paths.get(root)
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case e: Throwable => System.err.println(s"[soak] cleanup $root: $e") }
+      }
 
     val json =
       s"""{"metric":"stream_soak","unit":"ms","secs_per_leg":$secs,""" +

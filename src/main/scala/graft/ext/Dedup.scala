@@ -401,10 +401,16 @@ object Dedup {
         .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v")))))
     val hist = vecs.filter(!isNew)
     val batch = vecs.filter(isNew)
-    val sw = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-    val seeds = hist
-      .withColumn("cell", (row_number().over(sw) - 1).cast(LongType))
-      .filter(col("cell") < k).select(col("cell"), col("v").as("cv"))
+    // Rank-stable k-seed pick WITHOUT a global sort: orderBy+limit is a
+    // parallel TakeOrderedAndProject (per-partition top-k heaps merged on
+    // one k-row task), then the 0-based cell rank comes from a k-row
+    // collect_list → array_sort → posexplode — no Window node anywhere,
+    // so no one-task pass over the history corpus (the r18 scale nit).
+    // Same seeds, same order as the oracle's row_number spelling.
+    val seeds = hist.orderBy(col("vec_id")).limit(k)
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("cell", "s")))
+      .select(col("cell").cast(LongType), col("s.v").as("cv"))
     val coarse = KMeans.trainedCodebookFrom(
       hist.select(col("vec_id"), col("v")), seeds, rounds)
     val hasg = KMeans.assignCells(hist.select(col("vec_id"), col("v")), coarse)

@@ -68,25 +68,37 @@ object BpeEncode {
     * re-parse only when a DIFFERENT array instance shows up. Identity
     * alone is not a safe key — an engine is free to reuse a mutable
     * ArrayData buffer across rows — so the hit is also guarded by a
-    * cheap content check (length + first/last element) that catches
-    * any in-place rewrite of a reused buffer. */
+    * FULL content compare against a snapshot of every element. Merge
+    * lists are small (hundreds of short strings) and the compare is a
+    * byte-equality loop, far cheaper than re-splitting, so the memo
+    * still pays while no in-place rewrite — head, tail, or MIDDLE —
+    * can serve a stale parse. */
   private val memo =
-    new ThreadLocal[(ArrayData, Int, UTF8String, UTF8String, Array[Array[String]])]
+    new ThreadLocal[(ArrayData, Array[UTF8String], Array[Array[String]])]
 
-  private def sameContent(
-      hit: (ArrayData, Int, UTF8String, UTF8String, Array[Array[String]]),
-      m: ArrayData, n: Int): Boolean =
-    hit._2 == n &&
-      (n == 0 || (hit._3 == m.getUTF8String(0) && hit._4 == m.getUTF8String(n - 1)))
+  private def sameContent(snapshot: Array[UTF8String], m: ArrayData, n: Int): Boolean = {
+    if (snapshot.length != n) return false
+    var j = 0
+    while (j < n) {
+      if (snapshot(j) != m.getUTF8String(j)) return false
+      j += 1
+    }
+    true
+  }
 
   private def parsed(m: ArrayData): Array[Array[String]] = {
     val n = m.numElements()
     val hit = memo.get()
-    if (hit != null && (hit._1 eq m) && sameContent(hit, m, n)) return hit._5
+    if (hit != null && (hit._1 eq m) && sameContent(hit._2, m, n)) return hit._3
     val out = new Array[Array[String]](n)
+    // snapshot every element's contents NOW: a UTF8String from
+    // getUTF8String may view the (possibly reused) underlying buffer —
+    // the very hazard the guard exists to detect
+    val snapshot = new Array[UTF8String](n)
     var i = 0
     while (i < n) {
-      val s = m.getUTF8String(i).toString
+      snapshot(i) = m.getUTF8String(i).clone()
+      val s = snapshot(i).toString
       val sp = s.indexOf(' ')
       // a malformed row ("no space") merges nothing rather than throwing
       out(i) =
@@ -94,12 +106,7 @@ object BpeEncode {
         else Array(s.substring(0, sp), s.substring(sp + 1))
       i += 1
     }
-    // clone the guard elements: a UTF8String from getUTF8String may view
-    // the (possibly reused) underlying buffer — the very hazard the
-    // guard exists to detect — so snapshot their contents now
-    val first = if (n == 0) null else m.getUTF8String(0).clone()
-    val last = if (n == 0) null else m.getUTF8String(n - 1).clone()
-    memo.set((m, n, first, last, out))
+    memo.set((m, snapshot, out))
     out
   }
 

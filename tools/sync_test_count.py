@@ -27,12 +27,21 @@ SUMMARY_RE = re.compile(
 
 def main(log_path: str) -> int:
     log = pathlib.Path(log_path).read_text(errors="replace")
-    m = SUMMARY_RE.search(log)
-    if not m:
+    matches = list(SUMMARY_RE.finditer(log))
+    if not matches:
         print("no sbt 'Passed: Total N' summary found — README untouched",
               file=sys.stderr)
         return 1
-    total, failed, errors, passed = map(int, m.groups())
+    # A log may carry several summaries (tee -a re-runs, multi-project
+    # aggregates). The LAST one is the freshest run's aggregate; if the
+    # summaries disagree we cannot tell which describes the full suite,
+    # so refuse rather than stamp a possibly-partial count.
+    if len({m.groups() for m in matches}) > 1:
+        print(f"{len(matches)} differing 'Passed: Total' summaries in log "
+              "— ambiguous (stale tee -a? partial re-run?); README untouched",
+              file=sys.stderr)
+        return 1
+    total, failed, errors, passed = map(int, matches[-1].groups())
     if failed or errors or passed != total:
         print(f"run not green (total={total} failed={failed} "
               f"errors={errors}) — README untouched", file=sys.stderr)
