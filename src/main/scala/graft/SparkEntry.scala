@@ -45,6 +45,7 @@ object SparkEntry {
     (ext.IvfPq.queries, ext.IvfPq.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),
     (ext.Dedup.queries, ext.Dedup.oracles),
+    (ext.DedupHistory.queries, ext.DedupHistory.oracles),
     (ext.Cluster.queries, ext.Cluster.oracles),
     (ext.Similarity.queries, ext.Similarity.oracles),
     (ext.SemDedup.queries, ext.SemDedup.oracles),

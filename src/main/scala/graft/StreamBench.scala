@@ -199,6 +199,37 @@ object StreamBench {
       .option("checkpointLocation", s"$ckpt/curation").start()
     val curStats = measure(curQ, secs)
 
+    // Leg 7: streaming NEAR-dup ingest — each micro-batch probed against
+    // FROZEN history artifacts (bloom + band table + shingles) through
+    // the foreachBatch manifest sink, the real parquet-appending path.
+    // History is built once before the clock starts and pinned, so the
+    // measured cost is the production per-batch shape: batch-side
+    // shingle/md5 work, the bloom gate (95% of docs end there — the
+    // mostly-novel crawl regime), and the candidate joins for the
+    // planted 5% near-dups.
+    val ndBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_NEARDUP_BATCH", "200000").toLong
+    val ndHist  = sys.env.getOrElse("SPARK_GRAFT_STREAM_NEARDUP_HIST", "100000").toLong
+    val ndDir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    graft.ext.DedupHistory.write(
+      Sources.nearDupDocs(spark.range(ndHist).toDF(), col("id"), 0L),
+      s"$ndDir/art")
+    val ndArt = graft.ext.DedupHistory.pinned(
+      graft.ext.DedupHistory.read(spark, s"$ndDir/art"))
+    val ndQ = graft.stream.IngestNearDedup.manifestSink(
+        Sources.nearDupDocs(
+          graft.stream.Sources.microBatchRows(spark, ndBatch),
+          col("value"), 1000000000000L),
+        ndArt, s"$ndDir/manifest", s"$ckpt/neardup").start()
+    val ndStats = measure(ndQ, secs)
+    // the leg appends ~secs worth of manifest parquet — real disk;
+    // delete its tree once the stats are collected
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(ndDir)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case e: Throwable => System.err.println(s"[streambench] cleanup: $e") }
+
     def jm(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
@@ -206,10 +237,11 @@ object StreamBench {
     val json =
       s"""{"metric":"stream_throughput","unit":"rows/sec","secs_per_leg":$secs,""" +
       s""""cal_single_sec":${fc(calSingle)},"cal_par_sec":${fc(calPar)},""" +
-      s""""rows_per_batch":{"candle_pipeline":$tickBatch,"rolling_tail":$candleBatch,"ingest_dedup":$docBatch,"interval_join":${2 * joinBatch},"session_windows":$sessBatch,"curation":$curBatch},""" +
+      s""""rows_per_batch":{"candle_pipeline":$tickBatch,"rolling_tail":$candleBatch,"ingest_dedup":$docBatch,"interval_join":${2 * joinBatch},"session_windows":$sessBatch,"curation":$curBatch,"near_dedup":$ndBatch},""" +
       s""""candle_pipeline":${jm(candleStats)},"rolling_tail":${jm(tailStats)},""" +
       s""""ingest_dedup":${jm(dedupStats)},"interval_join":${jm(joinStats)},""" +
       s""""session_windows":${jm(sessStats)},"curation":${jm(curStats)},""" +
+      s""""near_dedup":${jm(ndStats)},""" +
       s""""baseline_reference":{"msgs_per_sec":50,"micro_batch_sec":"1-2"}}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("STREAMBENCH.json"),
@@ -217,7 +249,8 @@ object StreamBench {
     catch { case e: Throwable => System.err.println(s"[streambench] write: $e") }
     spark.stop()
     // a crashed leg's numbers are not a measurement — fail the run loudly
-    if (Seq(candleStats, tailStats, dedupStats, joinStats, sessStats, curStats)
+    if (Seq(candleStats, tailStats, dedupStats, joinStats, sessStats, curStats,
+            ndStats)
           .exists(_.contains("failed")))
       sys.exit(1)
   }

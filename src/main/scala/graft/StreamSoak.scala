@@ -179,32 +179,57 @@ object StreamSoak {
       graft.stream.Sources.microBatchDocs(spark, curBatch),
       s"$curOut/out", s"$curOut/ckpt")
 
+    def rmTree(root: String): Unit =
+      try {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case e: Throwable => System.err.println(s"[soak] cleanup $root: $e") }
+
     val (sessJson, sessOk) = soakLeg(spark, "session_windows", sessions, ckpt, secs)
     val (joinJson, joinOk) = soakLeg(spark, "interval_join", ijoin, ckpt, secs)
     // the curation leg writes ~10 min of band-partitioned parquet plus a
     // checkpoint — real disk, unlike the noop legs — so delete its tree
-    // (and the noop legs' checkpoints) once the stats are collected
+    // once the stats are collected
     val (curJson, curOk) =
       try soakWriter(spark, "curation", curation, secs)
-      finally Seq(curOut, ckpt).foreach { root =>
-        try {
-          import scala.jdk.CollectionConverters._
-          val p = java.nio.file.Paths.get(root)
-          if (java.nio.file.Files.exists(p))
-            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-        } catch { case e: Throwable => System.err.println(s"[soak] cleanup $root: $e") }
-      }
+      finally rmTree(curOut)
+
+    // Leg 4: streaming NEAR-dup ingest — the frozen-artifact foreachBatch
+    // probe ([[graft.stream.IngestNearDedup]]). The soak's claim: the
+    // per-batch ephemeral pins really do release (hundreds of batches
+    // must not accumulate cached RDDs — asserted via the plateau in
+    // batch latency), state rows stay 0 (history is artifacts, not
+    // state), and minute-10 latency matches minute-1 while the manifest
+    // sink genuinely appends parquet the whole time.
+    val ndBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_NEARDUP_BATCH", "200000").toLong
+    val ndHist  = sys.env.getOrElse("SPARK_GRAFT_STREAM_NEARDUP_HIST", "100000").toLong
+    val ndDir = java.nio.file.Files.createTempDirectory("graft-soak-nd").toString
+    graft.ext.DedupHistory.write(
+      graft.stream.Sources.nearDupDocs(spark.range(ndHist).toDF(), col("id"), 0L),
+      s"$ndDir/art")
+    val ndArt = graft.ext.DedupHistory.pinned(
+      graft.ext.DedupHistory.read(spark, s"$ndDir/art"))
+    val ndSink = graft.stream.IngestNearDedup.manifestSink(
+      graft.stream.Sources.nearDupDocs(
+        graft.stream.Sources.microBatchRows(spark, ndBatch, 0L),
+        col("value"), 1000000000000L),
+      ndArt, s"$ndDir/manifest", s"$ndDir/ckpt")
+    val (ndJson, ndOk) =
+      try soakWriter(spark, "near_dedup", ndSink, secs)
+      finally { rmTree(ndDir); rmTree(ckpt) }
 
     val json =
       s"""{"metric":"stream_soak","unit":"ms","secs_per_leg":$secs,""" +
       s""""degrade_bound":$DegradeBound,"state_growth_bound":$StateGrowthBound,""" +
-      s"""$sessJson,$joinJson,$curJson}"""
+      s"""$sessJson,$joinJson,$curJson,$ndJson}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("STREAMSOAK.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[soak] write: $e") }
     spark.stop()
-    if (!(sessOk && joinOk && curOk)) sys.exit(1)
+    if (!(sessOk && joinOk && curOk && ndOk)) sys.exit(1)
   }
 }

@@ -162,7 +162,7 @@ object Dedup {
     * stay NULL — never a shared constant that would bucket every short
     * doc of a corpus together (pinned by ShortDocSpec; same contract as
     * the oracle's list_min over []). */
-  private def signaturesFrom(sh: DataFrame): DataFrame = {
+  private[ext] def signaturesFrom(sh: DataFrame): DataFrame = {
     val ex = sh.select(col("doc_id"), explode_outer(col("ss")).as("s"))
       .withColumn("h0", md5(concat(lit("0:"), col("s"))))
       .withColumn("h1", md5(concat(lit("1:"), col("s"))))
@@ -187,7 +187,7 @@ object Dedup {
     graft.Present.sorted(minhashSignatures(spark, dir), col("doc_id"))
 
   /** (doc_id, band_id, bkey) rows from a signature table. */
-  private def bandsOf(sig: DataFrame): DataFrame =
+  private[ext] def bandsOf(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
       posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*))
         .as(Seq("band_id", "bkey")))

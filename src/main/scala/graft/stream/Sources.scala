@@ -1,6 +1,6 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -117,4 +117,32 @@ object Sources {
           when(col("value") % 2 === 0, lit(PassBody))
             .otherwise(lit("short failing stub")),
           lit(" w"), (col("value") % 9973).cast(StringType)).as("text"))
+
+  /** 20 deterministic pseudo-word tokens from a key: 4 md5 digests
+    * sliced into 6-char tokens. Docs sharing a key share a body; docs
+    * with different keys share NOTHING (random hex) — so near-dup rate
+    * is controlled entirely by key collisions, never by a common
+    * skeleton that would degenerate LSH into one giant bucket (the
+    * documented duplicate-heavy failure mode). */
+  private def dedupBody(key: Column): Column =
+    concat_ws(" ", (0 until 4).flatMap { d =>
+      val h = md5(concat(lit(s"$d:"), key.cast(StringType)))
+      (0 until 5).map(i => h.substr(lit(1 + i * 6), lit(6)))
+    }: _*)
+
+  /** Near-dup bench corpus over any id frame: ~5% of docs draw their
+    * body from one of 1000 shared keys (NEAR-dups — a trailing
+    * per-doc variant token keeps them off exact-dup, Jaccard ≈ 0.8),
+    * the rest are novel under `novelOffset` (history passes 0, the
+    * stream a disjoint offset, so a novel stream doc can never collide
+    * with a novel history doc — only the planted 5% cross-match, ~5
+    * history partners each: the mostly-novel crawl regime where the
+    * bloom pre-filter ends the funnel for 95% of rows). */
+  def nearDupDocs(ids: DataFrame, idCol: Column,
+                  novelOffset: Long): DataFrame =
+    ids.select(idCol.as("doc_id"),
+      concat(
+        dedupBody(when(idCol % 100 < 5, idCol % 1000)
+          .otherwise(idCol + novelOffset)),
+        lit(" v"), (idCol % 997).cast(StringType)).as("text"))
 }
