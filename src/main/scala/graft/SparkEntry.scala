@@ -43,6 +43,7 @@ object SparkEntry {
     (ext.KMeans.queries, ext.KMeans.oracles),
     (ext.Pq.queries, ext.Pq.oracles),
     (ext.IvfPq.queries, ext.IvfPq.oracles),
+    (ext.Opq.queries, ext.Opq.oracles),
     (ext.Corpus.queries, ext.Corpus.oracles),
     (ext.Dedup.queries, ext.Dedup.oracles),
     (ext.DedupHistory.queries, ext.DedupHistory.oracles),

@@ -156,11 +156,18 @@ object Pq {
     * answer (the X10b practice). */
   def knnPq(spark: SparkSession, dir: String,
             m: Int = NumSubs, k: Int = NumCells, rounds: Int = NumRounds,
-            numQueries: Int = NumQueries, topK: Int = TopK): DataFrame = {
-    val subVecs = graft.CacheScope.pin(subVectors(
+            numQueries: Int = NumQueries, topK: Int = TopK): DataFrame =
+    knnPqFrame(
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v")),
-      m))
+      m, k, rounds, numQueries, topK)
+
+  /** [[knnPq]] over an arbitrary (vec_id, v DOUBLE[]) frame — [[Opq]]
+    * runs the identical train+ADC chain on ROTATED vectors, so the
+    * only difference between `knn_pq` and `knn_opq` is the basis. */
+  private[ext] def knnPqFrame(in: DataFrame, m: Int, k: Int, rounds: Int,
+                              numQueries: Int, topK: Int): DataFrame = {
+    val subVecs = graft.CacheScope.pin(subVectors(in, m))
     val (codebook, lastUpdate) = loop(subVecs, k, rounds)
     Graph.freeCheckpoint(lastUpdate)
     val codes = assignCodes(subVecs, codebook)
@@ -281,15 +288,21 @@ object Pq {
          |${roundCtes(NumRounds)},
          |codes AS (${codesSql(NumRounds)}),
          |qd AS (${qdSql(NumRounds, NumQueries)}),
-         |s AS (
-         |  SELECT qd.query_id, codes.vec_id AS nn_id,
-         |    CAST(sum(qd.d2_ppm) AS BIGINT) AS adc_ppm
-         |  FROM codes JOIN qd
-         |    ON qd.sub = codes.sub AND qd.cell = codes.code
-         |  WHERE codes.vec_id <> qd.query_id
-         |  GROUP BY 1, 2)
-         |SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id, adc_ppm
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |              ORDER BY adc_ppm, nn_id) AS rank FROM s)
-         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)
+         |${adcRankSql(TopK)}""".stripMargin)
+
+  /** ADC rank tail over preceding `codes`/`qd` CTEs — shared verbatim
+    * by `knn_pq` and [[Opq]]'s `knn_opq` so the ranking semantics
+    * can't drift between the raw and the rotated basis. */
+  private[ext] def adcRankSql(topK: Int): String =
+    s"""s AS (
+       |  SELECT qd.query_id, codes.vec_id AS nn_id,
+       |    CAST(sum(qd.d2_ppm) AS BIGINT) AS adc_ppm
+       |  FROM codes JOIN qd
+       |    ON qd.sub = codes.sub AND qd.cell = codes.code
+       |  WHERE codes.vec_id <> qd.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, nn_id, adc_ppm
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |              ORDER BY adc_ppm, nn_id) AS rank FROM s)
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 }
