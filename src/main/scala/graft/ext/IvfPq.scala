@@ -300,6 +300,52 @@ object IvfPq {
       col("query_id"), col("rank"))
   }
 
+  /** MAINTENANCE for the persisted codes layout. [[encode]] appends
+    * each ingest batch as a new file-set inside every touched
+    * `ivf_cell=` directory, so after B batches a probe of p cells
+    * opens O(p·B) small files — footer and open costs compound
+    * exactly like the streaming-sink fragmentation
+    * [[graft.ops.Layout]] exists for. This rewrites each inverted
+    * list as contiguous files: ONE shuffle keyed by `ivf_cell` (each
+    * cell lands wholly in one task → one file per cell directory),
+    * rows sorted (vec_id, sub) within the list so a future reader's
+    * row-group stats stay tight, written beside the live layout and
+    * swapped in with two renames — a reader sees the old layout or
+    * the new one, never a half-written mix. Rows are BIT-IDENTICAL
+    * and the `ivf_cell=` directory scheme is unchanged, so file-level
+    * pruning keeps working (both pinned in IvfPqSpec).
+    *
+    * What compaction does NOT fix: LIST imbalance. When
+    * [[ivfPqStats]]' `imbalance_ppm` reports a cell at ≳4× its fair
+    * share (4,000,000 ppm), probe tail latency is dominated by that
+    * list however few files it has — the remedy is RETRAINING the
+    * coarse quantizer (and re-encoding, a full [[writeIndex]] cycle),
+    * not compaction. That threshold is the documented rebalance
+    * trigger; compaction is the cheap, frequent op (per ingest day),
+    * retraining the rare, corpus-priced one. */
+  def compactCodes(spark: SparkSession, dir: String): Unit = {
+    val live = s"$dir/codes"
+    val tmp  = s"$dir/codes_compacting"
+    val old  = s"$dir/codes_old"
+    spark.read.parquet(live)
+      .select(col("vec_id"), col("ivf_cell").cast(LongType).as("ivf_cell"),
+              col("sub"), col("code"))
+      .repartition(col("ivf_cell"))
+      .sortWithinPartitions(col("ivf_cell"), col("vec_id"), col("sub"))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(live), spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(p(old), true)
+    if (!fs.rename(p(live), p(old)))
+      throw new java.io.IOException(s"compact: could not retire $live")
+    if (!fs.rename(p(tmp), p(live))) {
+      fs.rename(p(old), p(live)) // roll back — the old layout is intact
+      throw new java.io.IOException(s"compact: could not publish $tmp")
+    }
+    fs.delete(p(old), true); ()
+  }
+
   /** Inverted-list statistics of the trained index — the operational
     * report an ANN deployment watches alongside recall: probe latency
     * is proportional to the probed cells' LIST SIZES, so the

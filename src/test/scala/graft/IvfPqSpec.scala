@@ -74,6 +74,44 @@ class IvfPqSpec extends AnyFunSuite {
     assert(restricted.select(col("ivf_cell")).distinct().count() <= 2)
   }
 
+  test("append-then-compact: bit-identical codes, one file per cell, " +
+       "file-level pruning intact") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_cmp").toString
+    CacheScope.scoped(spark) {
+      // train on ~2/3 of the corpus, then append the rest through the
+      // incremental encode path — the fragmentation source compaction
+      // exists for (each append lands a new file-set per touched cell)
+      val base = vecs.filter(col("vec_id") % 3 =!= 0)
+      val incr = vecs.filter(col("vec_id") % 3 === 0)
+      ext.IvfPq.writeIndex(ext.IvfPq.trainIndex(base), dir)
+      val loaded = ext.IvfPq.readIndex(spark, dir)
+      ext.IvfPq.encode(incr, loaded.coarse, loaded.codebooks)
+        .write.mode("append").partitionBy("ivf_cell").parquet(s"$dir/codes")
+    }
+    def filesPerCell: Map[String, Int] = {
+      val root = new java.io.File(s"$dir/codes")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("ivf_cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    }
+    val before = codeRows(ext.IvfPq.readIndex(spark, dir).codes)
+    assert(filesPerCell.values.exists(_ > 1),
+           "append produced no fragmentation — fixture broken")
+    ext.IvfPq.compactCodes(spark, dir)
+    val after = codeRows(ext.IvfPq.readIndex(spark, dir).codes)
+    assert(after == before, "compaction changed the stored codes")
+    val fpc = filesPerCell
+    assert(fpc.nonEmpty && fpc.values.forall(_ == 1),
+           s"compaction left fragmented cells: $fpc")
+    // the ivf_cell= directory scheme survived the rewrite, so a cell
+    // restriction still prunes at the file level
+    val restricted = spark.read.parquet(s"$dir/codes")
+      .filter(col("ivf_cell").isin(1, 2))
+    val plan = restricted.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"),
+           s"cell restriction lost file-level pruning after compaction:\n$plan")
+  }
+
   test("probe plan over the loaded index is broadcast-only: corpus codes " +
        "never shuffle, nothing cartesian-explodes") {
     // the production path: artifacts loaded from parquet, no training
