@@ -174,9 +174,42 @@ object Funnel {
     * IncrementalFunnelSpec pins the funnel plan (bloom probe present,
     * history digest restriction broadcast, no cartesian). */
   def incrementalFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val (flagged, stages) = incrementalFlags(spark, dir)
+    val aggs = stageAggs(stages)
+    flagged
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(StackSql))
+      .presentSorted(col("stage"))
+  }
+
+  /** Per-LANGUAGE per-increment funnel — [[corpusFunnelByLang]]'s move
+    * applied to [[incrementalFunnel]]: the same frozen-history flag
+    * frame, aggregated by `lang` instead of globally. This is the
+    * artifact a multilingual crawl actually reviews per batch: which
+    * languages' documents die at which stage of THIS increment — a
+    * language whose crawl slice collapses at the history near-dup
+    * stage (syndicated content already banked) needs different
+    * sourcing than one dying at quality. One scan, map-side partials,
+    * O(languages × 7) rows; partitions the increment funnel to the
+    * row (FunnelSpec's per-language pin applied to the increment). */
+  def incrementalFunnelByLang(spark: SparkSession, dir: String): DataFrame = {
+    val (flagged, stages) = incrementalFlags(spark, dir)
+    val aggs = stageAggs(stages)
+    flagged
+      .groupBy(col("lang"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("lang"), expr(StackSql))
+      .presentSorted(col("lang"), col("stage"))
+  }
+
+  /** The per-increment flag frame + cumulative stage predicates —
+    * shared by the global and per-language increment funnels the same
+    * way [[flaggedDocs]] serves the corpus pair. */
+  private def incrementalFlags(spark: SparkSession,
+                               dir: String): (DataFrame, Seq[Column]) = {
     val isNew = col("doc_id") % Dedup.IncrMod === 0
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"), col("text"), col("lang"),
         size(split(col("text"), " ")).cast(LongType).as("wc"),
         md5(col("text")).as("digest"))
     val batch = docs.filter(isNew)
@@ -210,40 +243,22 @@ object Funnel {
     val s5 = s4 && coalesce(col("contaminated"), lit(0)) === 0
     val s6 = s5 && col("bucket").isNotNull && col("bucket") =!= "tail"
     val s7 = s6 && col("band") =!= "drop"
-    def d(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
-    def t(c: org.apache.spark.sql.Column) = sum(when(c, col("wc")).otherwise(0L))
-    batch
+    (batch
       .join(exKeep, "digest")
       .join(broadcast(dupDigests), Seq("digest"), "left")
       .join(man, "doc_id")
       .join(gopher, "doc_id")
       .join(cont, Seq("doc_id"), "left")
       .join(ppl, Seq("doc_id"), "left")
-      .join(cls, "doc_id")
-      .agg(count(lit(1)).as("d1"), sum(col("wc")).as("t1"),
-           d(s2).as("d2"), t(s2).as("t2"),
-           d(s3).as("d3"), t(s3).as("t3"),
-           d(s4).as("d4"), t(s4).as("t4"),
-           d(s5).as("d5"), t(s5).as("t5"),
-           d(s6).as("d6"), t(s6).as("t6"),
-           d(s7).as("d7"), t(s7).as("t7"))
-      .select(expr(
-        """stack(7,
-          |  CAST(1 AS BIGINT), 'ingest',      d1, t1,
-          |  CAST(2 AS BIGINT), 'exact_dedup', d2, t2,
-          |  CAST(3 AS BIGINT), 'near_dedup',  d3, t3,
-          |  CAST(4 AS BIGINT), 'quality',     d4, t4,
-          |  CAST(5 AS BIGINT), 'decontam',    d5, t5,
-          |  CAST(6 AS BIGINT), 'perplexity',  d6, t6,
-          |  CAST(7 AS BIGINT), 'classifier',  d7, t7
-          |) AS (stage, stage_name, n_docs, n_tokens)""".stripMargin))
-      .presentSorted(col("stage"))
+      .join(cls, "doc_id"),
+     Seq(s2, s3, s4, s5, s6, s7))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_funnel" -> corpusFunnel _,
     "funnel_by_lang" -> corpusFunnelByLang _,
-    "incremental_funnel" -> incrementalFunnel _)
+    "incremental_funnel" -> incrementalFunnel _,
+    "incremental_funnel_by_lang" -> incrementalFunnelByLang _)
 
   /** Eval-contamination CTEs (`dsh`/`dcont`) — [[Decontam]]'s n-gram
     * probe, shared by both funnel oracles. */
@@ -359,49 +374,59 @@ object Funnel {
     "funnel_by_lang" ->
       s"""$corpusFlagsCtes
          |${stageReport(Some("lang"))}""".stripMargin,
-    "incremental_funnel" ->
-      s"""WITH ${Dedup.incrVerCtes},
-         |man AS (
-         |  SELECT d.doc_id, v.doc_n IS NULL AS kept
-         |  FROM documents d LEFT JOIN ver v ON v.doc_n = d.doc_id
-         |  WHERE d.doc_id % ${Dedup.IncrMod} = 0),
-         |dd AS (
-         |  SELECT doc_id, md5(text) AS digest,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
-         |  FROM documents),
-         |nb AS (SELECT * FROM dd WHERE doc_id % ${Dedup.IncrMod} = 0),
-         |ex AS (SELECT digest, min(doc_id) AS keeper FROM nb GROUP BY 1),
-         |hd AS (SELECT DISTINCT digest FROM dd
-         |       WHERE doc_id % ${Dedup.IncrMod} <> 0),
-         |g AS (${Text.gopherPassSql}),
-         |$decontamCtes,
-         |${LangModel.splitScoredCtes(
-             s"doc_id % ${Dedup.IncrMod} <> 0",
-             s"doc_id % ${Dedup.IncrMod} = 0")},
-         |$bucketCte,
-         |$classifierCte,
-         |f0 AS (
-         |  SELECT nb.doc_id, nb.wc,
-         |    nb.doc_id = ex.keeper AND hd.digest IS NULL AS p2,
-         |    man.kept AS p3,
-         |    g.pass = 1 AS p4,
-         |    nb.doc_id NOT IN (SELECT doc_id FROM dcont) AS p5,
-         |    pb.bucket IS NOT NULL AND pb.bucket <> 'tail' AS p6,
-         |    cb.score >= ${Scoring.ReviewMin} AS p7
-         |  FROM nb JOIN ex USING (digest)
-         |          LEFT JOIN hd USING (digest)
-         |          JOIN man USING (doc_id)
-         |          JOIN g USING (doc_id)
-         |          LEFT JOIN pb ON pb.doc_id = nb.doc_id
-         |          JOIN cb ON cb.doc_id = nb.doc_id),
-         |f AS (
-         |  SELECT doc_id, wc,
-         |    p2 AS s2,
-         |    p2 AND p3 AS s3,
-         |    p2 AND p3 AND p4 AS s4,
-         |    p2 AND p3 AND p4 AND p5 AS s5,
-         |    p2 AND p3 AND p4 AND p5 AND p6 AS s6,
-         |    p2 AND p3 AND p4 AND p5 AND p6 AND p7 AS s7
-         |  FROM f0)
-         |$stageReportSql""".stripMargin)
+    "incremental_funnel" -> incrementalOracle(byLang = false),
+    "incremental_funnel_by_lang" -> incrementalOracle(byLang = true))
+
+  /** The per-increment oracle body, shared by the global and
+    * per-language spellings — only the carried `lang` column and the
+    * report's grouping differ, so the increment semantics cannot
+    * drift between the two gates. */
+  private def incrementalOracle(byLang: Boolean): String = {
+    val l = if (byLang) ", lang" else ""
+    val nl = if (byLang) ", nb.lang" else ""
+    s"""WITH ${Dedup.incrVerCtes},
+       |man AS (
+       |  SELECT d.doc_id, v.doc_n IS NULL AS kept
+       |  FROM documents d LEFT JOIN ver v ON v.doc_n = d.doc_id
+       |  WHERE d.doc_id % ${Dedup.IncrMod} = 0),
+       |dd AS (
+       |  SELECT doc_id$l, md5(text) AS digest,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+       |  FROM documents),
+       |nb AS (SELECT * FROM dd WHERE doc_id % ${Dedup.IncrMod} = 0),
+       |ex AS (SELECT digest, min(doc_id) AS keeper FROM nb GROUP BY 1),
+       |hd AS (SELECT DISTINCT digest FROM dd
+       |       WHERE doc_id % ${Dedup.IncrMod} <> 0),
+       |g AS (${Text.gopherPassSql}),
+       |$decontamCtes,
+       |${LangModel.splitScoredCtes(
+           s"doc_id % ${Dedup.IncrMod} <> 0",
+           s"doc_id % ${Dedup.IncrMod} = 0")},
+       |$bucketCte,
+       |$classifierCte,
+       |f0 AS (
+       |  SELECT nb.doc_id$nl, nb.wc,
+       |    nb.doc_id = ex.keeper AND hd.digest IS NULL AS p2,
+       |    man.kept AS p3,
+       |    g.pass = 1 AS p4,
+       |    nb.doc_id NOT IN (SELECT doc_id FROM dcont) AS p5,
+       |    pb.bucket IS NOT NULL AND pb.bucket <> 'tail' AS p6,
+       |    cb.score >= ${Scoring.ReviewMin} AS p7
+       |  FROM nb JOIN ex USING (digest)
+       |          LEFT JOIN hd USING (digest)
+       |          JOIN man USING (doc_id)
+       |          JOIN g USING (doc_id)
+       |          LEFT JOIN pb ON pb.doc_id = nb.doc_id
+       |          JOIN cb ON cb.doc_id = nb.doc_id),
+       |f AS (
+       |  SELECT doc_id$l, wc,
+       |    p2 AS s2,
+       |    p2 AND p3 AS s3,
+       |    p2 AND p3 AND p4 AS s4,
+       |    p2 AND p3 AND p4 AND p5 AS s5,
+       |    p2 AND p3 AND p4 AND p5 AND p6 AS s6,
+       |    p2 AND p3 AND p4 AND p5 AND p6 AND p7 AS s7
+       |  FROM f0)
+       |${if (byLang) stageReport(Some("lang")) else stageReportSql}""".stripMargin
+  }
 }

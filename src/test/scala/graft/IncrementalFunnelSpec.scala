@@ -57,6 +57,33 @@ class IncrementalFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("per-language increment funnel partitions the global increment " +
+       "funnel exactly") {
+    // same frozen-history flag frame, two aggregation scopes: summing
+    // each stage over languages must reproduce the global increment
+    // report to the row (the FunnelSpec pin applied to the increment)
+    val global = run {
+      ext.Funnel.incrementalFunnel(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    }
+    val byLang = run {
+      ext.Funnel.incrementalFunnelByLang(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    }
+    assert(byLang.map(_._1).distinct.length > 1, "fixture lost its languages")
+    (1L to 7L).foreach { stage =>
+      val rows = byLang.filter(_._2 == stage)
+      assert((rows.map(_._3).sum, rows.map(_._4).sum) == global(stage),
+             s"stage $stage does not partition")
+    }
+    // and each language's own increment funnel is monotone
+    byLang.groupBy(_._1).foreach { case (lang, rows) =>
+      rows.sortBy(_._2).map(_._3).sliding(2).foreach { case Array(a, b) =>
+        assert(b <= a, s"$lang increment funnel not monotone")
+      }
+    }
+  }
+
   test("plan: bloom probe present, history digest set probed by a " +
        "broadcast batch list, no cartesian") {
     run {
