@@ -99,7 +99,37 @@ object Bench {
     // reports no timing at all.
     // Optional trailing query names restrict the run (fast local
     // iteration on one query); the driver passes none → full suite.
-    val only = args.toSet
+    // `--changed` restricts to queries whose DEFINING module file is
+    // newer than the last full artifact — the mid-round iteration mode:
+    // the suite grows ~10 queries/round and a full min-of-3 run is
+    // ~90 s best-case, so editing one operator file should not cost a
+    // full-suite wait. Deliberately a heuristic: it maps a query to the
+    // module that DEFINES it (via the query lambda's enclosing object),
+    // not to every file its plan touches — a shared-helper edit in
+    // another module won't select its dependents. That is fine for the
+    // iteration loop and wrong for grading, which is why a subset run
+    // (this mode included) never overwrites the artifact: the
+    // round-final number is always the full suite.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    val only: Set[String] =
+      if (args.contains("--changed")) {
+        val since = new java.io.File(outFile).lastModified() // 0 when absent
+        def moduleFile(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) =
+          new java.io.File("src/main/scala/" +
+            fn.getClass.getName.takeWhile(_ != '$').replace('.', '/') + ".scala")
+        val sel = SparkEntry.queries.filter { case (_, fn) =>
+          val f = moduleFile(fn)
+          !f.exists() || f.lastModified() > since // unknown file → conservative
+        }.keySet
+        System.err.println(
+          s"[bench] --changed: ${sel.size}/${SparkEntry.queries.size} queries " +
+          s"from modules newer than $outFile")
+        sel
+      } else args.toSet
+    // subset mode is a property of the INVOCATION, not of `only`'s size:
+    // a --changed run that selects zero queries must run zero queries
+    // and must still never touch the artifact
+    val subsetMode = args.nonEmpty
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Host CPU-steal telemetry (r15 verdict item 3): this box's neighbors
     // steal CPU in bursts long enough to poison not just a rep's spread
@@ -209,7 +239,7 @@ object Bench {
       (reps, suspect)
     }
     val firstResults = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) => !subsetMode || only(name) }
       .zipWithIndex
       .map { case ((name, fn), idx) =>
         if (restartEvery > 0 && idx > 0 && idx % restartEvery == 0) {
@@ -267,11 +297,11 @@ object Bench {
     def fmt(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     val total = timed.map(_._2).sum
     val nStall = timed.count(_._5)
-    // A subset run is a scratch measurement — never let it clobber the
-    // full-suite artifact. SPARK_GRAFT_BENCH_OUT redirects a full run at
-    // a NON-default SF (the BASELINE.md scale probe) to its own file:
-    // BENCH_LAST.json stays the authoritative sf0.1 regression artifact.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // A subset run (names or --changed) is a scratch measurement —
+    // never let it clobber the full-suite artifact (`only.isEmpty`
+    // guards the write below). SPARK_GRAFT_BENCH_OUT redirects a full
+    // run at a NON-default SF (the BASELINE.md scale probe) to its own
+    // file: BENCH_LAST.json stays the authoritative sf0.1 artifact.
     // r16 verdict item 7: flag regressions at MEASUREMENT time, not
     // judge time. Before overwriting the artifact, compare this run's
     // mins against the previous one under the rules
@@ -286,7 +316,7 @@ object Bench {
     val VsPrevThreshold = 2.0
     val vsPrev: Option[String] = try {
       val f = new java.io.File(outFile)
-      if (!f.exists() || only.nonEmpty) None else {
+      if (!f.exists() || subsetMode) None else {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
         // a previous artifact from a DIFFERENT scale factor (the
         // SPARK_GRAFT_BENCH_OUT-less scale probe misuse case) would
@@ -355,7 +385,7 @@ object Bench {
     // this run (stolen min or non-converging reps after rescue).
     val stealFr = timed.map { case (k, _, _, st, _) => s"\"" + k + "\":" + fmt(st) }
     val stalls = timed.collect { case (k, _, _, _, true) => s"\"" + k + "\"" }
-    if (only.isEmpty)
+    if (!subsetMode)
       try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","repeats":$repeats,"cal_single_sec":${fmt(calSingle)},"cal_par_sec":${fmt(calPar)}$vp,"queries":${fullQs.mkString("{", ",", "}")},"spread":${spread.mkString("{", ",", "}")},"steal_frac":${stealFr.mkString("{", ",", "}")},"stall_suspect":${stalls.mkString("[", ",", "]")},"errors":$errsFull}""" + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
