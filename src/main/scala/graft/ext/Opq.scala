@@ -44,25 +44,20 @@ object Opq {
 
   /** The synthetic embeddings' dimensionality; the Hadamard closed
     * form needs a power of two. */
-  private[ext] val Dim = 64
+  private[ext] val Dim = graft.functions.HadamardRotate.Dim
 
-  /** ±1 sign row i of H·D: entry j is
-    * (−1)^popcount(i AND j) · σ(j), with σ a fixed Fibonacci-hash
-    * parity — the deterministic stand-in for D's random signs. */
+  /** ±1 sign row i of H·D — delegated to the native expression's
+    * object, the single source of truth for engine loop and oracle
+    * literals alike. */
   private[graft] def signRow(i: Int): Array[Double] =
-    Array.tabulate(Dim) { j =>
-      val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
-      val s = if (java.lang.Integer.bitCount(j * 0x9E3779B1) % 2 == 0) 1.0
-              else -1.0
-      h * s
-    }
+    graft.functions.HadamardRotate.signRow(i)
 
-  /** R·v as one projection: output dim i = (v · signRow(i)) / 8 —
-    * exact ±1 products, exact power-of-two scale. */
+  /** R·v as one native expression — see [[graft.functions
+    * .HadamardRotate]] for why not 64 composed [[graft.functions
+    * .ArrayDot]]s (the 14 KB generated method blew HotSpot's JIT
+    * ceiling and ran interpreted at ~0.3 ms/row). */
   private[graft] def rotate(v: Column): Column =
-    array((0 until Dim).map { i =>
-      graft.functions.ArrayDot(v, typedLit(signRow(i))) * lit(0.125)
-    }: _*)
+    graft.functions.HadamardRotate(v)
 
   private def rotatedVecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

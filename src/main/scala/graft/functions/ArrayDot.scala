@@ -109,6 +109,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     binary("word_window_md5", classOf[WordWindowMd5], WordWindowMd5(_, _))
     binary("bpe_encode", classOf[BpeEncode], BpeEncode(_, _))
     ext.injectFunction((
+      new FunctionIdentifier("hadamard_rotate"),
+      new ExpressionInfo(classOf[HadamardRotate].getName, "hadamard_rotate"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+                s"hadamard_rotate expects 1 argument, got ${children.length}")
+        HadamardRotate(children(0))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("strided_min_md5"),
       new ExpressionInfo(classOf[StridedMinMd5].getName, "strided_min_md5"),
       (children: Seq[Expression]) => {
