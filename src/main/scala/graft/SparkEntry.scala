@@ -51,6 +51,7 @@ object SparkEntry {
     (ext.Similarity.queries, ext.Similarity.oracles),
     (ext.SemDedup.queries, ext.SemDedup.oracles),
     (ext.Scoring.queries, ext.Scoring.oracles),
+    (ext.Classifier.queries, ext.Classifier.oracles),
     (ext.Multimodal.queries, ext.Multimodal.oracles),
     (ext.Privacy.queries, ext.Privacy.oracles),
     (ext.Decontam.queries, ext.Decontam.oracles),

@@ -1,0 +1,233 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** In-engine TRAINED quality classifier — the step [[Scoring]]'s seam
+  * deliberately stubs: instead of plugging an externally-trained model,
+  * this op LEARNS a linear scorer inside the engine (CCNet trains its
+  * fastText quality filter on wiki-vs-crawl labels, Wenzek et al. 2020
+  * §4.3; LLaMA reproduces the recipe). Labels here are the Gopher rule
+  * cascade's own pass/fail ([[Text.gopherFlags]] — one shared spelling,
+  * so label and rule can never drift), making the trained model a
+  * DISTILLATION of the rule set into a single calibrated margin: the
+  * deploy shape where the cheap linear score replaces a 5-rule cascade
+  * at scan time and its margin is threshold-tunable (the cascade's
+  * binary pass is not).
+  *
+  * Training is full-batch gradient descent on logistic-style loss,
+  * [[KMeans]]'s trainer discipline applied to a supervised model:
+  *
+  *  - the per-round weight vector is a 1-row broadcast frame (never a
+  *    driver collect); the gradient is a per-(dim) FIXED-POINT sum —
+  *    `floor(g·10⁶)` BIGINTs are exact and order-independent where
+  *    double summation order varies per partitioning;
+  *  - the link is the ALGEBRAIC sigmoid `0.5 + z/(2(1+|z|))` — same
+  *    monotone S-shape, but built from +,·,/,|x| only, every one of
+  *    which is IEEE-correctly-rounded and therefore BIT-IDENTICAL
+  *    across engines. `exp` is not (libm vs libm), so true-σ training
+  *    could never hash-match a DuckDB oracle; a production run without
+  *    a cross-engine replay requirement swaps one expression;
+  *  - features are fixed-scale affine maps of integer-exact text stats
+  *    (no data-dependent standardization — the scale constants are part
+  *    of the model spec, so a frozen model applies to any future batch
+  *    without a stats pass).
+  *
+  * Loop hygiene is [[Graph.pageRank]]'s: per-round localCheckpoint of
+  * the 5-row gradient and 1-row weight frames truncates plan growth;
+  * superseded blocks freed. 100 TB posture: each round is ONE pass over
+  * the pinned feature frame; the explode is 5 rows/doc collapsed
+  * map-side to 5 rows/partition before the exchange, so shuffled rows
+  * are O(dims × partitions), not O(docs); the weights ride a broadcast.
+  * At corpus scale the trainer runs on a SAMPLE (train on a slice,
+  * apply to the corpus — [[KMeans]]'s deploy note) and `apply` is a
+  * pure per-row map, no shuffle.
+  *
+  * Oracle: the [[KMeans]]/[[Bpe]]-style R-round unrolled CTE chain —
+  * w0 = 0⃗, per round an exploded fixed-point gradient CTE and a
+  * rebuilt weight CTE, bit-stable end-to-end.
+  */
+object Classifier {
+
+  private[ext] val NumRounds = 8
+  private[ext] val Lr = 0.5
+  private[ext] val NumDims = 5
+
+  /** Feature frame (doc_id, y, x: ARRAY<DOUBLE>[5]) over (doc_id, text)
+    * rows. y is the Gopher cascade's pass; x = [bias, wc/100,
+    * mean_wlen/10, n_stops/9, ttr] — each a fixed affine map of an
+    * integer-exact stat, spelled identically in [[oracles]]. */
+  private[graft] def featureFrame(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    Text.gopherFlags(docs)
+      .withColumn("ttr",
+        size(array_distinct(t)).cast(DoubleType) / size(t))
+      .select(
+        col("doc_id"),
+        col("pass").cast(LongType).as("y"),
+        array(
+          lit(1.0),
+          col("word_count").cast(DoubleType) / 100.0,
+          col("mean_word_len") / 10.0,
+          col("n_required_stops").cast(DoubleType) / 9.0,
+          col("ttr")).as("x"))
+  }
+
+  /** One round's fixed-point gradient table (dim, qsum, n) under the
+    * 1-row weight frame `wF`. p − y under the algebraic sigmoid; the
+    * *1e6 floor quantizes each per-row contribution to an exact BIGINT.
+    * The explode is 5 rows/doc, collapsed map-side by the partial
+    * aggregate before the exchange (ClassifierSpec pins this). */
+  private[graft] def gradStep(feats: DataFrame, wF: DataFrame): DataFrame = {
+    val p = lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z"))))
+    feats.crossJoin(broadcast(wF))
+      .select(col("y"),
+        graft.functions.ArrayDot(col("x"), col("w")).as("z"),
+        col("x"))
+      .select(col("y"), col("z"), posexplode(col("x")).as(Seq("dim", "xi")))
+      .select(col("dim").cast(LongType).as("dim"),
+        floor((p - col("y").cast(DoubleType)) * col("xi") * lit(1000000.0))
+          .cast(LongType).as("q"))
+      .groupBy(col("dim"))
+      .agg(sum(col("q")).as("qsum"), count(lit(1)).as("n"))
+  }
+
+  /** The GD loop; returns (final 1-row weight frame, final gradient
+    * table). Both stay checkpoint-live for the caller's plan; blocks
+    * reclaimed by the ContextCleaner when the frames drop. */
+  private def loop(feats: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    var wF = feats.sparkSession.range(1)
+      .select(array(Seq.fill(NumDims)(lit(0.0)): _*).as("w"))
+      .localCheckpoint()
+    var lastGrad: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val grad = gradStep(feats, wF).localCheckpoint()
+      val next = grad.crossJoin(broadcast(wF))
+        .select(col("dim"),
+          (element_at(col("w"), (col("dim") + 1).cast(IntegerType)) -
+           lit(Lr) * (col("qsum").cast(DoubleType) / 1e6 / col("n"))).as("wv"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("wv")))),
+          s => s.getField("wv")).as("w"))
+        .localCheckpoint()
+      Graph.freeCheckpoint(wF)
+      if (lastGrad != null) Graph.freeCheckpoint(lastGrad)
+      wF = next
+      lastGrad = grad
+    }
+    (wF, lastGrad)
+  }
+
+  /** Gate query: the final round's fixed-point gradient table plus the
+    * trained weights quantized to BIGINT (`qw = ⌊w·10⁶⌋`) — all-integer
+    * output, the [[KMeans]] hash-gate convention. */
+  def qualityClfTrain(spark: SparkSession, dir: String): DataFrame = {
+    val feats = graft.CacheScope.pin(
+      featureFrame(Tables.documents(spark, dir)))
+    val (wF, grad) = loop(feats, NumRounds)
+    graft.Present.sorted(
+      grad.crossJoin(broadcast(wF))
+        .select(col("dim"), col("qsum"), col("n"),
+          floor(element_at(col("w"), (col("dim") + 1).cast(IntegerType))
+                * lit(1000000.0)).cast(LongType).as("qw")),
+      col("dim"))
+  }
+
+  /** Gate query: the corpus scored under the trained weights — margin
+    * (quantized), thresholded prediction, and agreement with the label
+    * (the distillation-fidelity column a curation run reviews before
+    * swapping cascade for classifier). Pure per-row map over the pinned
+    * features once trained: the deploy path. */
+  def qualityClfApply(spark: SparkSession, dir: String): DataFrame = {
+    val feats = graft.CacheScope.pin(
+      featureFrame(Tables.documents(spark, dir)))
+    val (wF, grad) = loop(feats, NumRounds)
+    Graph.freeCheckpoint(grad)
+    graft.Present.sorted(
+      feats.crossJoin(broadcast(wF))
+        .select(col("doc_id"), col("y"),
+          graft.functions.ArrayDot(col("x"), col("w")).as("z"))
+        .select(col("doc_id"), col("y"),
+          floor(col("z") * lit(1000000.0)).cast(LongType).as("zq"),
+          when(col("z") >= 0, 1).otherwise(0).cast(IntegerType).as("pred"))
+        .withColumn("correct",
+          (col("pred") === col("y")).cast(IntegerType)),
+      col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_clf_train" -> qualityClfTrain _,
+    "quality_clf_apply" -> qualityClfApply _)
+
+  // ---- oracles (generated R-round unrolled CTE chains) ----
+
+  /** Feature + label CTEs: `yp` is [[Text.gopherPassSql]] VERBATIM (one
+    * spelling for the label rule, shared with the gopher/funnel gates),
+    * `f` the fixed-scale feature arrays. */
+  private def featureCtes: String = {
+    val stops = Text.GopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""yp AS (${Text.gopherPassSql}),
+       |f AS MATERIALIZED (
+       |  SELECT d.doc_id, CAST(yp.pass AS BIGINT) AS y,
+       |    [1.0,
+       |     CAST(len(toks) AS DOUBLE) / 100.0,
+       |     (CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+       |        / len(toks)) / 10.0,
+       |     CAST(len(list_filter($stops,
+       |            w -> list_contains(list_distinct(toks), w))) AS DOUBLE) / 9.0,
+       |     CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)] AS x
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
+       |  JOIN yp ON yp.doc_id = d.doc_id)""".stripMargin
+  }
+
+  private def roundCtes(r: Int): String = (1 to r).map { i =>
+    s"""g$i AS MATERIALIZED (
+       |  SELECT CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(sum(q) AS BIGINT) AS qsum, CAST(count(*) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT i,
+       |      CAST(floor(((0.5 + z / (2.0 * (1.0 + abs(z)))) - CAST(y AS DOUBLE))
+       |                 * x[i] * 1000000.0) AS BIGINT) AS q
+       |    FROM (SELECT y, x, list_dot_product(x, w) AS z,
+       |                 unnest(range(1, len(x) + 1)) AS i
+       |          FROM f CROSS JOIN w${i - 1}))
+       |  GROUP BY 1),
+       |w$i AS (
+       |  SELECT array_agg(wv ORDER BY dim) AS w FROM (
+       |    SELECT g.dim,
+       |      w.w[CAST(g.dim AS INTEGER) + 1]
+       |        - $Lr * (CAST(g.qsum AS DOUBLE) / 1e6 / g.n) AS wv
+       |    FROM g$i g CROSS JOIN w${i - 1} w))""".stripMargin
+  }.mkString(",\n")
+
+  private def w0Cte: String =
+    s"w0 AS (SELECT ${Seq.fill(NumDims)("0.0").mkString("[", ", ", "]")} AS w)"
+
+  val oracles: Map[String, String] = Map(
+    "quality_clf_train" ->
+      s"""WITH $featureCtes,
+         |$w0Cte,
+         |${roundCtes(NumRounds)}
+         |SELECT g.dim, g.qsum, g.n,
+         |  CAST(floor(w.w[CAST(g.dim AS INTEGER) + 1] * 1000000.0) AS BIGINT)
+         |    AS qw
+         |FROM g$NumRounds g CROSS JOIN w$NumRounds w
+         |ORDER BY dim""".stripMargin,
+    "quality_clf_apply" ->
+      s"""WITH $featureCtes,
+         |$w0Cte,
+         |${roundCtes(NumRounds)}
+         |SELECT doc_id, y, zq, pred,
+         |  CAST(CASE WHEN pred = CAST(y AS INTEGER) THEN 1 ELSE 0 END
+         |       AS INTEGER) AS correct
+         |FROM (
+         |  SELECT f.doc_id, f.y,
+         |    CAST(floor(list_dot_product(f.x, w.w) * 1000000.0) AS BIGINT)
+         |      AS zq,
+         |    CAST(CASE WHEN list_dot_product(f.x, w.w) >= 0 THEN 1 ELSE 0 END
+         |         AS INTEGER) AS pred
+         |  FROM f CROSS JOIN w$NumRounds w)
+         |ORDER BY doc_id""".stripMargin)
+}

@@ -181,7 +181,7 @@ object Text {
     * "the"/"a" of the originals, and without the extension the rule
     * would be vacuously false corpus-wide (the mechanics, not the
     * English calibration, are what the gate verifies). */
-  private val GopherStops =
+  private[ext] val GopherStops =
     Seq("the", "a", "be", "to", "of", "and", "that", "have", "with")
 
   /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
