@@ -231,9 +231,44 @@ object Cluster {
       .presentSorted(col("cluster_rep"))
   }
 
+  /** LEAKAGE-SAFE train/validation/test split — [[Corpus.trainTestSplit]]'s
+    * hash-bucket rule applied to the near-dup CLUSTER, not the document:
+    * every member of a duplicate cluster hashes the same `cluster_rep`,
+    * so a cluster lands in ONE split atomically. The doc-level split
+    * can't give this: Lee et al. 2022 (§6.2) measure that duplicated
+    * documents straddle train/test in deduplicated-looking corpora, and
+    * a near-dup of a training doc sitting in eval IS contamination —
+    * the eval metric silently becomes a memorization probe. Hashing the
+    * rep keeps every trainTestSplit property (reproducible, rand()-free,
+    * stable under corpus growth for unchanged clusters) while closing
+    * the near-dup leak; singletons (rep = own id) degrade to exactly
+    * the document rule.
+    *
+    * Scale shape: the cluster assignment is [[connectedComponents]]
+    * unchanged (O(E+V) per round, log rounds); the bucket/split is a
+    * pure per-row expression on its output — no additional shuffle. */
+  def splitByCluster(spark: SparkSession, dir: String,
+                     trainPct: Int = 80, validationPct: Int = 10): DataFrame = {
+    val edges = Dedup.lshPairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val lbl = connectedComponents(
+      Tables.documents(spark, dir).select(col("doc_id").as("id")), edges)
+    val bucket = conv(substring(md5(col("cluster_rep").cast("string")), 1, 4),
+        16, 10).cast("int") % 100
+    lbl.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .otherwise(when(col("bucket") < trainPct + validationPct,
+            lit("validation"))
+          .otherwise(lit("test"))))
+      .presentSorted(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters _,
-    "cluster_keep_best" -> clusterKeepBest _)
+    "cluster_keep_best" -> clusterKeepBest _,
+    "split_by_cluster" -> ((s, d) => splitByCluster(s, d)))
 
   /** Shared oracle prefix: rebuild the verified pair graph with the SAME
     * SQL as the `dedup_minhash_lsh` oracle, close it with a recursive
@@ -280,6 +315,18 @@ object Cluster {
          |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
          |    AS cluster_size
          |FROM asg ORDER BY doc_id""".stripMargin,
+    "split_by_cluster" ->
+      s"""$ClosureCtes,
+         |b AS (
+         |  SELECT doc_id, cluster_rep,
+         |    ('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 4))::INTEGER
+         |      % 100 AS bucket
+         |  FROM asg)
+         |SELECT doc_id, cluster_rep, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     "cluster_keep_best" ->
       s"""$ClosureCtes,
          |r AS (

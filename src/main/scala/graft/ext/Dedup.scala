@@ -457,7 +457,7 @@ object Dedup {
     * duplicate-cluster builder's edge input ([[Cluster.dedupClusters]]),
     * whose groupBy/checkpoint consumers would pay for an ordering and
     * immediately destroy it. */
-  private[ext] def lshPairs(spark: SparkSession, dir: String,
+  private[graft] def lshPairs(spark: SparkSession, dir: String,
                             jaccardMin: Double = 0.5): DataFrame =
     lshVerifiedPairs(spark, dir, jaccardMin)
       .select(col("doc_a"), col("doc_b"))

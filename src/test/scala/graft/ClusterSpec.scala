@@ -161,6 +161,47 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("split_by_cluster: no verified near-dup pair straddles a split; singletons keep the doc rule") {
+    val sfDir = TestSpark.sfDir
+    val out = Cluster.splitByCluster(spark, sfDir)
+      .select(col("doc_id"), col("cluster_rep"), col("bucket"), col("split"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getString(3))))
+      .toMap
+    // THE leakage property, to the pair: both endpoints of every
+    // verified near-dup pair land in the same split — the contamination
+    // channel Lee et al. 2022 §6.2 measure is closed by construction
+    val pairs = ext.Dedup.lshPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect()
+    assert(pairs.nonEmpty, "fixture lost its near-dup pairs")
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(out(a)._3 == out(b)._3,
+        s"pair ($a, $b) straddles splits ${out(a)._3}/${out(b)._3}")
+    }
+    // singleton degradation: rep = own id ⇒ bucket is exactly the
+    // document-level trainTestSplit hash of the id
+    val docRule = (id: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.take(4), 16) % 100
+    }
+    out.collect { case (id, (rep, bucket, _)) if rep == id =>
+      assert(bucket == docRule(id), s"singleton $id bucket drifted")
+    }
+    // and the op is not vacuous: some clustered doc's split DIFFERS from
+    // what its own id would hash to (the docs the atomic rule rescues)
+    val rescued = out.exists { case (id, (rep, bucket, _)) =>
+      rep != id && bucket != docRule(id)
+    }
+    assert(rescued, "no doc's split changed — fixture can't witness atomicity")
+    // every member of a cluster shares the rep's split
+    out.groupBy(_._2._1).foreach { case (_, ms) =>
+      assert(ms.values.map(_._3).toSet.size == 1)
+    }
+  }
+
   test("CC small-graph path stays near the job floor (no amplification)") {
     // mirror of GraphSpec's pageRank pin: the default path is the
     // one-task local union-find — 3 eager localCheckpoints (v, sym,
