@@ -180,10 +180,45 @@ object Bpe {
       col("doc_id"))
   }
 
+  /** Per-LANGUAGE tokenizer fertility — the tokenizer-fairness report
+    * (Petrov et al. 2023, "Language Model Tokenizers Introduce
+    * Unfairness Between Languages"; Rust et al. 2021's fertility
+    * metric): tokens-per-word and chars-per-token by language under
+    * the corpus-trained merge list. A language whose fertility runs
+    * high pays more sequence length for the same content — it gets
+    * fewer effective context tokens AND costs more to train on; this
+    * report is how a multilingual run detects that before training.
+    * Composes [[bpeTokens]]'s encode with a one-scan per-lang
+    * aggregate: integer sums (exact), two final divisions (single IEEE
+    * ops, cross-engine stable). O(languages) output rows. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val merges = mergesArray(trainBpe(spark, dir))
+    val toks = graft.functions.BpeEncode(col("text"), col("merges"))
+    graft.Present.sorted(
+      Tables.documents(spark, dir)
+        .crossJoin(broadcast(merges))
+        .select(col("lang"),
+          size(toks).cast(LongType).as("ntok"),
+          size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast(LongType).as("nw"),
+          length(translate(col("text"), " ", "")).cast(LongType).as("nch"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("nw")).as("n_words"),
+             sum(col("ntok")).as("n_tokens"),
+             sum(col("nch")).as("n_chars"))
+        .withColumn("fertility",
+          col("n_tokens").cast(DoubleType) / col("n_words"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast(DoubleType) / col("n_tokens")),
+      col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "bpe_tokens" -> ((s, d) => bpeTokens(s, d)),
-    "bpe_apply"  -> ((s, d) => bpeApply(s, d)))
+    "bpe_apply"  -> ((s, d) => bpeApply(s, d)),
+    "bpe_fertility" -> ((s, d) => bpeFertility(s, d)))
 
   // ---- oracles (generated K-round unrolled CTE chains) ----
 
@@ -265,6 +300,36 @@ object Bpe {
          |    string_agg(array_to_string(l, ' '), ' ' ORDER BY i) AS ts
          |  FROM j GROUP BY doc_id) t ON t.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "bpe_fertility" ->
+      s"""WITH ${dictCtes(NumMerges)},
+         |seg AS (
+         |  SELECT word, string_split(substr(s, 2, len(s) - 2),
+         |                            $FrC || $FrO) AS l
+         |  FROM d$NumMerges),
+         |dw AS (
+         |  SELECT doc_id, w.word
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents) w
+         |  WHERE w.word <> ''),
+         |per AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(coalesce(t.nt, 0) AS BIGINT) AS ntok,
+         |    CAST(len(list_filter(string_split(d.text, ' '),
+         |                         w -> w <> '')) AS BIGINT) AS nw,
+         |    CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS nch
+         |  FROM documents d LEFT JOIN (
+         |    SELECT dw.doc_id, sum(len(seg.l)) AS nt
+         |    FROM dw JOIN seg ON seg.word = dw.word
+         |    GROUP BY dw.doc_id) t ON t.doc_id = d.doc_id)
+         |SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nch) AS BIGINT) AS n_chars,
+         |  CAST(sum(ntok) AS DOUBLE) / CAST(sum(nw) AS BIGINT) AS fertility,
+         |  CAST(sum(nch) AS DOUBLE) / CAST(sum(ntok) AS BIGINT)
+         |    AS chars_per_token
+         |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     "bpe_apply" -> {
       // b0..bK: the BATCH word dictionary run through the HISTORY
       // rounds' winners m1..mK in rank order — one boundary-exact

@@ -68,6 +68,27 @@ class BpeSpec extends AnyFunSuite {
     assert(enc("low", merges).length <= enc("lowest", merges).length)
   }
 
+  test("fertility report partitions the per-doc token accounting to the row") {
+    val sfDir = TestSpark.sfDir
+    val perDoc = ext.Bpe.bpeTokens(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("n_bpe_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fert = ext.Bpe.bpeFertility(spark, sfDir).collect()
+    // lang rows partition the corpus: doc and token sums close exactly
+    assert(fert.map(_.getLong(1)).sum == perDoc.size)
+    assert(fert.map(_.getLong(3)).sum == perDoc.values.sum,
+      "per-lang token sums drifted from the per-doc encode")
+    fert.foreach { r =>
+      val (nw, ntok, nch) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(r.getDouble(5) == ntok.toDouble / nw, "fertility ratio drifted")
+      assert(r.getDouble(6) == nch.toDouble / ntok)
+      // sane tokenizer: merges only ever SHORTEN the code-point stream
+      assert(ntok <= nch, s"lang ${r.getString(0)}: more tokens than chars")
+      assert(ntok >= nw, s"lang ${r.getString(0)}: fewer tokens than words")
+    }
+  }
+
   test("frozen-artifact apply: OOV words segment under the trained merges") {
     // the bpe_apply contract: merges trained on a REFERENCE corpus
     // encode UNSEEN words — learned subword units fire inside words the
