@@ -157,19 +157,50 @@ object Classifier {
       col("doc_id"))
   }
 
+  /** FROZEN-model apply — the deployment contract [[qualityClfApply]]
+    * can't show (it scores the corpus it trained on): weights train on
+    * the HISTORY split ([[Dedup.IncrMod]], the shared increment
+    * fixture) and score the UNSEEN batch. This is both the per-increment
+    * curation shape (train once on banked corpus, score every arriving
+    * batch against the frozen artifact — [[Bpe.bpeApply]]'s seam for
+    * the model modality) and the generalization check: agreement on
+    * documents the trainer never saw is the number that licenses
+    * swapping cascade for classifier in the ingest path
+    * (ClassifierSpec measures it beats the baseline). */
+  def qualityClfFrozen(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % Dedup.IncrMod === 0
+    val feats = graft.CacheScope.pin(
+      featureFrame(Tables.documents(spark, dir)))
+    val (wF, grad) = loop(feats.filter(!isNew), NumRounds)
+    Graph.freeCheckpoint(grad)
+    graft.Present.sorted(
+      feats.filter(isNew).crossJoin(broadcast(wF))
+        .select(col("doc_id"), col("y"),
+          graft.functions.ArrayDot(col("x"), col("w")).as("z"))
+        .select(col("doc_id"), col("y"),
+          floor(col("z") * lit(1000000.0)).cast(LongType).as("zq"),
+          when(col("z") >= 0, 1).otherwise(0).cast(IntegerType).as("pred"))
+        .withColumn("correct",
+          (col("pred") === col("y")).cast(IntegerType)),
+      col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_clf_train" -> qualityClfTrain _,
-    "quality_clf_apply" -> qualityClfApply _)
+    "quality_clf_apply" -> qualityClfApply _,
+    "quality_clf_frozen" -> qualityClfFrozen _)
 
   // ---- oracles (generated R-round unrolled CTE chains) ----
 
-  /** Feature + label CTEs: `yp` is [[Text.gopherPassSql]] VERBATIM (one
-    * spelling for the label rule, shared with the gopher/funnel gates),
-    * `f` the fixed-scale feature arrays. */
-  private def featureCtes: String = {
+  /** Label CTE: [[Text.gopherPassSql]] VERBATIM — one spelling for the
+    * label rule, shared with the gopher/funnel gates. */
+  private def ypCte: String = s"yp AS (${Text.gopherPassSql})"
+
+  /** Named feature CTE over documents matching `docPred` — the
+    * fixed-scale feature arrays. */
+  private def fCte(name: String, docPred: String = "TRUE"): String = {
     val stops = Text.GopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""yp AS (${Text.gopherPassSql}),
-       |f AS MATERIALIZED (
+    s"""$name AS MATERIALIZED (
        |  SELECT d.doc_id, CAST(yp.pass AS BIGINT) AS y,
        |    [1.0,
        |     CAST(len(toks) AS DOUBLE) / 100.0,
@@ -178,11 +209,14 @@ object Classifier {
        |     CAST(len(list_filter($stops,
        |            w -> list_contains(list_distinct(toks), w))) AS DOUBLE) / 9.0,
        |     CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)] AS x
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents WHERE $docPred) d
        |  JOIN yp ON yp.doc_id = d.doc_id)""".stripMargin
   }
 
-  private def roundCtes(r: Int): String = (1 to r).map { i =>
+  private def featureCtes: String = s"$ypCte,\n${fCte("f")}"
+
+  private def roundCtes(r: Int, src: String = "f"): String = (1 to r).map { i =>
     s"""g$i AS MATERIALIZED (
        |  SELECT CAST(i - 1 AS BIGINT) AS dim,
        |    CAST(sum(q) AS BIGINT) AS qsum, CAST(count(*) AS BIGINT) AS n
@@ -192,7 +226,7 @@ object Classifier {
        |                 * x[i] * 1000000.0) AS BIGINT) AS q
        |    FROM (SELECT y, x, list_dot_product(x, w) AS z,
        |                 unnest(range(1, len(x) + 1)) AS i
-       |          FROM f CROSS JOIN w${i - 1}))
+       |          FROM $src CROSS JOIN w${i - 1}))
        |  GROUP BY 1),
        |w$i AS (
        |  SELECT array_agg(wv ORDER BY dim) AS w FROM (
@@ -229,5 +263,24 @@ object Classifier {
          |    CAST(CASE WHEN list_dot_product(f.x, w.w) >= 0 THEN 1 ELSE 0 END
          |         AS INTEGER) AS pred
          |  FROM f CROSS JOIN w$NumRounds w)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "quality_clf_frozen" -> {
+      val mod = Dedup.IncrMod
+      s"""WITH $ypCte,
+         |${fCte("fh", s"doc_id % $mod <> 0")},
+         |${fCte("fb", s"doc_id % $mod = 0")},
+         |$w0Cte,
+         |${roundCtes(NumRounds, "fh")}
+         |SELECT doc_id, y, zq, pred,
+         |  CAST(CASE WHEN pred = CAST(y AS INTEGER) THEN 1 ELSE 0 END
+         |       AS INTEGER) AS correct
+         |FROM (
+         |  SELECT f.doc_id, f.y,
+         |    CAST(floor(list_dot_product(f.x, w.w) * 1000000.0) AS BIGINT)
+         |      AS zq,
+         |    CAST(CASE WHEN list_dot_product(f.x, w.w) >= 0 THEN 1 ELSE 0 END
+         |         AS INTEGER) AS pred
+         |  FROM fb f CROSS JOIN w$NumRounds w)
+         |ORDER BY doc_id""".stripMargin
+    })
 }
