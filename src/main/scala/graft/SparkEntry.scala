@@ -52,6 +52,7 @@ object SparkEntry {
     (ext.SemDedup.queries, ext.SemDedup.oracles),
     (ext.Scoring.queries, ext.Scoring.oracles),
     (ext.Classifier.queries, ext.Classifier.oracles),
+    (ext.Sketch.queries, ext.Sketch.oracles),
     (ext.Multimodal.queries, ext.Multimodal.oracles),
     (ext.Privacy.queries, ext.Privacy.oracles),
     (ext.Decontam.queries, ext.Decontam.oracles),

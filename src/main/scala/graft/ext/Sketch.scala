@@ -1,0 +1,144 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** KMV (k-minimum-values) distinct-count sketch — Bar-Yossef et al.
+  * 2002 / Beyer et al. 2007's unbiased estimator `D̂ = (k−1)/h₍ₖ₎`
+  * over the k smallest distinct hash values, the sketch behind
+  * DataSketches' theta family. The 100 TB motivation: EXACT distinct
+  * counting of a corpus-scale universe (here the width-3 word windows
+  * that drive near-dup and decontamination economics) shuffles the
+  * whole universe; the KMV sketch is a BOUNDED aggregate — O(k) state
+  * per partial, one exchange of O(k × partitions) rows, mergeable
+  * across shards/days by construction (sketch union = merge the
+  * sorted arrays, keep k smallest).
+  *
+  * The sketch is a custom typed [[Aggregator]] (the one §2.G case the
+  * SURVEY reserves for genuinely stateful aggregation Spark lacks):
+  * each partial keeps a SORTED ascending array of ≤ k distinct hashes;
+  * `reduce` is O(log k) compare for the common miss (hv ≥ current max
+  * once warm — probability k/seen), O(k) copy only on the rare hit;
+  * `merge` is one linear sorted-merge. Determinism: pure set
+  * semantics — arrival order cannot change the k smallest.
+  *
+  * Hash: the first 48 bits of the window's md5, divided by 2⁴⁸ — one
+  * exact integer extraction plus one IEEE division, bit-identical in
+  * DuckDB ([[Scoring.fakeLogit]]'s convention at sketch precision).
+  * The oracle replays the estimator declaratively (DISTINCT → ORDER
+  * BY → LIMIT k), which is also the in-engine witness path
+  * SketchSpec pins against the Aggregator.
+  *
+  * The gate row carries the EXACT distinct beside the estimate (the
+  * error audit a sketch rollout runs at small scale before trusting
+  * the estimator at large); at 100 TB the exact column is the thing
+  * you stop computing.
+  */
+object Sketch {
+
+  private[ext] val K = 256
+  private[ext] val W = 3
+  private val TwoPow48 = 281474976710656.0 // 2^48, exact in double
+
+  /** Bounded k-minimum-values buffer: sorted ascending, distinct,
+    * length ≤ k. */
+  class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], KmvState] {
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(b: Array[Long], hv: Long): Array[Long] = {
+      if (b.length == k && hv >= b(b.length - 1)) return b
+      val i = java.util.Arrays.binarySearch(b, hv)
+      if (i >= 0) return b // already a member
+      val at = -i - 1
+      val n = math.min(b.length + 1, k)
+      val out = new Array[Long](n)
+      System.arraycopy(b, 0, out, 0, at)
+      out(at) = hv
+      System.arraycopy(b, at, out, at + 1, n - at - 1)
+      out
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var (i, j, o) = (0, 0, 0)
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val take =
+          if (i >= a.length) { val v = b(j); j += 1; v }
+          else if (j >= b.length) { val v = a(i); i += 1; v }
+          else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+          else if (a(i) > b(j)) { val v = b(j); j += 1; v }
+          else { val v = a(i); i += 1; j += 1; v } // shared member, once
+        out(o) = take
+        o += 1
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+
+    override def finish(b: Array[Long]): KmvState =
+      KmvState(b.length.toLong, if (b.isEmpty) -1L else b(b.length - 1))
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+  }
+
+  /** Sketch summary: how many slots filled, and the k-th (max kept)
+    * 48-bit hash — the estimator's denominator. */
+  case class KmvState(k_filled: Long, kth: Long)
+
+  /** Gate query: ONE aggregate computes the KMV sketch (bounded state)
+    * and the exact distinct (the gate-scale audit column) over the
+    * corpus's width-[[W]] word windows, then derives the estimate and
+    * its error in ppm — all from integer-exact inputs through single
+    * IEEE ops. */
+  def distinctKmv(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val kmv = udaf(new KmvAgg(k))
+    val hv = Tables.documents(spark, dir)
+      .select(explode(graft.functions.WordWindowMd5(col("text"), lit(W)))
+        .as("digest"))
+      .select(col("digest"),
+        conv(substring(col("digest"), 1, 12), 16, 10).cast(LongType).as("hv"))
+    val est = lit((k - 1).toDouble) /
+      (col("kth").cast(DoubleType) / lit(TwoPow48))
+    hv.agg(kmv(col("hv")).as("s"),
+           countDistinct(col("digest")).as("exact_distinct"))
+      .select(col("s.k_filled").as("k_filled"), col("s.kth").as("kth"),
+              est.as("est_distinct"), col("exact_distinct"))
+      .withColumn("err_ppm",
+        floor(abs(col("est_distinct") - col("exact_distinct").cast(DoubleType))
+              / col("exact_distinct") * lit(1000000.0)).cast(LongType))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "distinct_kmv" -> ((s, d) => distinctKmv(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "distinct_kmv" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS MATERIALIZED (
+         |  SELECT md5(array_to_string(toks[i:i + ${W - 1}], ' ')) AS digest
+         |  FROM (SELECT toks, unnest(range(1, len(toks) - ${W - 2})) AS i
+         |        FROM t WHERE len(toks) >= $W)),
+         |h AS MATERIALIZED (
+         |  SELECT DISTINCT ('0x' || substr(digest, 1, 12))::BIGINT AS hv
+         |  FROM g),
+         |kk AS (SELECT hv FROM h ORDER BY hv LIMIT $K),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS k_filled,
+         |             CAST(max(hv) AS BIGINT) AS kth FROM kk),
+         |e AS (SELECT CAST(count(DISTINCT digest) AS BIGINT)
+         |        AS exact_distinct FROM g)
+         |SELECT k_filled, kth, est_distinct, exact_distinct,
+         |  CAST(floor(abs(est_distinct - CAST(exact_distinct AS DOUBLE))
+         |             / exact_distinct * 1000000.0) AS BIGINT) AS err_ppm
+         |FROM (
+         |  SELECT s.k_filled, s.kth,
+         |    ${K - 1}.0 / (CAST(s.kth AS DOUBLE) / 281474976710656.0)
+         |      AS est_distinct,
+         |    e.exact_distinct
+         |  FROM s CROSS JOIN e)""".stripMargin)
+}

@@ -3,51 +3,83 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Approximate-aggregation contracts — the bounded-memory, MERGEABLE
-  * alternatives to exact distinct/percentile at 100 TB. DuckDB's sketch
-  * implementations differ bit-for-bit, so these cannot be gate queries;
-  * the spec pins the properties that make them production-usable
-  * instead: error within the advertised bound against the exact answer
-  * (which ops/Stats computes as a gate query), and sketch MERGE
-  * associativity — partial sketches built per series union into the
-  * global estimate, which is precisely why one pass over 1000 executors
-  * works. */
+import graft.ext.Sketch
+import graft.ext.Sketch.KmvAgg
+
+/** Pins [[ext.Sketch]]'s KMV sketch contract: the bounded Aggregator
+  * must be EXACTLY the declarative k-smallest-distinct (same kth, same
+  * fill — a sketch that drifts from its own definition estimates the
+  * wrong thing), its buffers must stay bounded by k under adversarial
+  * reduce/merge order (the whole 100 TB point), and the estimator's
+  * error at gate scale must sit inside the published KMV deviation. */
 class SketchSpec extends AnyFunSuite {
   import TestSpark.{spark, sfDir}
 
-  private def events = Tables.events(spark, sfDir)
+  private val rnd = new scala.util.Random(0xC0FFEE)
 
-  test("approx_count_distinct lands within its rsd bound of the exact count") {
-    val row = events.agg(
-      countDistinct(col("user_id")).as("exact"),
-      approx_count_distinct(col("user_id"), rsd = 0.05).as("approx")).head()
-    val (exact, approx) = (row.getLong(0), row.getLong(1))
-    // 0.05 is ONE standard deviation of the HLL estimator — allow 4σ
-    assert(math.abs(approx - exact) <= math.max(1L, (4 * 0.05 * exact).toLong),
-           s"exact=$exact approx=$approx")
+  test("reduce/merge ≡ set-union witness on random multisets; buffers bounded by k") {
+    val agg = new KmvAgg(16)
+    // three shards with heavy duplication and overlap
+    val shards = Seq.fill(3)(Array.fill(500)(rnd.nextInt(64).toLong + 1))
+    val partials = shards.map { sh =>
+      var b = agg.zero
+      sh.foreach { v =>
+        b = agg.reduce(b, v)
+        assert(b.length <= 16, "reduce grew past k")
+        assert(b.sameElements(b.distinct.sorted), "buffer lost sortedness")
+      }
+      b
+    }
+    val merged = partials.reduce { (a, b) =>
+      val m = agg.merge(a, b)
+      assert(m.length <= 16, "merge grew past k")
+      assert(m.sameElements(m.distinct.sorted))
+      m
+    }
+    val want = shards.flatten.distinct.sorted.take(16)
+    assert(merged.sameElements(want),
+      s"sketch ${merged.toSeq} != witness ${want.toSeq}")
+    val st = agg.finish(merged)
+    assert(st.k_filled == want.length && st.kth == want.last)
+    // empty corner: finish(zero) is well-defined
+    assert(agg.finish(agg.zero) == Sketch.KmvState(0L, -1L))
   }
 
-  test("HLL sketches built per series union to the global cardinality") {
-    val perSeries = events.groupBy(col("event_type"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val merged = perSeries
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      .head().getLong(0)
-    val exact = events.agg(countDistinct(col("user_id"))).head().getLong(0)
-    assert(math.abs(merged - exact) <= math.max(1L, (0.1 * exact).toLong),
-           s"exact=$exact merged-estimate=$merged")
+  test("merge is order-insensitive (sketch union semantics)") {
+    val agg = new KmvAgg(8)
+    val xs = Array.fill(200)(rnd.nextInt(40).toLong)
+    val ys = Array.fill(200)(rnd.nextInt(40).toLong + 20)
+    def build(vs: Array[Long]) = vs.foldLeft(agg.zero)(agg.reduce)
+    val (a, b) = (build(xs), build(ys))
+    assert(agg.merge(a, b).sameElements(agg.merge(b, a)))
+    assert(agg.merge(a, agg.zero).sameElements(a))
   }
 
-  test("approx_percentile brackets the exact discrete median") {
-    val approx = events
-      .agg(percentile_approx(col("value"), lit(0.5), lit(10000)))
-      .head().getDouble(0)
-    // with accuracy 10000 on ~10⁴-10⁵ rows the estimate is near-exact;
-    // assert it sits within the exact central band
-    val Array(lo, hi) = events.agg(
-      expr("percentile_disc(0.45) WITHIN GROUP (ORDER BY value)"),
-      expr("percentile_disc(0.55) WITHIN GROUP (ORDER BY value)"))
-      .head().toSeq.map(_.asInstanceOf[Double]).toArray
-    assert(approx >= lo && approx <= hi, s"median approx=$approx not in [$lo,$hi]")
+  test("distributed sketch ≡ the declarative k-smallest-distinct; error inside the KMV bound") {
+    val row = Sketch.distinctKmv(spark, sfDir).collect().head
+    // declarative witness: DISTINCT → ORDER BY → LIMIT k on the same
+    // hash column (the oracle's spelling, run in-engine)
+    val hv = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.WordWindowMd5(col("text"), lit(3)))
+        .as("digest"))
+      .select(conv(substring(col("digest"), 1, 12), 16, 10)
+        .cast("long").as("hv"))
+      .distinct()
+    val want = hv.orderBy(col("hv")).limit(256).collect().map(_.getLong(0))
+    assert(row.getLong(0) == want.length, "k_filled drifted")
+    assert(row.getLong(1) == want.last, "kth drifted from the witness")
+    // estimator sanity at gate scale: |D̂ − D|/D within 25% (expected
+    // σ = 1/√(k−2) ≈ 6.3% at k=256; measured 12.7% on this corpus)
+    assert(row.getLong(4) < 250000,
+      s"KMV error ${row.getLong(4)} ppm — estimator wired wrong")
+  }
+
+  test("scale shape: the sketch aggregate partial-aggregates; one output row") {
+    val df = Sketch.distinctKmv(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // partial sketch buffers collapse map-side before the exchange
+    assert(plan.contains("Partial") || plan.contains("partial"),
+      plan.take(3000))
+    assert(df.count() == 1)
   }
 }
