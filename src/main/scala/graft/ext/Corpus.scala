@@ -131,6 +131,50 @@ object Corpus {
     * materialization cost, which is why `copy_idx` (not physically
     * copied text) is the output: downstream shard packing joins text
     * back or reads it by reference. */
+  /** Context-window packing-efficiency report — the accounting that
+    * motivates sample packing (Raffel et al. 2020 §2.2 pack to 512;
+    * GPT-3 trains on packed streams): for each candidate context
+    * length, how many windows does per-document padding cost versus
+    * packing documents into a continuous stream? `naive_eff` is
+    * real-token fraction under pad-each-doc-to-ctx; `packed_eff` its
+    * packed upper bound (⌈total/ctx⌉ windows — what [[packShards]]'
+    * start-offset packing approaches to within one doc per shard
+    * boundary). The gap × GPU-hours is the waste a training run pays
+    * for skipping the packer; the report is how you pick ctx before
+    * committing a tokenization run.
+    *
+    * One scan: per-doc token counts ([[Text.tokenCount]]'s BPE-ish
+    * regex spelling) exploded over the O(1) ctx candidates, one
+    * aggregate — integer-exact sums, ⌈·⌉ as floor over an exact
+    * double division (counts ≪ 2⁵³), final ratios single IEEE
+    * divisions. O(ctx candidates) output rows. */
+  def packingEfficiency(spark: SparkSession, dir: String,
+                        ctxs: Seq[Int] = Seq(64, 128, 256, 512)): DataFrame = {
+    val nt = size(regexp_extract_all(col("text"),
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast(LongType)
+    Tables.documents(spark, dir)
+      .select(nt.as("nt"))
+      .select(col("nt"),
+        explode(array(ctxs.map(c => lit(c)): _*)).as("ctx"))
+      .select(col("nt"), col("ctx").cast(LongType).as("ctx"),
+        floor((col("nt") + col("ctx") - 1).cast(DoubleType) / col("ctx"))
+          .cast(LongType).as("chunks"))
+      .groupBy(col("ctx"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("nt")).as("n_tokens"),
+           sum(col("chunks")).as("naive_chunks"))
+      .withColumn("naive_pad_tokens",
+        col("naive_chunks") * col("ctx") - col("n_tokens"))
+      .withColumn("packed_chunks",
+        floor((col("n_tokens") + col("ctx") - 1).cast(DoubleType) / col("ctx"))
+          .cast(LongType))
+      .withColumn("naive_eff",
+        col("n_tokens").cast(DoubleType) / (col("naive_chunks") * col("ctx")))
+      .withColumn("packed_eff",
+        col("n_tokens").cast(DoubleType) / (col("packed_chunks") * col("ctx")))
+      .presentSorted(col("ctx"))
+  }
+
   def mixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
     val whole = when(col("lang") === "en", 0).when(col("lang") === "de", 2)
       .when(col("lang") === "zh", 3).when(col("lang") === "fr", 1)
@@ -273,9 +317,37 @@ object Corpus {
     "mixture_epochs"    -> mixtureEpochs _,
     "lang_temperature_sample" -> ((s, d) => langTemperatureSample(s, d)),
     "length_buckets"    -> ((s, d) => lengthBuckets(s, d)),
-    "doc_chunks"        -> ((s, d) => docChunks(s, d)))
+    "doc_chunks"        -> ((s, d) => docChunks(s, d)),
+    "packing_efficiency" -> ((s, d) => packingEfficiency(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "packing_efficiency" ->
+      """WITH per AS (
+        |  SELECT CAST(len(regexp_extract_all(text,
+        |           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS nt
+        |  FROM documents),
+        |x AS (
+        |  SELECT nt, CAST(ctx AS BIGINT) AS ctx,
+        |    CAST(floor(CAST(nt + ctx - 1 AS DOUBLE) / ctx) AS BIGINT)
+        |      AS chunks
+        |  FROM (SELECT nt, unnest([64, 128, 256, 512]) AS ctx FROM per)),
+        |a AS (
+        |  SELECT ctx,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(chunks) AS BIGINT) AS naive_chunks
+        |  FROM x GROUP BY 1),
+        |b AS (
+        |  SELECT ctx, n_docs, n_tokens, naive_chunks,
+        |    naive_chunks * ctx - n_tokens AS naive_pad_tokens,
+        |    CAST(floor(CAST(n_tokens + ctx - 1 AS DOUBLE) / ctx) AS BIGINT)
+        |      AS packed_chunks
+        |  FROM a)
+        |SELECT ctx, n_docs, n_tokens, naive_chunks, naive_pad_tokens,
+        |  packed_chunks,
+        |  CAST(n_tokens AS DOUBLE) / (naive_chunks * ctx) AS naive_eff,
+        |  CAST(n_tokens AS DOUBLE) / (packed_chunks * ctx) AS packed_eff
+        |FROM b ORDER BY ctx""".stripMargin,
     "corpus_clean" ->
       """WITH d AS (SELECT *, md5(text) AS digest FROM documents),
         |k AS (

@@ -47,6 +47,29 @@ class PackShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("packing-efficiency report: accounting closes against the per-doc witness") {
+    val perDoc = ext.Text.tokenCount(spark, sfDir)
+      .select(col("bpe_tokens")).collect().map(_.getLong(0))
+    val rows = Corpus.packingEfficiency(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(64L, 128L, 256L, 512L))
+    rows.foreach { r =>
+      val ctx = r.getLong(0)
+      val (nDocs, nTok, naive, pad, packed) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // per-doc witness for the naive chunk count
+      assert(nDocs == perDoc.length && nTok == perDoc.sum)
+      assert(naive == perDoc.map(t => (t + ctx - 1) / ctx).sum,
+        s"ctx $ctx naive chunks drifted")
+      // accounting closes exactly: chunks × ctx = tokens + padding
+      assert(naive * ctx == nTok + pad)
+      assert(packed == (nTok + ctx - 1) / ctx)
+      // packing can only help, and efficiencies are the stated ratios
+      assert(packed <= naive)
+      assert(r.getDouble(6) == nTok.toDouble / (naive * ctx))
+      assert(r.getDouble(7) == nTok.toDouble / (packed * ctx))
+    }
+  }
+
   test("packing is a partition of the corpus: every doc exactly once") {
     val out = Corpus.packShards(spark, sfDir).select("doc_id")
     val docs = Tables.documents(spark, sfDir).select("doc_id")
