@@ -162,12 +162,18 @@ object Dedup {
     * stay NULL — never a shared constant that would bucket every short
     * doc of a corpus together (pinned by ShortDocSpec; same contract as
     * the oracle's list_min over []). */
-  private[ext] def signaturesFrom(sh: DataFrame): DataFrame = {
+  private[ext] def signaturesFrom(sh: DataFrame): DataFrame =
+    bandKeys(laneMins(sh))
+
+  /** Per-doc minhash lane minima (doc_id, m0..m7) — the signature
+    * BEFORE banding. [[minhashFidelity]] audits these lanes directly;
+    * everything else consumes them through [[bandKeys]]. */
+  private[ext] def laneMins(sh: DataFrame): DataFrame = {
     val ex = sh.select(col("doc_id"), explode_outer(col("ss")).as("s"))
       .withColumn("h0", md5(concat(lit("0:"), col("s"))))
       .withColumn("h1", md5(concat(lit("1:"), col("s"))))
     // lane j: 8 hex chars of digest ⌊j/4⌋ at offset (j%4)·8
-    val mins = ex.groupBy(col("doc_id")).agg(
+    ex.groupBy(col("doc_id")).agg(
       min(col("h0").substr(lit(1), lit(8))).as("m0"),
       min(col("h0").substr(lit(9), lit(8))).as("m1"),
       min(col("h0").substr(lit(17), lit(8))).as("m2"),
@@ -176,12 +182,14 @@ object Dedup {
       min(col("h1").substr(lit(9), lit(8))).as("m5"),
       min(col("h1").substr(lit(17), lit(8))).as("m6"),
       min(col("h1").substr(lit(25), lit(8))).as("m7"))
-    // band b pairs lanes 2b and 2b+1
+  }
+
+  /** Band keys over lane minima: band b pairs lanes 2b and 2b+1. */
+  private def bandKeys(mins: DataFrame): DataFrame =
     mins.select(
       (col("doc_id") +: (0 until NumBands).map(b =>
         md5(concat(col(s"m${2 * b}"), lit("|"),
                    col(s"m${2 * b + 1}"))).as(s"b$b"))): _*)
-  }
 
   private def minhashSigQuery(spark: SparkSession, dir: String): DataFrame =
     graft.Present.sorted(minhashSignatures(spark, dir), col("doc_id"))
@@ -810,10 +818,65 @@ object Dedup {
       col("vec_id"))
   }
 
+  /** MinHash fidelity audit — the "measure, don't guess" step for the
+    * LSH family's own parameters: for every VERIFIED near-dup pair,
+    * compare the signature's Jaccard ESTIMATE (matching lanes / 8 —
+    * the unbiased MinHash estimator, Broder 1997) against the exact
+    * Jaccard the verify stage computed anyway. The per-pair error is
+    * what justifies (or indicts) the 8-lane/4-band configuration: a
+    * systematic gap here means the band thresholds are filtering on a
+    * signal that doesn't track true similarity, and recall/precision
+    * targets derived from the standard S-curve are fiction. Runs on
+    * the existing pinned frames — lanes, bands, and shingles are each
+    * computed once; the audit adds two lane joins whose BUILD side is
+    * the O(near-dups) verified-pair frame ([[pinBuildSide]]'s
+    * broadcast-or-shuffle rule), so the corpus-sized lane table only
+    * ever STREAMS through hash joins — nothing corpus-scale moves. */
+  def minhashFidelity(spark: SparkSession, dir: String,
+                      jaccardMin: Double = 0.5): DataFrame = {
+    val sh = graft.CacheScope.pin(shingleSets(spark, dir))
+    val mins = graft.CacheScope.pin(laneMins(sh))
+    val bands = graft.CacheScope.pin(bandsOf(bandKeys(mins)))
+    bands.count()
+    val cand = pairsFromBands(bands)
+    val x = sh.select(col("doc_id").as("xid"), col("ss").as("xss"))
+    val y = sh.select(col("doc_id").as("yid"), col("ss").as("yss"))
+    val lanesA = mins.select(col("doc_id").as("aid") +:
+      (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
+    val lanesB = mins.select(col("doc_id").as("bid") +:
+      (0 until 8).map(j => col(s"m$j").as(s"b$j")): _*)
+    val matches = (0 until 8)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val verified = pinBuildSide(
+      pinBuildSide(cand)
+        .join(x, col("doc_a") === col("xid"))
+        .join(y, col("doc_b") === col("yid"))
+        .withColumn("jaccard",
+          graft.functions.JaccardSim(col("xss"), col("yss")))
+        .filter(col("jaccard") >= jaccardMin)
+        .select(col("doc_a"), col("doc_b"), col("jaccard")))
+    val withA = pinBuildSide(
+      lanesA.join(verified, col("aid") === col("doc_a"))
+        .select(col("doc_a") +: col("doc_b") +: col("jaccard") +:
+          (0 until 8).map(j => col(s"a$j")): _*))
+    graft.Present.sorted(
+      lanesB.join(withA, col("bid") === col("doc_b"))
+        .withColumn("matching_lanes", matches.cast(LongType))
+        .withColumn("est_jaccard",
+          col("matching_lanes").cast(DoubleType) / lit(8.0))
+        .select(col("doc_a"), col("doc_b"), col("matching_lanes"),
+          col("est_jaccard"), col("jaccard"),
+          floor(abs(col("est_jaccard") - col("jaccard")) * lit(1000000.0))
+            .cast(LongType).as("abs_err_ppm")),
+      col("doc_a"), col("doc_b"))
+  }
+
   // Parameterized entry points bind their library DEFAULTS here — the
   // oracle SQL below is generated from the same constants, so gate and
   // default-call results stay identical.
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "minhash_fidelity"    -> ((s, d) => minhashFidelity(s, d)),
     "dedup_exact"         -> dedupExact _,
     "dedup_minhash_sig"   -> minhashSigQuery _,
     "dedup_minhash_lsh"   -> ((s, d) => dedupMinhashLsh(s, d)),
@@ -921,6 +984,46 @@ object Dedup {
               s"md5(${minhashSql(2 * b)} || '|' || ${minhashSql(2 * b + 1)}) AS b$b")
               .mkString(",\n  ")}
          |FROM sh ORDER BY doc_id""".stripMargin,
+    "minhash_fidelity" -> {
+      val laneCols = (0 until 8)
+        .map(j => s"${minhashSql(j)} AS m$j").mkString(",\n    ")
+      val matchSql = (0 until 8)
+        .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(string_split(text, ' ')) >= 3
+         |         THEN $shingleSql ELSE [] END AS ss
+         |  FROM documents),
+         |lanes AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    $laneCols
+         |  FROM sh),
+         |bands AS ($bandsSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT * FROM (
+         |    SELECT doc_a, doc_b,
+         |      CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)
+         |        / len(list_distinct(x.ss || y.ss)) AS jaccard
+         |    FROM cand JOIN sh x ON x.doc_id = doc_a
+         |              JOIN sh y ON y.doc_id = doc_b)
+         |  WHERE jaccard >= 0.5),
+         |mm AS (
+         |  SELECT v.doc_a, v.doc_b, v.jaccard,
+         |    CAST($matchSql AS BIGINT) AS matching_lanes
+         |  FROM v JOIN lanes a ON a.doc_id = v.doc_a
+         |         JOIN lanes b ON b.doc_id = v.doc_b)
+         |SELECT doc_a, doc_b, matching_lanes,
+         |  CAST(matching_lanes AS DOUBLE) / 8.0 AS est_jaccard,
+         |  jaccard,
+         |  CAST(floor(abs(CAST(matching_lanes AS DOUBLE) / 8.0 - jaccard)
+         |             * 1000000.0) AS BIGINT) AS abs_err_ppm
+         |FROM mm ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dedup_minhash_lsh" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

@@ -113,10 +113,69 @@ object Sketch {
               / col("exact_distinct") * lit(1000000.0)).cast(LongType))
   }
 
+  /** Grouped sketch — the realistic rollup usage (per-language here;
+    * per-domain/per-day in production): ONE pass builds an independent
+    * KMV sketch per group key, partial buffers merging map-side like
+    * any other aggregate. This is the mergeability dividend: the same
+    * aggregate that answers "distinct windows per language" also
+    * answers the global question by UNIONING the per-group sketches —
+    * no second scan (SketchSpec proves the union identity). */
+  def distinctKmvByLang(spark: SparkSession, dir: String,
+                        k: Int = K): DataFrame = {
+    val kmv = udaf(new KmvAgg(k))
+    val est = lit((k - 1).toDouble) /
+      (col("kth").cast(DoubleType) / lit(TwoPow48))
+    graft.Present.sorted(
+      Tables.documents(spark, dir)
+        .select(col("lang"),
+          explode(graft.functions.WordWindowMd5(col("text"), lit(W)))
+            .as("digest"))
+        .select(col("lang"), col("digest"),
+          conv(substring(col("digest"), 1, 12), 16, 10).cast(LongType)
+            .as("hv"))
+        .groupBy(col("lang"))
+        .agg(kmv(col("hv")).as("s"),
+             countDistinct(col("digest")).as("exact_distinct"))
+        .select(col("lang"), col("s.k_filled").as("k_filled"),
+                col("s.kth").as("kth"), est.as("est_distinct"),
+                col("exact_distinct")),
+      col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "distinct_kmv" -> ((s, d) => distinctKmv(s, d)))
+    "distinct_kmv" -> ((s, d) => distinctKmv(s, d)),
+    "distinct_kmv_by_lang" -> ((s, d) => distinctKmvByLang(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "distinct_kmv_by_lang" ->
+      s"""WITH t AS (
+         |  SELECT lang, string_split(text, ' ') AS toks FROM documents),
+         |g AS MATERIALIZED (
+         |  SELECT lang, md5(array_to_string(toks[i:i + ${W - 1}], ' '))
+         |    AS digest
+         |  FROM (SELECT lang, toks, unnest(range(1, len(toks) - ${W - 2}))
+         |          AS i
+         |        FROM t WHERE len(toks) >= $W)),
+         |h AS MATERIALIZED (
+         |  SELECT DISTINCT lang,
+         |    ('0x' || substr(digest, 1, 12))::BIGINT AS hv
+         |  FROM g),
+         |kk AS (
+         |  SELECT lang, hv FROM (
+         |    SELECT lang, hv,
+         |      row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+         |    FROM h) WHERE rn <= $K),
+         |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS k_filled,
+         |             CAST(max(hv) AS BIGINT) AS kth
+         |      FROM kk GROUP BY lang),
+         |e AS (SELECT lang, CAST(count(DISTINCT digest) AS BIGINT)
+         |        AS exact_distinct FROM g GROUP BY lang)
+         |SELECT s.lang, s.k_filled, s.kth,
+         |  ${K - 1}.0 / (CAST(s.kth AS DOUBLE) / 281474976710656.0)
+         |    AS est_distinct,
+         |  e.exact_distinct
+         |FROM s JOIN e ON e.lang = s.lang
+         |ORDER BY s.lang""".stripMargin,
     "distinct_kmv" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -262,7 +262,33 @@ object Text {
       .withColumn("norm_len", length(col("norm_text")).cast(LongType))
       .presentSorted(col("doc_id"))
 
+  /** Corpus n-gram diversity — distinct-n over total-n for n = 1..3
+    * (Li et al. 2016's distinct-1/distinct-2, the standard repetition/
+    * degeneration metric, applied corpus-wide): a crawl slice whose
+    * distinct-2 collapses is template boilerplate even when every
+    * individual document passes the per-doc repetition rules
+    * ([[textRepetition]] is the within-doc half; this is the
+    * across-corpus half). One exploded scan over the native
+    * [[graft.functions.WordWindowMd5]] digests for all three widths,
+    * one aggregate; counts integer-exact, the ratio a single IEEE
+    * division. O(1) output rows. */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    (1 to 3).map { n =>
+        docs.select(lit(n.toLong).as("n"),
+          explode(graft.functions.WordWindowMd5(col("text"), lit(n)))
+            .as("g"))
+      }.reduce(_ unionAll _)
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("total_ngrams"),
+           countDistinct(col("g")).as("distinct_ngrams"))
+      .withColumn("distinct_ratio",
+        col("distinct_ngrams").cast(DoubleType) / col("total_ngrams"))
+      .presentSorted(col("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_diversity"  -> ngramDiversity _,
     "text_stats"       -> textStats _,
     "text_lang_id"     -> langId _,
     "text_token_count" -> tokenCount _,
@@ -295,6 +321,18 @@ object Text {
        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ngram_diversity" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT n, md5(array_to_string(toks[i:i + n - 1], ' ')) AS g
+        |  FROM (SELECT toks, n, unnest(range(1, len(toks) - n + 2)) AS i
+        |        FROM (SELECT toks, unnest([1, 2, 3]) AS n FROM t)
+        |        WHERE len(toks) >= n))
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS total_ngrams,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+        |  CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS distinct_ratio
+        |FROM g GROUP BY n ORDER BY n""".stripMargin,
     "text_stats" ->
       s"""WITH t AS (
          |  SELECT *, string_split(text, ' ') AS toks FROM documents),

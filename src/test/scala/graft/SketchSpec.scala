@@ -123,6 +123,37 @@ class SketchSpec extends AnyFunSuite {
       s"KMV error ${row.getLong(4)} ppm — estimator wired wrong")
   }
 
+  test("grouped sketches union to the global sketch (the mergeability dividend)") {
+    val agg = new KmvAgg(256)
+    // per-lang k-min sets rebuilt locally from the distinct hash values
+    val byLang = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        explode(graft.functions.WordWindowMd5(col("text"), lit(3)))
+          .as("digest"))
+      .select(col("lang"),
+        conv(substring(col("digest"), 1, 12), 16, 10).cast("long").as("hv"))
+      .distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (lang, rows) =>
+        lang -> rows.map(_.getLong(1)).sorted.take(256)
+      }
+    // gate rows must equal the local per-lang sketches...
+    val grouped = ext.Sketch.distinctKmvByLang(spark, sfDir).collect()
+    assert(grouped.length == byLang.size)
+    grouped.foreach { r =>
+      val want = byLang(r.getString(0))
+      assert(r.getLong(1) == want.length && r.getLong(2) == want.last,
+        s"lang ${r.getString(0)} sketch drifted from the local witness")
+    }
+    // ...and their UNION must equal the global gate's sketch — the
+    // property that lets per-shard sketches answer the corpus question
+    // without a second scan
+    val unioned = byLang.values.reduce(agg.merge)
+    val global = ext.Sketch.distinctKmv(spark, sfDir).collect().head
+    assert(agg.finish(unioned) ==
+      ext.Sketch.KmvState(global.getLong(0), global.getLong(1)))
+  }
+
   test("scale shape: the sketch aggregate partial-aggregates; one output row") {
     val df = Sketch.distinctKmv(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

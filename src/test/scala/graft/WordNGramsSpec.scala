@@ -52,6 +52,27 @@ class WordNGramsSpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
+  test("ngram_diversity report ≡ a plain-Scala witness over the fixture") {
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+    val rows = ext.Text.ngramDiversity(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    rows.foreach { r =>
+      val n = r.getLong(0).toInt
+      // same window semantics as WordWindowMd5: split keeps empties,
+      // a doc shorter than n words contributes nothing
+      val grams = texts.flatMap { t =>
+        val toks = t.split(" ", -1)
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      }
+      assert(r.getLong(1) == grams.length, s"n=$n total drifted")
+      assert(r.getLong(2) == grams.distinct.length, s"n=$n distinct drifted")
+      assert(r.getDouble(3) ==
+        grams.distinct.length.toDouble / grams.length)
+    }
+  }
+
   test("interpreted path matches codegen; null text and non-positive n → null") {
     val keys = Seq("spark.sql.codegen.wholeStage" -> "false",
                    "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
