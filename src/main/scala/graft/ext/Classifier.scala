@@ -185,10 +185,57 @@ object Classifier {
       col("doc_id"))
   }
 
+  /** Thresholds for [[qualityClfSweep]], in quantized-margin (⌊z·10⁶⌋)
+    * units, spanning the corpus margin range (measured [−322k, 160k]
+    * at the gate SFs). Part of the model spec like the feature
+    * scales. */
+  private[ext] val SweepTs = Seq(-300000L, -150000L, 0L, 75000L, 150000L)
+
+  /** Threshold CALIBRATION sweep — the pre-deployment step between
+    * training and the keep gate: confusion counts and precision /
+    * recall / accuracy against the cascade labels at each candidate
+    * margin cutoff. This is how the keep threshold is actually chosen
+    * (CCNet tunes its score cut per corpus slice): the margin being
+    * tunable is the distillation's advantage over the binary cascade,
+    * and this table is the tuning artifact. One pass over the scored
+    * corpus exploded across O(1) thresholds; counts integer-exact,
+    * rates single IEEE divisions, zero-denominator → NULL (spelled
+    * identically in both engines). */
+  def qualityClfSweep(spark: SparkSession, dir: String): DataFrame = {
+    val feats = graft.CacheScope.pin(
+      featureFrame(Tables.documents(spark, dir)))
+    val (wF, grad) = loop(feats, NumRounds)
+    Graph.freeCheckpoint(grad)
+    val scored = feats.crossJoin(broadcast(wF))
+      .select(col("y"),
+        floor(graft.functions.ArrayDot(col("x"), col("w")) * lit(1000000.0))
+          .cast(LongType).as("zq"))
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    def rate(num: org.apache.spark.sql.Column,
+             den: org.apache.spark.sql.Column) =
+      when(den > 0, num.cast(DoubleType) / den).otherwise(lit(null))
+    graft.Present.sorted(
+      scored
+        .select(col("y"), col("zq"),
+          explode(array(SweepTs.map(lit): _*)).as("t"))
+        .groupBy(col("t"))
+        .agg(cnt(col("zq") >= col("t") && col("y") === 1).as("tp"),
+             cnt(col("zq") >= col("t") && col("y") === 0).as("fp"),
+             cnt(col("zq") < col("t") && col("y") === 1).as("fn"),
+             cnt(col("zq") < col("t") && col("y") === 0).as("tn"))
+        .withColumn("precision", rate(col("tp"), col("tp") + col("fp")))
+        .withColumn("recall", rate(col("tp"), col("tp") + col("fn")))
+        .withColumn("accuracy", rate(col("tp") + col("tn"),
+          col("tp") + col("fp") + col("fn") + col("tn"))),
+      col("t"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_clf_train" -> qualityClfTrain _,
     "quality_clf_apply" -> qualityClfApply _,
-    "quality_clf_frozen" -> qualityClfFrozen _)
+    "quality_clf_frozen" -> qualityClfFrozen _,
+    "quality_clf_sweep" -> qualityClfSweep _)
 
   // ---- oracles (generated R-round unrolled CTE chains) ----
 
@@ -264,6 +311,39 @@ object Classifier {
          |         AS INTEGER) AS pred
          |  FROM f CROSS JOIN w$NumRounds w)
          |ORDER BY doc_id""".stripMargin,
+    "quality_clf_sweep" -> {
+      val ts = SweepTs.mkString("[", ", ", "]")
+      s"""WITH $ypCte,
+         |${fCte("f")},
+         |$w0Cte,
+         |${roundCtes(NumRounds)},
+         |sc AS (
+         |  SELECT f.y,
+         |    CAST(floor(list_dot_product(f.x, w.w) * 1000000.0) AS BIGINT)
+         |      AS zq
+         |  FROM f CROSS JOIN w$NumRounds w),
+         |x AS (SELECT y, zq, unnest($ts) AS t FROM sc),
+         |a AS (
+         |  SELECT CAST(t AS BIGINT) AS t,
+         |    CAST(sum(CASE WHEN zq >= t AND y = 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN zq >= t AND y = 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN zq < t AND y = 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN zq < t AND y = 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS tn
+         |  FROM x GROUP BY 1)
+         |SELECT t, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END
+         |    AS "precision",
+         |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END
+         |    AS recall,
+         |  CASE WHEN tp + fp + fn + tn > 0
+         |       THEN CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) END
+         |    AS accuracy
+         |FROM a ORDER BY t""".stripMargin
+    },
     "quality_clf_frozen" -> {
       val mod = Dedup.IncrMod
       s"""WITH $ypCte,

@@ -159,6 +159,37 @@ class ClassifierSpec extends AnyFunSuite {
       s"frozen model failed to generalize: ${nCorrect / n} vs $baseline")
   }
 
+  test("threshold sweep ≡ witness confusion counts; cutoff monotonicity holds") {
+    val (w, _) = localTrain(corpus.map { case (_, t) => localFeatures(t) })
+    val zqs = corpus.map { case (_, t) =>
+      val (y, x) = localFeatures(t)
+      var z = 0.0
+      var i = 0
+      while (i < 5) { z += x(i) * w(i); i += 1 }
+      (y, math.floor(z * 1000000.0).toLong)
+    }
+    val rows = ext.Classifier.qualityClfSweep(spark, sfDir).collect()
+    assert(rows.length == 5)
+    var prevTp = Long.MaxValue
+    var prevFp = Long.MaxValue
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      val tp = zqs.count { case (y, zq) => zq >= t && y == 1L }.toLong
+      val fp = zqs.count { case (y, zq) => zq >= t && y == 0L }.toLong
+      val fn = zqs.count { case (y, zq) => zq < t && y == 1L }.toLong
+      val tn = zqs.count { case (y, zq) => zq < t && y == 0L }.toLong
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((tp, fp, fn, tn)), s"confusion counts drifted at t=$t")
+      assert(tp + fp + fn + tn == corpus.length)
+      if (tp + fp > 0)
+        assert(r.getDouble(5) == tp.toDouble / (tp + fp))
+      else assert(r.isNullAt(5))
+      // raising the cutoff can only shrink the predicted-positive set
+      assert(tp <= prevTp && fp <= prevFp, s"monotonicity broke at t=$t")
+      prevTp = tp; prevFp = fp
+    }
+  }
+
   test("scale shape: weights broadcast, gradient collapses map-side, apply is window-free") {
     val applyPlan = ext.Classifier.qualityClfApply(spark, sfDir)
       .queryExecution.executedPlan.toString

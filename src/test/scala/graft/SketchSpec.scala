@@ -154,6 +154,32 @@ class SketchSpec extends AnyFunSuite {
       ext.Sketch.KmvState(global.getLong(0), global.getLong(1)))
   }
 
+  test("the sketch aggregates in a STREAM: bounded state, exact k-min across batches") {
+    import TestSpark.spark.implicits._
+    implicit def sqlContext: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val kmv = org.apache.spark.sql.functions.udaf(new KmvAgg(16))
+    val q = in.toDF().select(col("value").as("hv"))
+      .agg(kmv(col("hv")).as("s"))
+      .select(col("s.k_filled").as("k_filled"), col("s.kth").as("kth"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      // batch 1: values 40..139; batch 2 overlaps and brings smaller ones
+      in.addData(40L to 139L: _*)
+      q.processAllAvailable()
+      in.addData(1L to 60L: _*)
+      q.processAllAvailable()
+      val row = spark.sql("SELECT * FROM kmv_stream").collect().head
+      // across both batches the 16 smallest distinct are 1..16 —
+      // the streaming state is the ≤k sketch buffer, nothing more
+      assert(row.getLong(0) == 16 && row.getLong(1) == 16L,
+        s"streaming sketch drifted: $row")
+    } finally q.stop()
+  }
+
   test("scale shape: the sketch aggregate partial-aggregates; one output row") {
     val df = Sketch.distinctKmv(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
