@@ -90,6 +90,24 @@ object Sketch {
     * 48-bit hash — the estimator's denominator. */
   case class KmvState(k_filled: Long, kth: Long)
 
+  /** [[KmvAgg]] with the FULL k-min array as the result — the form the
+    * persisted artifact needs (the summary is derivable from the array;
+    * the array is not derivable from the summary, and union needs the
+    * array). Same buffer semantics, shared with [[KmvAgg]]. */
+  class KmvArrayAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    private val core = new KmvAgg(k)
+    override def zero: Array[Long] = core.zero
+    override def reduce(b: Array[Long], hv: Long): Array[Long] =
+      core.reduce(b, hv)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      core.merge(a, b)
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** Gate query: ONE aggregate computes the KMV sketch (bounded state)
     * and the exact distinct (the gate-scale audit column) over the
     * corpus's width-[[W]] word windows, then derives the estimate and
@@ -140,6 +158,38 @@ object Sketch {
                 col("s.kth").as("kth"), est.as("est_distinct"),
                 col("exact_distinct")),
       col("lang"))
+  }
+
+  /** ==== Sketch ARTIFACT maintenance (the per-shard/per-day cycle the
+    * mergeability claim implies) ====
+    *
+    * A persisted sketch is its k-min array, one BIGINT row per kept
+    * hash — engine-neutral parquet, tiny (≤ k rows), and UNIONABLE:
+    * tomorrow's batch sketch merges into the standing artifact without
+    * ever re-reading yesterday's data. SketchSpec proves the cycle:
+    * sketch(A) persisted, then merged with sketch(B), is bit-identical
+    * to sketch(A ∪ B) computed in one pass. */
+  def writeSketch(df: DataFrame, k: Int, path: String): Unit = {
+    val kmv = udaf(new KmvArrayAgg(k))
+    df.agg(kmv(col("hv")).as("mins"))
+      .select(explode(col("mins")).as("hv"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted sketch and fold a new batch's sketch into it —
+    * returns the merged KmvState (what [[distinctKmv]]'s gate columns
+    * derive from). The artifact side never exceeds k rows (safe to
+    * collect by construction); the batch side is one bounded
+    * aggregate. */
+  def mergeSketch(spark: SparkSession, batch: DataFrame, k: Int,
+                  path: String): KmvState = {
+    val agg = new KmvAgg(k)
+    val stored = spark.read.parquet(path)
+      .orderBy(col("hv")).collect().map(_.getLong(0))
+    val kmv = udaf(new KmvArrayAgg(k))
+    val fresh = batch.agg(kmv(col("hv")).as("mins"))
+      .collect().head.getSeq[Long](0).toArray
+    agg.finish(agg.merge(stored, fresh))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -180,6 +180,32 @@ class SketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("persisted-sketch cycle: write(A), merge sketch(B) ≡ one-pass sketch(A ∪ B)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    try {
+      val hv = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          explode(graft.functions.WordWindowMd5(col("text"), lit(3)))
+            .as("digest"))
+        .select(col("doc_id"),
+          conv(substring(col("digest"), 1, 12), 16, 10).cast("long").as("hv"))
+      val a = hv.filter(col("doc_id") % 2 === 0).select(col("hv"))
+      val b = hv.filter(col("doc_id") % 2 =!= 0).select(col("hv"))
+      Sketch.writeSketch(a, 64, s"$dir/sk")
+      // artifact is engine-neutral and bounded: ≤ k BIGINT rows
+      val stored = spark.read.parquet(s"$dir/sk")
+      assert(stored.count() <= 64)
+      val merged = Sketch.mergeSketch(spark, b, 64, s"$dir/sk")
+      // one-pass witness over the union
+      val kmv = org.apache.spark.sql.functions.udaf(new KmvAgg(64))
+      val whole = hv.select(col("hv")).agg(kmv(col("hv")).as("s"))
+        .select(col("s.k_filled"), col("s.kth")).collect().head
+      assert(merged == Sketch.KmvState(whole.getLong(0), whole.getLong(1)),
+        s"artifact cycle drifted: $merged vs $whole")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("scale shape: the sketch aggregate partial-aggregates; one output row") {
     val df = Sketch.distinctKmv(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
