@@ -240,8 +240,10 @@ object Classifier {
   // ---- oracles (generated R-round unrolled CTE chains) ----
 
   /** Label CTE: [[Text.gopherPassSql]] VERBATIM — one spelling for the
-    * label rule, shared with the gopher/funnel gates. */
-  private def ypCte: String = s"yp AS (${Text.gopherPassSql})"
+    * label rule, shared with the gopher/funnel gates. MATERIALIZED:
+    * the frozen oracle references it from both split CTEs, and DuckDB
+    * inlines an unmaterialized corpus-wide cascade per reference. */
+  private def ypCte: String = s"yp AS MATERIALIZED (${Text.gopherPassSql})"
 
   /** Named feature CTE over documents matching `docPred` — the
     * fixed-scale feature arrays. */

@@ -249,6 +249,9 @@ object Cluster {
     * pure per-row expression on its output — no additional shuffle. */
   def splitByCluster(spark: SparkSession, dir: String,
                      trainPct: Int = 80, validationPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && validationPct >= 0 && trainPct + validationPct < 100,
+      s"percentages must be non-negative and leave room for test, " +
+      s"got train=$trainPct validation=$validationPct")
     val edges = Dedup.lshPairs(spark, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val lbl = connectedComponents(

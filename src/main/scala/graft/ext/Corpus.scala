@@ -114,23 +114,6 @@ object Corpus {
       .presentSorted(col("doc_id"))
   }
 
-  /** Domain-mixture epoch weighting — materialize a training mix where
-    * each language (at 100 TB: each source domain) is repeated by a
-    * fractional epoch factor: en×0.5 (downsample), de×2.25, zh×3.0,
-    * fr×1.0, es×1.5. The standard data-mixing step (e.g. The Pile /
-    * Llama mixture tables) between cleaning and shard packing.
-    *
-    * Fractional epochs without rand(): copies = ⌊w⌋ plus one more iff
-    * the doc's content-stable md5 bucket (same formula as
-    * [[trainTestSplit]]) falls under the fractional part — so exactly
-    * the target fraction of each domain gets the extra copy, the choice
-    * is REPRODUCIBLE run-to-run, and a given doc always up/downsamples
-    * the same way (the property mixture-ablation comparisons depend
-    * on). Pure per-row expressions + explode — no shuffle at all until
-    * the gate's ORDER BY; the output multiplication is the unavoidable
-    * materialization cost, which is why `copy_idx` (not physically
-    * copied text) is the output: downstream shard packing joins text
-    * back or reads it by reference. */
   /** Context-window packing-efficiency report — the accounting that
     * motivates sample packing (Raffel et al. 2020 §2.2 pack to 512;
     * GPT-3 trains on packed streams): for each candidate context
@@ -150,8 +133,8 @@ object Corpus {
     * divisions. O(ctx candidates) output rows. */
   def packingEfficiency(spark: SparkSession, dir: String,
                         ctxs: Seq[Int] = Seq(64, 128, 256, 512)): DataFrame = {
-    val nt = size(regexp_extract_all(col("text"),
-      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast(LongType)
+    val nt = size(regexp_extract_all(col("text"), lit(Text.BpeTokenRe),
+      lit(0))).cast(LongType)
     Tables.documents(spark, dir)
       .select(nt.as("nt"))
       .select(col("nt"),
@@ -175,6 +158,23 @@ object Corpus {
       .presentSorted(col("ctx"))
   }
 
+  /** Domain-mixture epoch weighting — materialize a training mix where
+    * each language (at 100 TB: each source domain) is repeated by a
+    * fractional epoch factor: en×0.5 (downsample), de×2.25, zh×3.0,
+    * fr×1.0, es×1.5. The standard data-mixing step (e.g. The Pile /
+    * Llama mixture tables) between cleaning and shard packing.
+    *
+    * Fractional epochs without rand(): copies = ⌊w⌋ plus one more iff
+    * the doc's content-stable md5 bucket (same formula as
+    * [[trainTestSplit]]) falls under the fractional part — so exactly
+    * the target fraction of each domain gets the extra copy, the choice
+    * is REPRODUCIBLE run-to-run, and a given doc always up/downsamples
+    * the same way (the property mixture-ablation comparisons depend
+    * on). Pure per-row expressions + explode — no shuffle at all until
+    * the gate's ORDER BY; the output multiplication is the unavoidable
+    * materialization cost, which is why `copy_idx` (not physically
+    * copied text) is the output: downstream shard packing joins text
+    * back or reads it by reference. */
   def mixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
     val whole = when(col("lang") === "en", 0).when(col("lang") === "de", 2)
       .when(col("lang") === "zh", 3).when(col("lang") === "fr", 1)
@@ -322,9 +322,9 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "packing_efficiency" ->
-      """WITH per AS (
+      s"""WITH per AS (
         |  SELECT CAST(len(regexp_extract_all(text,
-        |           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS nt
+        |           '${Text.BpeTokenRe}')) AS BIGINT) AS nt
         |  FROM documents),
         |x AS (
         |  SELECT nt, CAST(ctx AS BIGINT) AS ctx,

@@ -266,6 +266,18 @@ object Dedup {
                                extra: Seq[String] = Nil): DataFrame = {
     val sh = graft.CacheScope.pin(shingleSets(spark, dir, extra))
     val bands = graft.CacheScope.pin(bandsOf(signaturesFrom(sh)))
+    verifyPairs(sh, bands, jaccardMin, extra)
+  }
+
+  /** The verify stage over PINNED shingle/band frames: banded
+    * candidates → Jaccard → threshold. ONE spelling — shared by
+    * [[lshVerifiedPairs]] (which builds its own frames) and
+    * [[minhashFidelity]] (which builds bands from the lanes it also
+    * audits), so the audited pair set can never drift from the gate's
+    * by construction. */
+  private def verifyPairs(sh: DataFrame, bands: DataFrame,
+                          jaccardMin: Double,
+                          extra: Seq[String] = Nil): DataFrame = {
     bands.count()
     val cand = pairsFromBands(bands)
     val x = sh.select(col("doc_id").as("xid") +: col("ss").as("xss") +:
@@ -837,10 +849,6 @@ object Dedup {
     val sh = graft.CacheScope.pin(shingleSets(spark, dir))
     val mins = graft.CacheScope.pin(laneMins(sh))
     val bands = graft.CacheScope.pin(bandsOf(bandKeys(mins)))
-    bands.count()
-    val cand = pairsFromBands(bands)
-    val x = sh.select(col("doc_id").as("xid"), col("ss").as("xss"))
-    val y = sh.select(col("doc_id").as("yid"), col("ss").as("yss"))
     val lanesA = mins.select(col("doc_id").as("aid") +:
       (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
     val lanesB = mins.select(col("doc_id").as("bid") +:
@@ -849,12 +857,7 @@ object Dedup {
       .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
       .reduce(_ + _)
     val verified = pinBuildSide(
-      pinBuildSide(cand)
-        .join(x, col("doc_a") === col("xid"))
-        .join(y, col("doc_b") === col("yid"))
-        .withColumn("jaccard",
-          graft.functions.JaccardSim(col("xss"), col("yss")))
-        .filter(col("jaccard") >= jaccardMin)
+      verifyPairs(sh, bands, jaccardMin)
         .select(col("doc_a"), col("doc_b"), col("jaccard")))
     val withA = pinBuildSide(
       lanesA.join(verified, col("aid") === col("doc_a"))
@@ -990,7 +993,7 @@ object Dedup {
       val matchSql = (0 until 8)
         .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
         .mkString(" + ")
-      s"""WITH sh AS (
+      s"""WITH sh AS MATERIALIZED (
          |  SELECT doc_id,
          |    CASE WHEN len(string_split(text, ' ')) >= 3
          |         THEN $shingleSql ELSE [] END AS ss

@@ -108,6 +108,24 @@ object Sketch {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** The KMV estimate off (k_filled, kth), UNDERFILL-correct: a sketch
+    * that never filled its k slots has seen every distinct value — the
+    * estimate IS k_filled, exactly (the standard KMV small-range rule;
+    * the (k−1)/h₍ₖ₎ formula assumes h₍ₖ₎ is the k-th order statistic
+    * of a full buffer and would answer ≈ k−1 regardless of the truth
+    * on an underfilled one). Also covers the empty corner (kth = −1 →
+    * estimate 0). */
+  private def estCol(k: Int) =
+    when(col("k_filled") < k, col("k_filled").cast(DoubleType))
+      .otherwise(lit((k - 1).toDouble) /
+        (col("kth").cast(DoubleType) / lit(TwoPow48)))
+
+  /** Oracle spelling of [[estCol]] over CTE alias `$a`. */
+  private def estSql(k: Int, a: String): String =
+    s"""CASE WHEN $a.k_filled < $k THEN CAST($a.k_filled AS DOUBLE)
+       |     ELSE ${k - 1}.0 / (CAST($a.kth AS DOUBLE) / 281474976710656.0)
+       |     END""".stripMargin
+
   /** Gate query: ONE aggregate computes the KMV sketch (bounded state)
     * and the exact distinct (the gate-scale audit column) over the
     * corpus's width-[[W]] word windows, then derives the estimate and
@@ -120,8 +138,7 @@ object Sketch {
         .as("digest"))
       .select(col("digest"),
         conv(substring(col("digest"), 1, 12), 16, 10).cast(LongType).as("hv"))
-    val est = lit((k - 1).toDouble) /
-      (col("kth").cast(DoubleType) / lit(TwoPow48))
+    val est = estCol(k)
     hv.agg(kmv(col("hv")).as("s"),
            countDistinct(col("digest")).as("exact_distinct"))
       .select(col("s.k_filled").as("k_filled"), col("s.kth").as("kth"),
@@ -141,8 +158,7 @@ object Sketch {
   def distinctKmvByLang(spark: SparkSession, dir: String,
                         k: Int = K): DataFrame = {
     val kmv = udaf(new KmvAgg(k))
-    val est = lit((k - 1).toDouble) /
-      (col("kth").cast(DoubleType) / lit(TwoPow48))
+    val est = estCol(k)
     graft.Present.sorted(
       Tables.documents(spark, dir)
         .select(col("lang"),
@@ -221,8 +237,7 @@ object Sketch {
          |e AS (SELECT lang, CAST(count(DISTINCT digest) AS BIGINT)
          |        AS exact_distinct FROM g GROUP BY lang)
          |SELECT s.lang, s.k_filled, s.kth,
-         |  ${K - 1}.0 / (CAST(s.kth AS DOUBLE) / 281474976710656.0)
-         |    AS est_distinct,
+         |  ${estSql(K, "s")} AS est_distinct,
          |  e.exact_distinct
          |FROM s JOIN e ON e.lang = s.lang
          |ORDER BY s.lang""".stripMargin,
@@ -246,8 +261,7 @@ object Sketch {
          |             / exact_distinct * 1000000.0) AS BIGINT) AS err_ppm
          |FROM (
          |  SELECT s.k_filled, s.kth,
-         |    ${K - 1}.0 / (CAST(s.kth AS DOUBLE) / 281474976710656.0)
-         |      AS est_distinct,
+         |    ${estSql(K, "s")} AS est_distinct,
          |    e.exact_distinct
          |  FROM s CROSS JOIN e)""".stripMargin)
 }

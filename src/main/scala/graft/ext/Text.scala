@@ -28,6 +28,12 @@ object Text {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** The BPE-ish pre-tokenizer regex (letter runs / digit runs / single
+    * other chars) — ONE spelling shared by [[tokenCount]],
+    * [[Corpus.packingEfficiency]], and both of their oracles; ASCII
+    * classes both regex engines define identically. */
+  private[ext] val BpeTokenRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
   private def countIn(toksCol: Column, words: Seq[String]): Column =
     size(filter(toksCol, t => t.isin(words: _*)))
 
@@ -76,8 +82,7 @@ object Text {
       .select(
         col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
-        size(regexp_extract_all(col("text"),
-             lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+        size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0)))
           .cast(LongType).as("bpe_tokens"))
       .presentSorted(col("doc_id"))
 
@@ -272,20 +277,22 @@ object Text {
     * [[graft.functions.WordWindowMd5]] digests for all three widths,
     * one aggregate; counts integer-exact, the ratio a single IEEE
     * division. O(1) output rows. */
-  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    (1 to 3).map { n =>
-        docs.select(lit(n.toLong).as("n"),
-          explode(graft.functions.WordWindowMd5(col("text"), lit(n)))
-            .as("g"))
-      }.reduce(_ unionAll _)
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      // genuinely ONE scan: all three widths' digest arrays ride one
+      // exploded struct array per row (a 3-way union would read and
+      // tokenize the corpus three times)
+      .select(explode(array((1 to 3).map(n =>
+          struct(lit(n.toLong).as("n"),
+            graft.functions.WordWindowMd5(col("text"), lit(n)).as("gs"))): _*))
+        .as("w"))
+      .select(col("w.n").as("n"), explode(col("w.gs")).as("g"))
       .groupBy(col("n"))
       .agg(count(lit(1)).as("total_ngrams"),
            countDistinct(col("g")).as("distinct_ngrams"))
       .withColumn("distinct_ratio",
         col("distinct_ngrams").cast(DoubleType) / col("total_ngrams"))
       .presentSorted(col("n"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ngram_diversity"  -> ngramDiversity _,
@@ -367,11 +374,11 @@ object Text {
          |       AS INTEGER) AS is_match
          |FROM t ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
-        |       AS BIGINT) AS bpe_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$BpeTokenRe'))
+         |       AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS text_md5,
         |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1, 4),

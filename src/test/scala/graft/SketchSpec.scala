@@ -180,6 +180,24 @@ class SketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("underfilled sketch answers exactly (the KMV small-range rule)") {
+    // k far above any language's distinct-window count: every group is
+    // underfilled, and an underfilled buffer has seen EVERY distinct
+    // value — the estimate must be k_filled itself, not (k−1)/h_k
+    // (which would answer ≈ k−1 regardless of the truth)
+    val rows = ext.Sketch.distinctKmvByLang(spark, sfDir, k = 1 << 20)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) < (1 << 20), "fixture unexpectedly filled k")
+      assert(r.getDouble(3) == r.getLong(1).toDouble,
+        s"lang ${r.getString(0)}: underfilled estimate not exact")
+      // 48-bit hashes are collision-free at this corpus size, so the
+      // exact-window audit column agrees with the hash-set count
+      assert(r.getLong(1) == r.getLong(4))
+    }
+  }
+
   test("persisted-sketch cycle: write(A), merge sketch(B) ≡ one-pass sketch(A ∪ B)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
     try {
