@@ -193,9 +193,17 @@ object Bpe {
     * ops, cross-engine stable). O(languages) output rows. */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
     val merges = mergesArray(trainBpe(spark, dir))
+    fertilityReport(Tables.documents(spark, dir), merges)
+  }
+
+  /** Per-lang fertility aggregate over `docs` encoded under `merges`
+    * (a 1-row broadcastable merge array) — shared by the corpus-wide
+    * and incremental fertility gates so the metric has ONE spelling. */
+  private def fertilityReport(docs: DataFrame,
+                              merges: DataFrame): DataFrame = {
     val toks = graft.functions.BpeEncode(col("text"), col("merges"))
     graft.Present.sorted(
-      Tables.documents(spark, dir)
+      docs
         .crossJoin(broadcast(merges))
         .select(col("lang"),
           size(toks).cast(LongType).as("ntok"),
@@ -214,11 +222,29 @@ object Bpe {
       col("lang"))
   }
 
+  /** Per-increment fertility under the FROZEN tokenizer — the per-batch
+    * drift monitor ([[Funnel]]'s X101 move applied to [[bpeApply]]):
+    * merges train on the history split only, and each arriving batch's
+    * per-language fertility is measured under them. A language whose
+    * incremental fertility climbs relative to the [[bpeFertility]]
+    * baseline is drifting out of the frozen vocabulary (new domain,
+    * new script, spam) — the operational signal that schedules a
+    * tokenizer retrain, read per batch the way [[Funnel
+    * .incrementalFunnelByLang]] is. Same one-scan aggregate, same
+    * spelling, only the training split and the scored split change. */
+  def bpeFertilityIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % Dedup.IncrMod === 0
+    val docs = Tables.documents(spark, dir)
+    fertilityReport(docs.filter(isNew),
+      mergesArray(trainBpeFrame(docs.filter(!isNew))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "bpe_tokens" -> ((s, d) => bpeTokens(s, d)),
     "bpe_apply"  -> ((s, d) => bpeApply(s, d)),
-    "bpe_fertility" -> ((s, d) => bpeFertility(s, d)))
+    "bpe_fertility" -> ((s, d) => bpeFertility(s, d)),
+    "bpe_fertility_incremental" -> ((s, d) => bpeFertilityIncremental(s, d)))
 
   // ---- oracles (generated K-round unrolled CTE chains) ----
 
@@ -245,6 +271,19 @@ object Bpe {
        |        FROM (SELECT unnest(string_split(text, ' ')) AS word
        |              FROM documents WHERE $docPred))
        |  WHERE word <> '' GROUP BY word)""".stripMargin
+
+  /** b0..bK: the BATCH word dictionary run through the HISTORY rounds'
+    * winners m1..mK in rank order — one boundary-exact replace per
+    * rank, the training chain's own non-cascading pass. Shared by the
+    * bpe_apply and bpe_fertility_incremental oracles. */
+  private def applyRoundsSql: String = (1 to NumMerges).map { r =>
+    s"""b$r AS (
+       |  SELECT b.word,
+       |    CASE WHEN m.a IS NULL THEN b.s
+       |         ELSE replace(b.s, $FrO || m.a || $FrC || $FrO || m.b || $FrC,
+       |                           $FrO || m.a || m.b || $FrC) END AS s
+       |  FROM b${r - 1} b LEFT JOIN m$r m ON TRUE)""".stripMargin
+  }.mkString(",\n")
 
   /** d0..dK dictionary CTEs over delimiter-framed symbol strings for
     * documents matching `docPred` (default: the whole corpus). */
@@ -300,6 +339,41 @@ object Bpe {
          |    string_agg(array_to_string(l, ' '), ' ' ORDER BY i) AS ts
          |  FROM j GROUP BY doc_id) t ON t.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "bpe_fertility_incremental" -> {
+      val mod = Dedup.IncrMod
+      s"""WITH ${dictCtes(NumMerges, s"doc_id % $mod <> 0")},
+         |${seedDict("b0", s"doc_id % $mod = 0")},
+         |$applyRoundsSql,
+         |seg AS (
+         |  SELECT word, string_split(substr(s, 2, len(s) - 2),
+         |                            $FrC || $FrO) AS l
+         |  FROM b$NumMerges),
+         |dw AS (
+         |  SELECT doc_id, w.word
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents WHERE doc_id % $mod = 0) w
+         |  WHERE w.word <> ''),
+         |per AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(coalesce(t.nt, 0) AS BIGINT) AS ntok,
+         |    CAST(len(list_filter(string_split(d.text, ' '),
+         |                         w -> w <> '')) AS BIGINT) AS nw,
+         |    CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS nch
+         |  FROM documents d LEFT JOIN (
+         |    SELECT dw.doc_id, sum(len(seg.l)) AS nt
+         |    FROM dw JOIN seg ON seg.word = dw.word
+         |    GROUP BY dw.doc_id) t ON t.doc_id = d.doc_id
+         |  WHERE d.doc_id % $mod = 0)
+         |SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nch) AS BIGINT) AS n_chars,
+         |  CAST(sum(ntok) AS DOUBLE) / CAST(sum(nw) AS BIGINT) AS fertility,
+         |  CAST(sum(nch) AS DOUBLE) / CAST(sum(ntok) AS BIGINT)
+         |    AS chars_per_token
+         |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "bpe_fertility" ->
       s"""WITH ${dictCtes(NumMerges)},
          |seg AS (
@@ -331,17 +405,7 @@ object Bpe {
          |    AS chars_per_token
          |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     "bpe_apply" -> {
-      // b0..bK: the BATCH word dictionary run through the HISTORY
-      // rounds' winners m1..mK in rank order — one boundary-exact
-      // replace per rank, the training chain's own non-cascading pass
-      val applyRounds = (1 to NumMerges).map { r =>
-        s"""b$r AS (
-           |  SELECT b.word,
-           |    CASE WHEN m.a IS NULL THEN b.s
-           |         ELSE replace(b.s, $FrO || m.a || $FrC || $FrO || m.b || $FrC,
-           |                           $FrO || m.a || m.b || $FrC) END AS s
-           |  FROM b${r - 1} b LEFT JOIN m$r m ON TRUE)""".stripMargin
-      }.mkString(",\n")
+      val applyRounds = applyRoundsSql
       val incrPred = s"doc_id % ${Dedup.IncrMod}"
       s"""WITH ${dictCtes(NumMerges, s"$incrPred <> 0")},
          |${seedDict("b0", s"$incrPred = 0")},

@@ -89,6 +89,21 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental fertility partitions the frozen-apply accounting; increment docs only") {
+    val sfDir = TestSpark.sfDir
+    val perDoc = ext.Bpe.bpeApply(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("n_bpe_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.keys.forall(_ % 5 == 0), "apply leaked history docs")
+    val fert = ext.Bpe.bpeFertilityIncremental(spark, sfDir).collect()
+    // lang rows partition the INCREMENT: doc and token sums close
+    // exactly against the frozen-apply per-doc encode
+    assert(fert.map(_.getLong(1)).sum == perDoc.size)
+    assert(fert.map(_.getLong(3)).sum == perDoc.values.sum,
+      "per-lang token sums drifted from the frozen-apply encode")
+  }
+
   test("frozen-artifact apply: OOV words segment under the trained merges") {
     // the bpe_apply contract: merges trained on a REFERENCE corpus
     // encode UNSEEN words — learned subword units fire inside words the
