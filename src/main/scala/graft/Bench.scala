@@ -117,14 +117,25 @@ object Bench {
         def moduleFile(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) =
           new java.io.File("src/main/scala/" +
             fn.getClass.getName.takeWhile(_ != '$').replace('.', '/') + ".scala")
-        val sel = SparkEntry.queries.filter { case (_, fn) =>
+        val sel = SparkEntry.queries.filter { case (name, fn) =>
           val f = moduleFile(fn)
-          !f.exists() || f.lastModified() > since // unknown file → conservative
+          // a query defined in a nested object or helper file resolves
+          // to a non-existent path — select it conservatively, but SAY
+          // so, so the heuristic's blind spots stay visible
+          if (!f.exists())
+            System.err.println(
+              s"[bench] --changed: $name resolves to missing $f — selected")
+          !f.exists() || f.lastModified() > since
         }.keySet
+        // explicit names alongside --changed NARROW the selection (the
+        // old behavior silently ignored them)
+        val explicit = args.filterNot(_ == "--changed").toSet
+        val out = if (explicit.nonEmpty) sel.intersect(explicit) else sel
         System.err.println(
-          s"[bench] --changed: ${sel.size}/${SparkEntry.queries.size} queries " +
-          s"from modules newer than $outFile")
-        sel
+          s"[bench] --changed: ${out.size}/${SparkEntry.queries.size} queries " +
+          s"from modules newer than $outFile" +
+          (if (explicit.nonEmpty) s", intersected with ${explicit.size} named" else ""))
+        out
       } else args.toSet
     // subset mode is a property of the INVOCATION, not of `only`'s size:
     // a --changed run that selects zero queries must run zero queries

@@ -244,6 +244,17 @@ object Cluster {
     * the near-dup leak; singletons (rep = own id) degrade to exactly
     * the document rule.
     *
+    * Known bias, shared with [[Corpus.trainTestSplit]] deliberately:
+    * the bucket is a 16-bit hash mod 100, and 65536 % 100 ≠ 0, so
+    * buckets 0–35 carry ⌈65536/100⌉ = 656 hash values vs 655 — the
+    * train fraction at trainPct=80 is ~80.01%, not 80.00%. Kept
+    * because (a) the split must agree CELL-FOR-CELL with the document
+    * rule (a singleton cluster and the doc split must bucket
+    * identically), and (b) determinism + oracle parity matter more
+    * than 1e-4 of fraction accuracy here. A deployment that needs
+    * exact fractions should widen the hash (8 hex chars mod 100,
+    * bias 1/43M) in BOTH rules at once.
+    *
     * Scale shape: the cluster assignment is [[connectedComponents]]
     * unchanged (O(E+V) per round, log rounds); the bucket/split is a
     * pure per-row expression on its output — no additional shuffle. */

@@ -159,8 +159,11 @@ object DedupHistory {
       .filter(graft.functions.JaccardSim(col("xss"), col("yss")) >= jaccardMin)
       .groupBy(col("doc_n"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_h")).as("dup_of"))
+    // `verified` is O(batch docs) on a duplicate-heavy batch — gate the
+    // broadcast through the same count rule as every other build side
+    // here rather than assuming the mostly-novel regime.
     batch.select(col("doc_id"))
-      .join(broadcast(verified), col("doc_id") === col("doc_n"), "left")
+      .join(buildSide(verified), col("doc_id") === col("doc_n"), "left")
       .select(col("doc_id"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         col("dup_of"),

@@ -310,8 +310,14 @@ object IvfPq {
     * cell lands wholly in one task → one file per cell directory),
     * rows sorted (vec_id, sub) within the list so a future reader's
     * row-group stats stay tight, written beside the live layout and
-    * swapped in with two renames — a reader sees the old layout or
-    * the new one, never a half-written mix. Rows are BIT-IDENTICAL
+    * swapped in with two renames. The swap assumes a SINGLE WRITER
+    * and NO CONCURRENT READER: between rename(live→old) and
+    * rename(tmp→live) there is a window where no `codes/` directory
+    * exists, so a reader racing the swap can observe a missing path
+    * (never a half-written mix — each layout is only renamed whole).
+    * Deployments that need concurrent readers should publish via a
+    * versioned directory plus a pointer file instead; this in-place
+    * swap is the maintenance-window spelling. Rows are BIT-IDENTICAL
     * and the `ivf_cell=` directory scheme is unchanged, so file-level
     * pruning keeps working (both pinned in IvfPqSpec).
     *
@@ -341,6 +347,7 @@ object IvfPq {
       throw new java.io.IOException(s"compact: could not retire $live")
     if (!fs.rename(p(tmp), p(live))) {
       fs.rename(p(old), p(live)) // roll back — the old layout is intact
+      fs.delete(p(tmp), true)    // don't strand the compacted copy
       throw new java.io.IOException(s"compact: could not publish $tmp")
     }
     fs.delete(p(old), true); ()

@@ -137,12 +137,24 @@ object Sources {
     * stream a disjoint offset, so a novel stream doc can never collide
     * with a novel history doc — only the planted 5% cross-match, ~5
     * history partners each: the mostly-novel crawl regime where the
-    * bloom pre-filter ends the funnel for 95% of rows). */
+    * bloom pre-filter ends the funnel for 95% of rows).
+    *
+    * The planted key is derived from the id's HUNDREDS block,
+    * `(id / 100) % 1000`, NOT from `id % 1000` — the latter is
+    * determined by the `id % 100 < 5` gate and collapses to 50 keys
+    * (each planted doc then finds ~100 partners in a 100k history,
+    * a 20× heavier verify stage than the crawl regime this corpus
+    * claims). The block key takes all 1000 values, and with a 100k
+    * history each block contributes exactly 5 planted ids → ~5
+    * partners per stream doc. Keys are negated (−1…−1000) so they
+    * can never collide with a novel key, which is always a
+    * non-negative id (+ offset). */
   def nearDupDocs(ids: DataFrame, idCol: Column,
                   novelOffset: Long): DataFrame =
     ids.select(idCol.as("doc_id"),
       concat(
-        dedupBody(when(idCol % 100 < 5, idCol % 1000)
+        dedupBody(when(idCol % 100 < 5,
+            -((idCol / 100).cast("long") % 1000) - 1)
           .otherwise(idCol + novelOffset)),
         lit(" v"), (idCol % 997).cast(StringType)).as("text"))
 }
