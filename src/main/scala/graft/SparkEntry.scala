@@ -39,6 +39,7 @@ object SparkEntry {
     (ext.LangModel.queries, ext.LangModel.oracles),
     (ext.Funnel.queries, ext.Funnel.oracles),
     (ext.Bpe.queries, ext.Bpe.oracles),
+    (ext.Unigram.queries, ext.Unigram.oracles),
     (ext.Card.queries, ext.Card.oracles),
     (ext.KMeans.queries, ext.KMeans.oracles),
     (ext.Pq.queries, ext.Pq.oracles),

@@ -200,11 +200,20 @@ object Bpe {
     * (a 1-row broadcastable merge array) — shared by the corpus-wide
     * and incremental fertility gates so the metric has ONE spelling. */
   private def fertilityReport(docs: DataFrame,
-                              merges: DataFrame): DataFrame = {
-    val toks = graft.functions.BpeEncode(col("text"), col("merges"))
+                              merges: DataFrame): DataFrame =
+    fertilityOf(docs, merges,
+      graft.functions.BpeEncode(col("text"), col("merges")))
+
+  /** Tokenizer-agnostic fertility kernel: `art` is any 1-row
+    * broadcastable artifact frame and `toks` the token-array expression
+    * over (`text`, art columns) — [[Unigram]] reuses this with its
+    * piece table, so the fairness metric has ONE spelling across BOTH
+    * canonical tokenizers and the reports stay column-comparable. */
+  private[ext] def fertilityOf(docs: DataFrame, art: DataFrame,
+                               toks: Column): DataFrame = {
     graft.Present.sorted(
       docs
-        .crossJoin(broadcast(merges))
+        .crossJoin(broadcast(art))
         .select(col("lang"),
           size(toks).cast(LongType).as("ntok"),
           size(filter(split(col("text"), " "), w => w =!= ""))

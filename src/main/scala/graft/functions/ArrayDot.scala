@@ -109,6 +109,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     binary("word_window_md5", classOf[WordWindowMd5], WordWindowMd5(_, _))
     binary("bpe_encode", classOf[BpeEncode], BpeEncode(_, _))
     ext.injectFunction((
+      new FunctionIdentifier("ilog2_fp"),
+      new ExpressionInfo(classOf[ILog2Fp].getName, "ilog2_fp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+                s"ilog2_fp expects 1 argument, got ${children.length}")
+        ILog2Fp(children(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("unigram_encode"),
+      new ExpressionInfo(classOf[UnigramEncode].getName, "unigram_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+                s"unigram_encode expects 3 arguments, got ${children.length}")
+        UnigramEncode(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("hadamard_rotate"),
       new ExpressionInfo(classOf[HadamardRotate].getName, "hadamard_rotate"),
       (children: Seq[Expression]) => {
