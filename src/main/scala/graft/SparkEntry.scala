@@ -60,6 +60,7 @@ object SparkEntry {
     (ext.Relevance.queries, ext.Relevance.oracles),
     (ext.FuzzyJoin.queries, ext.FuzzyJoin.oracles),
     (ext.Curation.queries, ext.Curation.oracles),
+    (ext.Urls.queries, ext.Urls.oracles),
     (ext.Graph.queries, ext.Graph.oracles)
   )
 

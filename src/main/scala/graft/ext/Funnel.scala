@@ -9,14 +9,14 @@ import graft.Present.PresentOps
 
 /** The curation FUNNEL report — the whole cleaning pipeline's
   * survivor accounting in one plan: how many documents (and tokens)
-  * remain after each stage of ingest → exact dedup → near-dup
-  * clustering → quality rules → eval decontamination → perplexity
+  * remain after each stage of ingest → URL curation → exact dedup
+  * → near-dup clustering → quality rules → eval decontamination → perplexity
   * bucket keep (head+middle; unscorable docs drop — the CCNet rule)
   * → classifier band keep (keep+review). This is the dashboard number
   * every corpus run publishes ("we went from 1.2 T tokens to 310 B"),
-  * and it exercises the engine's composability: six operator
-  * families' cores ([[Dedup]]/[[Cluster]], [[Text]], [[Decontam]],
-  * [[LangModel]], [[Scoring]]) feed one aggregation without
+  * and it exercises the engine's composability: seven operator
+  * families' cores ([[Urls]], [[Dedup]]/[[Cluster]], [[Text]],
+  * [[Decontam]], [[LangModel]], [[Scoring]]) feed one aggregation without
   * materializing intermediate corpora.
   *
   * Stage predicates are CORPUS-GLOBAL flags (keeper-by-digest,
@@ -34,14 +34,14 @@ import graft.Present.PresentOps
   * Scale shape: every flag is doc_id-keyed, so the compose is a chain
   * of equi-joins on ONE key — co-located after the first exchange
   * (AQE picks broadcast for the flag sides when they shrink, e.g. the
-  * O(contaminated) frame). The five stage aggregates ride a single
+  * O(contaminated) frame). The per-stage aggregates ride a single
   * scan as conditional aggregates (the [[graft.ops.Quality]] dq_checks
   * pattern — never one job per stage), reshaped 1 row → 5 via `stack`
   * (a per-row Expand, no shuffle). Output is integer-only.
   */
 object Funnel {
 
-  /** The joined flag frame + the seven cumulative stage predicates —
+  /** The joined flag frame + the cumulative stage predicates —
     * shared by the corpus-global and per-language funnels (one
     * definition, two aggregation scopes). */
   private def flaggedDocs(spark: SparkSession,
@@ -79,20 +79,28 @@ object Funnel {
     // classifier bands: keep/review survive, drop drops
     val cls = Scoring.scored(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("band"))
-    val s2 = col("doc_id") === col("keeper")
-    val s3 = s2 && col("doc_id") === col("label")
-    val s4 = s3 && col("pass") === 1
-    val s5 = s4 && coalesce(col("contaminated"), lit(0)) === 0
-    val s6 = s5 && col("bucket").isNotNull && col("bucket") =!= "tail"
-    val s7 = s6 && col("band") =!= "drop"
+    // stage 2, URL curation (RefinedWeb §G.1): the first decision a
+    // real crawl pipeline makes, and the cheapest — a per-row verdict
+    // off the URL alone, before any text is read. One more doc_id-keyed
+    // flag join; the broadcast blocklist lives inside [[Urls.keepFlags]]
+    val urlf = Urls.keepFlags(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")))
+    val s2 = col("url_kept")
+    val s3 = s2 && col("doc_id") === col("keeper")
+    val s4 = s3 && col("doc_id") === col("label")
+    val s5 = s4 && col("pass") === 1
+    val s6 = s5 && coalesce(col("contaminated"), lit(0)) === 0
+    val s7 = s6 && col("bucket").isNotNull && col("bucket") =!= "tail"
+    val s8 = s7 && col("band") =!= "drop"
     (docs
+      .join(urlf, "doc_id")
       .join(exactKeep, "digest")
       .join(lbl, "doc_id")
       .join(gopher, "doc_id")
       .join(cont, Seq("doc_id"), "left")
       .join(ppl, Seq("doc_id"), "left")
       .join(cls, "doc_id"),
-     Seq(s2, s3, s4, s5, s6, s7))
+     Seq(s2, s3, s4, s5, s6, s7, s8))
   }
 
   private def stageAggs(stages: Seq[Column]): Seq[Column] = {
@@ -105,14 +113,15 @@ object Funnel {
   }
 
   private val StackSql =
-    """stack(7,
+    """stack(8,
       |  CAST(1 AS BIGINT), 'ingest',      d1, t1,
-      |  CAST(2 AS BIGINT), 'exact_dedup', d2, t2,
-      |  CAST(3 AS BIGINT), 'near_dedup',  d3, t3,
-      |  CAST(4 AS BIGINT), 'quality',     d4, t4,
-      |  CAST(5 AS BIGINT), 'decontam',    d5, t5,
-      |  CAST(6 AS BIGINT), 'perplexity',  d6, t6,
-      |  CAST(7 AS BIGINT), 'classifier',  d7, t7
+      |  CAST(2 AS BIGINT), 'url_filter',  d2, t2,
+      |  CAST(3 AS BIGINT), 'exact_dedup', d3, t3,
+      |  CAST(4 AS BIGINT), 'near_dedup',  d4, t4,
+      |  CAST(5 AS BIGINT), 'quality',     d5, t5,
+      |  CAST(6 AS BIGINT), 'decontam',    d6, t6,
+      |  CAST(7 AS BIGINT), 'perplexity',  d7, t7,
+      |  CAST(8 AS BIGINT), 'classifier',  d8, t8
       |) AS (stage, stage_name, n_docs, n_tokens)""".stripMargin
 
   def corpusFunnel(spark: SparkSession, dir: String): DataFrame = {
@@ -147,7 +156,7 @@ object Funnel {
 
   /** Per-INCREMENT funnel — [[corpusFunnel]]'s operational sibling: a
     * new crawl batch (the [[Dedup.IncrMod]] split [[Dedup
-    * .dedupIncremental]] defines) runs the same 7-stage survivor
+    * .dedupIncremental]] defines) runs the same 8-stage survivor
     * accounting, but every history-dependent stage consults a FROZEN
     * history artifact instead of re-processing the corpus:
     *
@@ -237,13 +246,20 @@ object Funnel {
       .select(col("doc_id"), col("bucket"))
     val cls = Scoring.scored(batch.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("band"))
-    val s2 = col("doc_id") === col("keeper") && col("in_hist").isNull
-    val s3 = s2 && col("kept")
-    val s4 = s3 && col("pass") === 1
-    val s5 = s4 && coalesce(col("contaminated"), lit(0)) === 0
-    val s6 = s5 && col("bucket").isNotNull && col("bucket") =!= "tail"
-    val s7 = s6 && col("band") =!= "drop"
+    // URL curation is per-doc and history-free — the increment runs
+    // the same stage-2 verdict the corpus funnel does (the join below
+    // restricts the corpus-wide flag frame to the batch)
+    val urlf = Urls.keepFlags(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")))
+    val s2 = col("url_kept")
+    val s3 = s2 && col("doc_id") === col("keeper") && col("in_hist").isNull
+    val s4 = s3 && col("kept")
+    val s5 = s4 && col("pass") === 1
+    val s6 = s5 && coalesce(col("contaminated"), lit(0)) === 0
+    val s7 = s6 && col("bucket").isNotNull && col("bucket") =!= "tail"
+    val s8 = s7 && col("band") =!= "drop"
     (batch
+      .join(urlf, "doc_id")
       .join(exKeep, "digest")
       .join(broadcast(dupDigests), Seq("digest"), "left")
       .join(man, "doc_id")
@@ -251,7 +267,7 @@ object Funnel {
       .join(cont, Seq("doc_id"), "left")
       .join(ppl, Seq("doc_id"), "left")
       .join(cls, "doc_id"),
-     Seq(s2, s3, s4, s5, s6, s7))
+     Seq(s2, s3, s4, s5, s6, s7, s8))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -297,11 +313,11 @@ object Funnel {
        |         ELSE 'tail' END AS bucket
        |  FROM s CROSS JOIN lb)""".stripMargin
 
-  private val StageNames = Seq("ingest", "exact_dedup", "near_dedup",
-    "quality", "decontam", "perplexity", "classifier")
+  private val StageNames = Seq("ingest", "url_filter", "exact_dedup",
+    "near_dedup", "quality", "decontam", "perplexity", "classifier")
 
-  /** The stacked 7-row stage report over a flags CTE `f(doc_id, wc,
-    * s2..s7, ...)` — shared tail of the funnel oracles. `by` adds a
+  /** The stacked 8-row stage report over a flags CTE `f(doc_id, wc,
+    * s2..s8, ...)` — shared tail of the funnel oracles. `by` adds a
     * grouping column (the per-language report). */
   private def stageReport(by: Option[String] = None): String = {
     val sel = by.map(b => s"$b, ").getOrElse("")
@@ -340,32 +356,35 @@ object Funnel {
        |  FROM documents),
        |ex AS (SELECT digest, min(doc_id) AS keeper FROM dd GROUP BY 1),
        |g AS (${Text.gopherPassSql}),
+       |${Urls.KeepCtes},
        |$decontamCtes,
        |${LangModel.ScoredCtesBody},
        |$bucketCte,
        |$classifierCte,
-       |f AS (
+       |f0 AS (
        |  SELECT dd.doc_id, dd.lang, dd.wc,
-       |    dd.doc_id = ex.keeper AS s2,
-       |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep AS s3,
-       |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
-       |      AND g.pass = 1 AS s4,
-       |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
-       |      AND g.pass = 1
-       |      AND dd.doc_id NOT IN (SELECT doc_id FROM dcont) AS s5,
-       |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
-       |      AND g.pass = 1
-       |      AND dd.doc_id NOT IN (SELECT doc_id FROM dcont)
-       |      AND pb.bucket IS NOT NULL AND pb.bucket <> 'tail' AS s6,
-       |    dd.doc_id = ex.keeper AND dd.doc_id = a.cluster_rep
-       |      AND g.pass = 1
-       |      AND dd.doc_id NOT IN (SELECT doc_id FROM dcont)
-       |      AND pb.bucket IS NOT NULL AND pb.bucket <> 'tail'
-       |      AND cb.score >= ${Scoring.ReviewMin} AS s7
+       |    uf.ukeep AS p2,
+       |    dd.doc_id = ex.keeper AS p3,
+       |    dd.doc_id = a.cluster_rep AS p4,
+       |    g.pass = 1 AS p5,
+       |    dd.doc_id NOT IN (SELECT doc_id FROM dcont) AS p6,
+       |    pb.bucket IS NOT NULL AND pb.bucket <> 'tail' AS p7,
+       |    cb.score >= ${Scoring.ReviewMin} AS p8
        |  FROM dd JOIN ex USING (digest) JOIN asg a USING (doc_id)
        |          JOIN g USING (doc_id)
+       |          JOIN uf ON uf.doc_id = dd.doc_id
        |          LEFT JOIN pb ON pb.doc_id = dd.doc_id
-       |          JOIN cb ON cb.doc_id = dd.doc_id)""".stripMargin
+       |          JOIN cb ON cb.doc_id = dd.doc_id),
+       |f AS (
+       |  SELECT doc_id, lang, wc,
+       |    p2 AS s2,
+       |    p2 AND p3 AS s3,
+       |    p2 AND p3 AND p4 AS s4,
+       |    p2 AND p3 AND p4 AND p5 AS s5,
+       |    p2 AND p3 AND p4 AND p5 AND p6 AS s6,
+       |    p2 AND p3 AND p4 AND p5 AND p6 AND p7 AS s7,
+       |    p2 AND p3 AND p4 AND p5 AND p6 AND p7 AND p8 AS s8
+       |  FROM f0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "corpus_funnel" ->
@@ -398,6 +417,7 @@ object Funnel {
        |hd AS (SELECT DISTINCT digest FROM dd
        |       WHERE doc_id % ${Dedup.IncrMod} <> 0),
        |g AS (${Text.gopherPassSql}),
+       |${Urls.KeepCtes},
        |$decontamCtes,
        |${LangModel.splitScoredCtes(
            s"doc_id % ${Dedup.IncrMod} <> 0",
@@ -406,16 +426,18 @@ object Funnel {
        |$classifierCte,
        |f0 AS (
        |  SELECT nb.doc_id$nl, nb.wc,
-       |    nb.doc_id = ex.keeper AND hd.digest IS NULL AS p2,
-       |    man.kept AS p3,
-       |    g.pass = 1 AS p4,
-       |    nb.doc_id NOT IN (SELECT doc_id FROM dcont) AS p5,
-       |    pb.bucket IS NOT NULL AND pb.bucket <> 'tail' AS p6,
-       |    cb.score >= ${Scoring.ReviewMin} AS p7
+       |    uf.ukeep AS p2,
+       |    nb.doc_id = ex.keeper AND hd.digest IS NULL AS p3,
+       |    man.kept AS p4,
+       |    g.pass = 1 AS p5,
+       |    nb.doc_id NOT IN (SELECT doc_id FROM dcont) AS p6,
+       |    pb.bucket IS NOT NULL AND pb.bucket <> 'tail' AS p7,
+       |    cb.score >= ${Scoring.ReviewMin} AS p8
        |  FROM nb JOIN ex USING (digest)
        |          LEFT JOIN hd USING (digest)
        |          JOIN man USING (doc_id)
        |          JOIN g USING (doc_id)
+       |          JOIN uf ON uf.doc_id = nb.doc_id
        |          LEFT JOIN pb ON pb.doc_id = nb.doc_id
        |          JOIN cb ON cb.doc_id = nb.doc_id),
        |f AS (
@@ -425,7 +447,8 @@ object Funnel {
        |    p2 AND p3 AND p4 AS s4,
        |    p2 AND p3 AND p4 AND p5 AS s5,
        |    p2 AND p3 AND p4 AND p5 AND p6 AS s6,
-       |    p2 AND p3 AND p4 AND p5 AND p6 AND p7 AS s7
+       |    p2 AND p3 AND p4 AND p5 AND p6 AND p7 AS s7,
+       |    p2 AND p3 AND p4 AND p5 AND p6 AND p7 AND p8 AS s8
        |  FROM f0)
        |${if (byLang) stageReport(Some("lang")) else stageReportSql}""".stripMargin
   }

@@ -19,7 +19,7 @@ class IncrementalFunnelSpec extends AnyFunSuite {
     run {
       val rows = ext.Funnel.incrementalFunnel(spark, sfDir).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-      assert(rows.map(_._1).toSeq == (1L to 7L))
+      assert(rows.map(_._1).toSeq == (1L to 8L))
       val batch = Tables.documents(spark, sfDir)
         .filter(col("doc_id") % 5 === 0)
         .select(count(lit(1)),
@@ -31,9 +31,11 @@ class IncrementalFunnelSpec extends AnyFunSuite {
         assert(b._3 <= a._3 && b._4 <= a._4,
                s"funnel not monotone: ${a._2} -> ${b._2}")
       }
-      // the planted cross-split near-dups must actually drop something
-      val (s2, s3) = (rows(1)._3, rows(2)._3)
-      assert(s3 < s2, "near-dedup stage dropped nothing — fixture broken?")
+      // the url stage and the planted cross-split near-dups must each
+      // actually drop something (stage 2 = url_filter, 3 = exact, 4 = near)
+      assert(rows(1)._3 < rows(0)._3, "url stage dropped nothing")
+      val (s3, s4) = (rows(2)._3, rows(3)._3)
+      assert(s4 < s3, "near-dedup stage dropped nothing — fixture broken?")
     }
   }
 
@@ -47,13 +49,16 @@ class IncrementalFunnelSpec extends AnyFunSuite {
       val keepers = batch.groupBy(col("digest"))
         .agg(min(col("doc_id")).as("k")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the cumulative stage-3 flag also carries stage 2 (url_filter)
+      val urlKept = ext.Urls.urlCurate(spark, sfDir).filter(col("kept"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
       val expected = batch.collect().count { r =>
         val (id, dg) = (r.getLong(0), r.getString(1))
-        keepers(dg) == id && !histDigests(dg)
+        urlKept(id) && keepers(dg) == id && !histDigests(dg)
       }
-      val s2 = ext.Funnel.incrementalFunnel(spark, sfDir)
-        .filter(col("stage") === 2).head().getLong(2)
-      assert(s2 == expected, s"stage 2: $s2 != $expected")
+      val s3 = ext.Funnel.incrementalFunnel(spark, sfDir)
+        .filter(col("stage") === 3).head().getLong(2)
+      assert(s3 == expected, s"stage 3: $s3 != $expected")
     }
   }
 
@@ -71,7 +76,7 @@ class IncrementalFunnelSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
     }
     assert(byLang.map(_._1).distinct.length > 1, "fixture lost its languages")
-    (1L to 7L).foreach { stage =>
+    (1L to 8L).foreach { stage =>
       val rows = byLang.filter(_._2 == stage)
       assert((rows.map(_._3).sum, rows.map(_._4).sum) == global(stage),
              s"stage $stage does not partition")
