@@ -231,11 +231,74 @@ object Classifier {
       col("t"))
   }
 
+  /** Sample fractions (percent) for [[qualityClfSlice]] — 100 is the
+    * reference model, so the agreement curve carries its own anchor. */
+  private[ext] val SlicePs = Seq(25L, 50L, 100L)
+
+  /** MEASURED train-on-a-slice posture — the scale claim above ("at
+    * corpus scale the trainer runs on a SAMPLE") turned into numbers:
+    * train the same GD loop on a p% hash slice of the corpus
+    * ([[Corpus.trainTestSplit]]'s bucket rule, so the slice is the
+    * reproducible kind a production sampler would take), score the
+    * WHOLE corpus under each slice model, and report per p both label
+    * accuracy and agreement with the full-corpus model — prediction
+    * agreement and mean absolute quantized-margin gap. The p = 100 row
+    * is the anchor (agreement 10⁶ ppm, gap 0 — a built-in self-check);
+    * the 25/50 rows are the measurement an operator reads before
+    * deciding how small the training sample may go. All-integer
+    * output: counts, and ppm / micro-margin via integer DIV (the
+    * [[Card]] discipline).
+    *
+    * Cost shape: |SlicePs| trainings over the pinned feature frame
+    * (each round O(dims × partitions) shuffled rows), then |SlicePs|
+    * pure per-row scorings joined doc_id-to-doc_id — the reference
+    * scoring reuses the p = 100 model rather than training twice. */
+  def qualityClfSlice(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4),
+        16, 10).cast(IntegerType) % 100
+    val feats = graft.CacheScope.pin(
+      featureFrame(Tables.documents(spark, dir)))
+    def scoredUnder(p: Long): DataFrame = {
+      val (wF, grad) = loop(feats.filter(bucket < p), NumRounds)
+      Graph.freeCheckpoint(grad)
+      feats.crossJoin(broadcast(wF))
+        .select(col("doc_id"), col("y"),
+          floor(graft.functions.ArrayDot(col("x"), col("w")) * lit(1000000.0))
+            .cast(LongType).as("zq"))
+        .withColumn("pred", when(col("zq") >= 0, 1L).otherwise(0L))
+    }
+    val ref = scoredUnder(100L)
+      .select(col("doc_id"), col("zq").as("zq_ref"), col("pred").as("pred_ref"))
+      .localCheckpoint()
+    val rows = SlicePs.map { p =>
+      val sc = if (p == 100L) {
+        // same model as ref — reuse instead of retraining
+        ref.select(col("doc_id"), col("zq_ref").as("zq"),
+          col("pred_ref").as("pred"))
+          .join(feats.select(col("doc_id"), col("y")), "doc_id")
+      } else scoredUnder(p)
+      val nTrain = feats.filter(bucket < p).count()
+      sc.join(ref, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred").cast(LongType) === col("y"), 1L)
+            .otherwise(0L)).as("n_acc"),
+          sum(when(col("pred").cast(LongType) === col("pred_ref")
+                     .cast(LongType), 1L).otherwise(0L)).as("n_agree"),
+          sum(abs(col("zq") - col("zq_ref"))).as("gap_sum"))
+        .select(lit(p).as("p"), lit(nTrain).as("n_train"),
+          expr("CAST(n_acc * 1000000 DIV n AS BIGINT)").as("acc_ppm"),
+          expr("CAST(n_agree * 1000000 DIV n AS BIGINT)").as("agree_ppm"),
+          expr("CAST(gap_sum DIV n AS BIGINT)").as("margin_gap_q"))
+    }
+    graft.Present.sorted(rows.reduce(_ unionByName _), col("p"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_clf_train" -> qualityClfTrain _,
     "quality_clf_apply" -> qualityClfApply _,
     "quality_clf_frozen" -> qualityClfFrozen _,
-    "quality_clf_sweep" -> qualityClfSweep _)
+    "quality_clf_sweep" -> qualityClfSweep _,
+    "quality_clf_slice" -> qualityClfSlice _)
 
   // ---- oracles (generated R-round unrolled CTE chains) ----
 
@@ -265,8 +328,13 @@ object Classifier {
 
   private def featureCtes: String = s"$ypCte,\n${fCte("f")}"
 
-  private def roundCtes(r: Int, src: String = "f"): String = (1 to r).map { i =>
-    s"""g$i AS MATERIALIZED (
+  /** `pfx` namespaces the per-round CTEs so several independent
+    * trainings (the slice sweep) can share one WITH; every prefix's
+    * round 1 starts from the shared zero-weight `w0`. */
+  private def roundCtes(r: Int, src: String = "f",
+                        pfx: String = ""): String = (1 to r).map { i =>
+    val prev = if (i == 1) "w0" else s"${pfx}w${i - 1}"
+    s"""${pfx}g$i AS MATERIALIZED (
        |  SELECT CAST(i - 1 AS BIGINT) AS dim,
        |    CAST(sum(q) AS BIGINT) AS qsum, CAST(count(*) AS BIGINT) AS n
        |  FROM (
@@ -275,14 +343,14 @@ object Classifier {
        |                 * x[i] * 1000000.0) AS BIGINT) AS q
        |    FROM (SELECT y, x, list_dot_product(x, w) AS z,
        |                 unnest(range(1, len(x) + 1)) AS i
-       |          FROM $src CROSS JOIN w${i - 1}))
+       |          FROM $src CROSS JOIN $prev))
        |  GROUP BY 1),
-       |w$i AS (
+       |${pfx}w$i AS (
        |  SELECT array_agg(wv ORDER BY dim) AS w FROM (
        |    SELECT g.dim,
        |      w.w[CAST(g.dim AS INTEGER) + 1]
        |        - $Lr * (CAST(g.qsum AS DOUBLE) / 1e6 / g.n) AS wv
-       |    FROM g$i g CROSS JOIN w${i - 1} w))""".stripMargin
+       |    FROM ${pfx}g$i g CROSS JOIN $prev w))""".stripMargin
   }.mkString(",\n")
 
   private def w0Cte: String =
@@ -345,6 +413,43 @@ object Classifier {
          |       THEN CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) END
          |    AS accuracy
          |FROM a ORDER BY t""".stripMargin
+    },
+    "quality_clf_slice" -> {
+      val bucketSql =
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100"
+      // one training per slice prefix (a=25, b=50, c=100 = reference),
+      // all from the shared w0; each slice model scores the FULL corpus
+      val slices = Seq(("a", 25L), ("b", 50L), ("c", 100L))
+      val sliceCtes = slices.map { case (pfx, p) =>
+        s"""${pfx}f AS MATERIALIZED (
+           |  SELECT * FROM f WHERE $bucketSql < $p),
+           |${roundCtes(NumRounds, s"${pfx}f", pfx)},
+           |${pfx}scr AS MATERIALIZED (
+           |  SELECT f.doc_id, f.y,
+           |    CAST(floor(list_dot_product(f.x, w.w) * 1000000.0) AS BIGINT)
+           |      AS zq
+           |  FROM f CROSS JOIN ${pfx}w$NumRounds w)""".stripMargin
+      }.mkString(",\n")
+      val rows = slices.map { case (pfx, p) =>
+        s"""SELECT CAST($p AS BIGINT) AS p,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ${pfx}f) AS n_train,
+           |  CAST(sum(CASE WHEN (CASE WHEN s.zq >= 0 THEN 1 ELSE 0 END) = s.y
+           |           THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+           |    AS acc_ppm,
+           |  CAST(sum(CASE WHEN (CASE WHEN s.zq >= 0 THEN 1 ELSE 0 END)
+           |                   = (CASE WHEN r.zq >= 0 THEN 1 ELSE 0 END)
+           |           THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+           |    AS agree_ppm,
+           |  CAST(sum(abs(s.zq - r.zq)) // count(*) AS BIGINT) AS margin_gap_q
+           |FROM ${pfx}scr s JOIN cscr r ON r.doc_id = s.doc_id""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH $ypCte,
+         |${fCte("f")},
+         |$w0Cte,
+         |$sliceCtes
+         |SELECT * FROM (
+         |$rows)
+         |ORDER BY p""".stripMargin
     },
     "quality_clf_frozen" -> {
       val mod = Dedup.IncrMod

@@ -190,6 +190,33 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("slice sweep: p=100 anchors at perfect self-agreement; smaller slices stay close but differ") {
+    val rows = ext.Classifier.qualityClfSlice(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(25L, 50L, 100L))
+    val n = Tables.documents(spark, sfDir).count()
+    // slice sizes: the hash buckets take roughly p% of the corpus, and
+    // p=100 takes exactly all of it
+    val Seq(r25, r50, r100) = rows.toSeq
+    assert(r100._2 == n)
+    assert(r25._2 > 0 && r25._2 < r50._2 && r50._2 < r100._2)
+    // the anchor row IS the reference model: agreement 10^6 ppm, gap 0
+    assert(r100._4 == 1000000L && r100._5 == 0L)
+    // the measurement the posture claim rests on: a quarter-corpus
+    // model still predicts like the full model on the overwhelming
+    // majority of docs (measured 89.4% at sf0.001, 98.2% at sf0.01 —
+    // the bound detects collapse, it does not restate the measurement)
+    assert(r25._4 >= 850000L, s"p=25 agreement collapsed: ${r25._4}")
+    assert(r50._4 >= r25._4 - 50000L, "agreement curve wildly non-monotone")
+    // ...but it IS a different model (a zero margin gap would mean the
+    // slice never changed the weights — the measurement would be fake)
+    assert(r25._5 > 0L && r50._5 > 0L)
+    // label accuracy stays in the working band at every p
+    assert(rows.forall(r => r._3 >= 700000L),
+      s"slice model stopped classifying: $rows")
+  }
+
   test("scale shape: weights broadcast, gradient collapses map-side, apply is window-free") {
     val applyPlan = ext.Classifier.qualityClfApply(spark, sfDir)
       .queryExecution.executedPlan.toString
