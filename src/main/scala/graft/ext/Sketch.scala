@@ -208,11 +208,91 @@ object Sketch {
     agg.finish(agg.merge(stored, fresh))
   }
 
+  private[ext] val SweepKs = Seq(64, 128, 256, 512)
+
+  /** The measured error-vs-k curve the 1/√(k−2) sizing claim reduces
+    * to in practice — the audit an operator runs ONCE at small scale
+    * to pick k before trusting the estimator at 100 TB. One scan, one
+    * bounded aggregate: the k smallest distinct hashes are a PREFIX of
+    * the k′ smallest for every k < k′ (sorted-ascending set order is
+    * composition-free), so a single [[KmvArrayAgg]] at max(k) yields
+    * every smaller k's sketch by slicing — four estimators priced at
+    * one, O(max k × partitions) exchange, exactly [[distinctKmv]]'s
+    * economics. Output: one row per k with the sketch summary, the
+    * estimate, the exact distinct (the audit column) and the error in
+    * ppm — the table an operator reads k off. */
+  def distinctKmvSweep(spark: SparkSession, dir: String): DataFrame = {
+    val kMax = SweepKs.max
+    val kmv = udaf(new KmvArrayAgg(kMax))
+    val hv = Tables.documents(spark, dir)
+      .select(explode(graft.functions.WordWindowMd5(col("text"), lit(W)))
+        .as("digest"))
+      .select(col("digest"),
+        conv(substring(col("digest"), 1, 12), 16, 10).cast(LongType).as("hv"))
+    // prefix slicing: k_filled = min(|mins|, k); kth = mins[k] when the
+    // prefix fills, else the max kept (underfill) or −1 (empty) — the
+    // exact finish() rule replayed per k
+    val estV =
+      when(col("k_filled") < col("k"), col("k_filled").cast(DoubleType))
+        .otherwise((col("k") - 1).cast(DoubleType) /
+          (col("kth").cast(DoubleType) / lit(TwoPow48)))
+    hv.agg(kmv(col("hv")).as("mins"),
+           countDistinct(col("digest")).as("exact_distinct"))
+      .select(explode(lit(SweepKs.toArray)).as("kk"), col("mins"),
+              col("exact_distinct"))
+      .select(col("kk").cast(LongType).as("k"),
+        least(size(col("mins")), col("kk")).cast(LongType).as("k_filled"),
+        when(size(col("mins")) >= col("kk"),
+            element_at(col("mins"), col("kk")))
+          .otherwise(when(size(col("mins")) === 0, lit(-1L))
+            .otherwise(element_at(col("mins"), size(col("mins")))))
+          .as("kth"),
+        col("exact_distinct"))
+      .withColumn("est_distinct", estV)
+      .withColumn("err_ppm",
+        floor(abs(col("est_distinct") - col("exact_distinct").cast(DoubleType))
+              / col("exact_distinct") * lit(1000000.0)).cast(LongType))
+      .select(col("k"), col("k_filled"), col("kth"), col("est_distinct"),
+              col("exact_distinct"), col("err_ppm"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "distinct_kmv" -> ((s, d) => distinctKmv(s, d)),
-    "distinct_kmv_by_lang" -> ((s, d) => distinctKmvByLang(s, d)))
+    "distinct_kmv_by_lang" -> ((s, d) => distinctKmvByLang(s, d)),
+    "distinct_kmv_sweep" -> ((s, d) => distinctKmvSweep(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "distinct_kmv_sweep" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS MATERIALIZED (
+         |  SELECT md5(array_to_string(toks[i:i + ${W - 1}], ' ')) AS digest
+         |  FROM (SELECT toks, unnest(range(1, len(toks) - ${W - 2})) AS i
+         |        FROM t WHERE len(toks) >= $W)),
+         |h AS MATERIALIZED (
+         |  SELECT DISTINCT ('0x' || substr(digest, 1, 12))::BIGINT AS hv
+         |  FROM g),
+         |r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+         |ks AS (SELECT unnest([${SweepKs.mkString(", ")}]) AS k),
+         |s AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS k_filled,
+         |             CAST(max(hv) AS BIGINT) AS kth
+         |      FROM ks JOIN r ON r.rn <= ks.k GROUP BY ks.k),
+         |e AS (SELECT CAST(count(DISTINCT digest) AS BIGINT)
+         |        AS exact_distinct FROM g)
+         |SELECT CAST(k AS BIGINT) AS k, k_filled, kth, est_distinct,
+         |  exact_distinct,
+         |  CAST(floor(abs(est_distinct - CAST(exact_distinct AS DOUBLE))
+         |             / exact_distinct * 1000000.0) AS BIGINT) AS err_ppm
+         |FROM (
+         |  SELECT s.k, s.k_filled, s.kth,
+         |    CASE WHEN s.k_filled < s.k THEN CAST(s.k_filled AS DOUBLE)
+         |         ELSE CAST(s.k - 1 AS DOUBLE)
+         |              / (CAST(s.kth AS DOUBLE) / 281474976710656.0)
+         |         END AS est_distinct,
+         |    e.exact_distinct
+         |  FROM s CROSS JOIN e)
+         |ORDER BY k""".stripMargin,
     "distinct_kmv_by_lang" ->
       s"""WITH t AS (
          |  SELECT lang, string_split(text, ' ') AS toks FROM documents),

@@ -123,6 +123,39 @@ class SketchSpec extends AnyFunSuite {
       s"KMV error ${row.getLong(4)} ppm — estimator wired wrong")
   }
 
+  test("k-sweep rows are exact PREFIXES of one max-k sketch; k=256 row ≡ the single-k gate") {
+    val sweep = ext.Sketch.distinctKmvSweep(spark, sfDir).collect()
+    assert(sweep.map(_.getLong(0)).toSeq == Seq(64L, 128L, 256L, 512L))
+    // declarative witness at max k once; every sweep row must be its
+    // k-prefix (the sorted-set property the one-aggregate spelling
+    // rides on)
+    val want512 = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.WordWindowMd5(col("text"), lit(3)))
+        .as("digest"))
+      .select(conv(substring(col("digest"), 1, 12), 16, 10)
+        .cast("long").as("hv"))
+      .distinct().orderBy(col("hv")).limit(512).collect().map(_.getLong(0))
+    sweep.foreach { r =>
+      val k = r.getLong(0).toInt
+      val prefix = want512.take(k)
+      assert(r.getLong(1) == prefix.length, s"k=$k k_filled drifted")
+      assert(r.getLong(2) == prefix.last, s"k=$k kth drifted")
+      val est = if (prefix.length < k) prefix.length.toDouble
+                else (k - 1).toDouble / (prefix.last.toDouble / 281474976710656.0)
+      assert(r.getDouble(3) == est, s"k=$k estimator drifted")
+    }
+    // the k=256 sweep row must equal the standing single-k gate —
+    // one spelling, two queries, no drift
+    val single = ext.Sketch.distinctKmv(spark, sfDir).collect().head
+    val r256 = sweep.find(_.getLong(0) == 256L).get
+    assert(r256.getLong(1) == single.getLong(0) &&
+           r256.getLong(2) == single.getLong(1) &&
+           r256.getDouble(3) == single.getDouble(2) &&
+           r256.getLong(4) == single.getLong(3) &&
+           r256.getLong(5) == single.getLong(4),
+      "sweep k=256 row drifted from the distinct_kmv gate")
+  }
+
   test("grouped sketches union to the global sketch (the mergeability dividend)") {
     val agg = new KmvAgg(256)
     // per-lang k-min sets rebuilt locally from the distinct hash values
