@@ -48,6 +48,7 @@ object SparkEntry {
     (ext.Corpus.queries, ext.Corpus.oracles),
     (ext.Dedup.queries, ext.Dedup.oracles),
     (ext.DedupHistory.queries, ext.DedupHistory.oracles),
+    (ext.EmbHistory.queries, ext.EmbHistory.oracles),
     (ext.Cluster.queries, ext.Cluster.oracles),
     (ext.Similarity.queries, ext.Similarity.oracles),
     (ext.SemDedup.queries, ext.SemDedup.oracles),

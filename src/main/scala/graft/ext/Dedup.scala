@@ -421,44 +421,15 @@ object Dedup {
         .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v")))))
     val hist = vecs.filter(!isNew)
     val batch = vecs.filter(isNew)
-    // Rank-stable k-seed pick WITHOUT a global sort: orderBy+limit is a
-    // parallel TakeOrderedAndProject (per-partition top-k heaps merged on
-    // one k-row task), then the 0-based cell rank comes from a k-row
-    // collect_list → array_sort → posexplode — no Window node anywhere,
-    // so no one-task pass over the history corpus (the r18 scale nit).
-    // Same seeds, same order as the oracle's row_number spelling.
-    val seeds = hist.orderBy(col("vec_id")).limit(k)
-      .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("arr"))
-      .select(posexplode(col("arr")).as(Seq("cell", "s")))
-      .select(col("cell").cast(LongType), col("s.v").as("cv"))
-    val coarse = KMeans.trainedCodebookFrom(
-      hist.select(col("vec_id"), col("v")), seeds, rounds)
-    val hasg = KMeans.assignCells(hist.select(col("vec_id"), col("v")), coarse)
-    val histByCell = hist
-      .join(hasg.withColumnRenamed("cell", "ivf_cell"), "vec_id")
-    val pw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bn")).orderBy(col("score"), col("cell"))
-    val probes = batch.crossJoin(broadcast(coarse))
-      .select(col("vec_id").as("bn"), col("v").as("bv"),
-        col("nrm").as("bnrm"), col("cell"),
-        (graft.functions.ArrayDot(col("cv"), col("cv")) -
-         lit(2.0) * graft.functions.ArrayDot(col("v"), col("cv")))
-          .as("score"))
-      .withColumn("crank", row_number().over(pw))
-      .filter(col("crank") <= probeCells)
-      .select(col("bn"), col("bv"), col("bnrm"), col("cell").as("ivf_cell"))
-    val ver = histByCell.join(broadcast(probes), "ivf_cell")
-      .filter(graft.functions.ArrayDot(col("bv"), col("v")) /
-              (col("bnrm") * col("nrm")) >= cosineMin)
-      .groupBy(col("bn"))
-      .agg(count(lit(1)).as("n_dups"), min(col("vec_id")).as("dup_of"))
+    // History-side construction (rank-stable k-seed pick WITHOUT a
+    // global sort, Lloyd rounds, cell assignment) and the probe kernel
+    // are SHARED with the frozen-artifact split ([[EmbHistory]]) — the
+    // self-contained gate, the persisted-probe gate and the streaming
+    // sink all execute one spelling, pinned by one oracle SQL.
+    val (coarse, histByCell) = EmbHistory.dedupSide(hist, k, rounds)
     graft.Present.sorted(
-      batch.select(col("vec_id"))
-        .join(broadcast(ver), col("vec_id") === col("bn"), "left")
-        .select(col("vec_id"),
-          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-          col("dup_of"),
-          col("bn").isNull.as("kept")),
+      EmbHistory.manifestAgainst(batch, coarse, histByCell, probeCells,
+        cosineMin, df => graft.CacheScope.pin(df)),
       col("vec_id"))
   }
 

@@ -99,8 +99,18 @@ object IvfPq {
     * incremental-ingest path: no training, two broadcast argmin
     * passes, output appends straight into the partitioned layout. */
   def encode(in: DataFrame, coarse: DataFrame,
-             codebooks: DataFrame, m: Int = Pq.NumSubs): DataFrame = {
-    val vecs = graft.CacheScope.pin(in)
+             codebooks: DataFrame, m: Int = Pq.NumSubs): DataFrame =
+    encodeWith(in, coarse, codebooks, m, df => graft.CacheScope.pin(df))
+
+  /** [[encode]] parameterized on the pin strategy — `in` feeds both
+    * argmin passes, so the caller chooses the persist lifecycle:
+    * session-scoped for batch ingest, per-micro-batch for the
+    * streaming sink ([[graft.stream.IngestVecDedup]] unpersists after
+    * each batch's append so a soak never accumulates pins). */
+  private[graft] def encodeWith(in: DataFrame, coarse: DataFrame,
+                                codebooks: DataFrame, m: Int,
+                                track: DataFrame => DataFrame): DataFrame = {
+    val vecs = track(in)
     Pq.assignCodes(Pq.subVectors(vecs, m), codebooks)
       .join(KMeans.assignCells(vecs, coarse)
               .withColumnRenamed("cell", "ivf_cell"),

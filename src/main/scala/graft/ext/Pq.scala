@@ -27,7 +27,7 @@ import graft.Tables
   */
 object Pq {
 
-  private[ext] val NumSubs   = 4
+  private[graft] val NumSubs   = 4
   private[ext] val NumCells  = 8
   private[ext] val NumRounds = 3
 

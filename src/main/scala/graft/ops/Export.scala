@@ -36,6 +36,17 @@ object Export {
     ()
   }
 
+  /** Create a reaped-at-exit scratch dir — for gates that must persist
+    * and read back an artifact within one query ([[csvRoundtrip]]'s
+    * lifecycle, shared so other persisting gates don't each grow their
+    * own shutdown hook). */
+  private[graft] def scratch(prefix: String): String = {
+    val outDir = java.nio.file.Files.createTempDirectory(prefix)
+    reapHook          // register the single reaper (idempotent via lazy)
+    scratchDirs.add(outDir)
+    outDir.toString
+  }
+
   /** Parallel CSV export — the scale path. */
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
@@ -50,10 +61,7 @@ object Export {
     * the round trip bit-exactly (Spark writes doubles in shortest
     * round-trippable form). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val outDir = java.nio.file.Files.createTempDirectory("graft_csv_export")
-    reapHook          // register the single reaper (idempotent via lazy)
-    scratchDirs.add(outDir)
-    val out = outDir.toString
+    val out = scratch("graft_csv_export")
     csvSingleFile(
       Tables.events(spark, dir).select("event_id", "event_type", "value"),
       out)
