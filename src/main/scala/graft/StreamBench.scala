@@ -221,14 +221,44 @@ object StreamBench {
           col("value"), 1000000000000L),
         ndArt, s"$ndDir/manifest", s"$ckpt/neardup").start()
     val ndStats = measure(ndQ, secs)
-    // the leg appends ~secs worth of manifest parquet — real disk;
-    // delete its tree once the stats are collected
-    try {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(ndDir)
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    } catch { case e: Throwable => System.err.println(s"[streambench] cleanup: $e") }
+    // the append legs write ~secs worth of real parquet — delete their
+    // trees once the stats are collected
+    def rmTree(dir: String): Unit =
+      try {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case e: Throwable => System.err.println(s"[streambench] cleanup: $e") }
+    rmTree(ndDir)
+
+    // Leg 8: streaming VECTOR ingest — micro-batches probed against the
+    // FROZEN embedding-dedup artifacts (history-trained coarse codebook
+    // + per-cell vector lists) through the foreachBatch sink that
+    // appends BOTH the near-dup manifest and the kept vectors' IVF-PQ
+    // codes — the real double-append path. History is built once before
+    // the clock starts and pinned; the measured per-batch shape is the
+    // coarse ranking (8 dots/row against a broadcast literal), the
+    // probed cells' exact-cosine verify (only the planted 5% cross the
+    // 0.8 bar — the mostly-novel crawl regime), the PQ encode of the
+    // kept ~95%, and the two parquet appends.
+    val vdBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECDEDUP_BATCH", "50000").toLong
+    val vdHist  = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECDEDUP_HIST", "100000").toLong
+    val vdDir = java.nio.file.Files.createTempDirectory("graft-vecdedup").toString
+    graft.ext.EmbHistory.write(
+      Sources.nearDupVecs(spark.range(vdHist).toDF(), col("id"), 0L),
+      s"$vdDir/art")
+    val vdArt = graft.ext.EmbHistory.pinned(
+      graft.ext.EmbHistory.read(spark, s"$vdDir/art"))
+    val vdQ = graft.stream.IngestVecDedup.manifestSink(
+        Sources.nearDupVecs(
+          graft.stream.Sources.microBatchRows(spark, vdBatch),
+          col("value"), 1000000000000L),
+        vdArt, s"$vdDir/manifest", s"$vdDir/index/codes", s"$ckpt/vecdedup",
+        probeCells = 2, cosineMin = 0.8)
+      .start()
+    val vdStats = measure(vdQ, secs)
+    rmTree(vdDir)
 
     def jm(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
@@ -237,11 +267,11 @@ object StreamBench {
     val json =
       s"""{"metric":"stream_throughput","unit":"rows/sec","secs_per_leg":$secs,""" +
       s""""cal_single_sec":${fc(calSingle)},"cal_par_sec":${fc(calPar)},""" +
-      s""""rows_per_batch":{"candle_pipeline":$tickBatch,"rolling_tail":$candleBatch,"ingest_dedup":$docBatch,"interval_join":${2 * joinBatch},"session_windows":$sessBatch,"curation":$curBatch,"near_dedup":$ndBatch},""" +
+      s""""rows_per_batch":{"candle_pipeline":$tickBatch,"rolling_tail":$candleBatch,"ingest_dedup":$docBatch,"interval_join":${2 * joinBatch},"session_windows":$sessBatch,"curation":$curBatch,"near_dedup":$ndBatch,"vec_dedup":$vdBatch},""" +
       s""""candle_pipeline":${jm(candleStats)},"rolling_tail":${jm(tailStats)},""" +
       s""""ingest_dedup":${jm(dedupStats)},"interval_join":${jm(joinStats)},""" +
       s""""session_windows":${jm(sessStats)},"curation":${jm(curStats)},""" +
-      s""""near_dedup":${jm(ndStats)},""" +
+      s""""near_dedup":${jm(ndStats)},"vec_dedup":${jm(vdStats)},""" +
       s""""baseline_reference":{"msgs_per_sec":50,"micro_batch_sec":"1-2"}}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("STREAMBENCH.json"),
@@ -250,7 +280,7 @@ object StreamBench {
     spark.stop()
     // a crashed leg's numbers are not a measurement — fail the run loudly
     if (Seq(candleStats, tailStats, dedupStats, joinStats, sessStats, curStats,
-            ndStats)
+            ndStats, vdStats)
           .exists(_.contains("failed")))
       sys.exit(1)
   }

@@ -219,17 +219,43 @@ object StreamSoak {
       ndArt, s"$ndDir/manifest", s"$ndDir/ckpt")
     val (ndJson, ndOk) =
       try soakWriter(spark, "near_dedup", ndSink, secs)
-      finally { rmTree(ndDir); rmTree(ckpt) }
+      finally rmTree(ndDir)
+
+    // Leg 5: streaming VECTOR ingest — the frozen-artifact foreachBatch
+    // probe for the embedding modality ([[graft.stream.IngestVecDedup]]),
+    // which appends TWO outputs per batch (manifest + kept vectors'
+    // IVF-PQ codes). Same soak claims as leg 4 — zero state rows,
+    // per-batch pins released, flat latency — plus one this leg alone
+    // can make: the cell-partitioned codes append stays healthy over
+    // hundreds of small per-batch files (the fragmentation
+    // compactCodes exists to absorb).
+    val vdBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECDEDUP_BATCH", "50000").toLong
+    val vdHist  = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECDEDUP_HIST", "100000").toLong
+    val vdDir = java.nio.file.Files.createTempDirectory("graft-soak-vd").toString
+    graft.ext.EmbHistory.write(
+      graft.stream.Sources.nearDupVecs(spark.range(vdHist).toDF(), col("id"), 0L),
+      s"$vdDir/art")
+    val vdArt = graft.ext.EmbHistory.pinned(
+      graft.ext.EmbHistory.read(spark, s"$vdDir/art"))
+    val vdSink = graft.stream.IngestVecDedup.manifestSink(
+      graft.stream.Sources.nearDupVecs(
+        graft.stream.Sources.microBatchRows(spark, vdBatch, 0L),
+        col("value"), 1000000000000L),
+      vdArt, s"$vdDir/manifest", s"$vdDir/index/codes", s"$vdDir/ckpt",
+      probeCells = 2, cosineMin = 0.8)
+    val (vdJson, vdOk) =
+      try soakWriter(spark, "vec_dedup", vdSink, secs)
+      finally { rmTree(vdDir); rmTree(ckpt) }
 
     val json =
       s"""{"metric":"stream_soak","unit":"ms","secs_per_leg":$secs,""" +
       s""""degrade_bound":$DegradeBound,"state_growth_bound":$StateGrowthBound,""" +
-      s"""$sessJson,$joinJson,$curJson,$ndJson}"""
+      s"""$sessJson,$joinJson,$curJson,$ndJson,$vdJson}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("STREAMSOAK.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[soak] write: $e") }
     spark.stop()
-    if (!(sessOk && joinOk && curOk && ndOk)) sys.exit(1)
+    if (!(sessOk && joinOk && curOk && ndOk && vdOk)) sys.exit(1)
   }
 }

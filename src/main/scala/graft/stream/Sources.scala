@@ -149,6 +149,31 @@ object Sources {
     * partners per stream doc. Keys are negated (−1…−1000) so they
     * can never collide with a novel key, which is always a
     * non-negative id (+ offset). */
+  /** Near-dup bench VECTORS over any id frame — [[nearDupDocs]]'
+    * planting scheme for the embedding modality: ~5% of vectors draw
+    * their 64 dims from one of 1000 shared block keys (NEAR-dups — a
+    * per-vector jitter on dim 0 keeps them off bit-identical, cosine ≈
+    * 0.9999), the rest are novel under `novelOffset`. Dims are
+    * uniform-ish in [-1, 1] from xxhash64(key, dim), so two NOVEL
+    * vectors' cosine concentrates near 0 (σ ≈ 0.125 at 64 dims) — at
+    * the bench leg's cosineMin = 0.8 a false cross-match is a ≥ 6σ
+    * event, which is what makes this the mostly-novel crawl regime:
+    * only the planted 5% verify, ~5 history partners each (the same
+    * hundreds-block key rule as the text corpus, same negation so a
+    * planted key can never collide with a novel one). */
+  def nearDupVecs(ids: DataFrame, idCol: Column,
+                  novelOffset: Long): DataFrame = {
+    val key = when(idCol % 100 < 5,
+        -((idCol / 100).cast("long") % 1000) - 1)
+      .otherwise(idCol + novelOffset)
+    val jitter = (idCol % 997).cast("double") / lit(100000.0)
+    ids.select(idCol.as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(key, i), lit(2001L)) - 1000L).cast("double")
+               / lit(1000.0) +
+             when(i === 0, jitter).otherwise(lit(0.0))).as("v"))
+  }
+
   def nearDupDocs(ids: DataFrame, idCol: Column,
                   novelOffset: Long): DataFrame =
     ids.select(idCol.as("doc_id"),
