@@ -197,11 +197,33 @@ object Unigram {
       UnigramEncode(col("text"), col("pieces"), col("costs")))
   }
 
+  /** Per-increment fertility under the FROZEN unigram artifact —
+    * [[Bpe.bpeFertilityIncremental]]'s drift monitor completed for the
+    * second tokenizer: pieces train on the history split only, the
+    * arriving batch's per-language fertility is measured under them. A
+    * language whose incremental fertility climbs vs the
+    * [[unigramFertility]] corpus baseline is drifting out of the
+    * frozen vocabulary — and with BOTH tokenizers' monitors sharing
+    * [[Bpe.fertilityOf]]'s columns, the drift signal itself becomes
+    * tokenizer-comparable (a climb under unigram but not BPE points at
+    * piece inventory, not corpus shift). Same one-scan aggregate, only
+    * the training split and the scored split change. */
+  def unigramFertilityIncremental(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    val isNew = col("doc_id") % Dedup.IncrMod === 0
+    val docs = Tables.documents(spark, dir)
+    Bpe.fertilityOf(docs.filter(isNew),
+      artifact(trainFrame(docs.filter(!isNew))),
+      UnigramEncode(col("text"), col("pieces"), col("costs")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "unigram_pieces" -> ((s, d) => unigramPieces(s, d)),
     "unigram_tokens" -> ((s, d) => unigramTokens(s, d)),
     "unigram_apply" -> ((s, d) => unigramApply(s, d)),
-    "unigram_fertility" -> ((s, d) => unigramFertility(s, d)))
+    "unigram_fertility" -> ((s, d) => unigramFertility(s, d)),
+    "unigram_fertility_incremental" ->
+      ((s, d) => unigramFertilityIncremental(s, d)))
 
   // ---- oracles: exhaustive-enumeration replay of the trainer ----
 
@@ -368,28 +390,46 @@ object Unigram {
     "unigram_fertility" ->
       s"""WITH ${trainCtes("TRUE")},
          |${bestSegCte("bf", "t", "fin")},
-         |dw AS (
-         |  SELECT doc_id, w.word
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |        FROM documents) w
-         |  WHERE w.word <> ''),
-         |per AS (
-         |  SELECT d.doc_id, d.lang,
-         |    CAST(coalesce(t.nt, 0) AS BIGINT) AS ntok,
-         |    CAST(len(list_filter(string_split(d.text, ' '),
-         |                         w -> w <> '')) AS BIGINT) AS nw,
-         |    CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS nch
-         |  FROM documents d LEFT JOIN (
-         |    SELECT dw.doc_id, sum(len(b.ps)) AS nt
-         |    FROM dw JOIN bf b ON b.word = dw.word
-         |    GROUP BY dw.doc_id) t ON t.doc_id = d.doc_id)
-         |SELECT lang,
-         |  CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(nw) AS BIGINT) AS n_words,
-         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
-         |  CAST(sum(nch) AS BIGINT) AS n_chars,
-         |  CAST(sum(ntok) AS DOUBLE) / CAST(sum(nw) AS BIGINT) AS fertility,
-         |  CAST(sum(nch) AS DOUBLE) / CAST(sum(ntok) AS BIGINT)
-         |    AS chars_per_token
-         |FROM per GROUP BY lang ORDER BY lang""".stripMargin)
+         |${fertilitySql("bf", "TRUE")}""".stripMargin,
+    "unigram_fertility_incremental" -> {
+      val hist = s"doc_id % ${Dedup.IncrMod} <> 0"
+      val batch = s"doc_id % ${Dedup.IncrMod} = 0"
+      s"""WITH ${trainCtes(hist)},
+         |${enumCtes("a", batch)},
+         |${bestSegCte("bf", "a", "fin")},
+         |${fertilitySql("bf", batch)}""".stripMargin
+    })
+
+  /** The fertility aggregation over docs matching `docPred`, scored by
+    * best-segmentation CTE `bestCte` — ONE spelling for the corpus
+    * form (`TRUE`) and the frozen-increment form, the [[Bpe]] oracles'
+    * sharing rule. `docPred` references `doc_id` unqualified. */
+  private def fertilitySql(bestCte: String, docPred: String): String = {
+    val outerPred = docPred.replace("doc_id", "d.doc_id")
+    s"""dw AS (
+       |  SELECT doc_id, w.word
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents WHERE $docPred) w
+       |  WHERE w.word <> ''),
+       |per AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(coalesce(t.nt, 0) AS BIGINT) AS ntok,
+       |    CAST(len(list_filter(string_split(d.text, ' '),
+       |                         w -> w <> '')) AS BIGINT) AS nw,
+       |    CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS nch
+       |  FROM documents d LEFT JOIN (
+       |    SELECT dw.doc_id, sum(len(b.ps)) AS nt
+       |    FROM dw JOIN $bestCte b ON b.word = dw.word
+       |    GROUP BY dw.doc_id) t ON t.doc_id = d.doc_id
+       |  WHERE $outerPred)
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nw) AS BIGINT) AS n_words,
+       |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(nch) AS BIGINT) AS n_chars,
+       |  CAST(sum(ntok) AS DOUBLE) / CAST(sum(nw) AS BIGINT) AS fertility,
+       |  CAST(sum(nch) AS DOUBLE) / CAST(sum(ntok) AS BIGINT)
+       |    AS chars_per_token
+       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }

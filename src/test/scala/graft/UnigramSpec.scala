@@ -113,4 +113,25 @@ class UnigramSpec extends AnyFunSuite {
     // "low" is a trained piece; "z" was never seen — code-point fallback
     assert(toks.head == "low" && toks.last == "z")
   }
+
+  test("incremental fertility partitions unigram_apply's per-doc encode to the row") {
+    import TestSpark.sfDir
+    // the drift monitor's per-lang sums must equal the frozen apply
+    // gate's per-doc token counts aggregated by language — one shared
+    // artifact, one shared encode, two reading scopes
+    val perDoc = ext.Unigram.unigramApply(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_unigram_tokens")).as("n_tokens"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val inc = ext.Unigram.unigramFertilityIncremental(spark, sfDir).collect()
+    assert(inc.nonEmpty)
+    inc.foreach { r =>
+      val (docs, toks) = perDoc(r.getString(0))
+      assert(r.getLong(1) == docs, s"lang ${r.getString(0)} n_docs drifted")
+      assert(r.getLong(3) == toks, s"lang ${r.getString(0)} n_tokens drifted")
+    }
+  }
 }
