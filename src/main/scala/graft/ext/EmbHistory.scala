@@ -170,19 +170,28 @@ object EmbHistory {
     }
     // per-batch-vector coarse ranking: codebook is a broadcast literal,
     // the window partitions by batch vector — O(batch × k) rows, never
-    // a history-side shuffle
+    // a history-side shuffle. The ranked frame is deliberately NARROW
+    // (bn, cell, score — [[IvfPq.search]]'s probe spelling): at a
+    // properly sized codebook (cells ∝ √history) the crossJoin is
+    // batch × hundreds of rows, and dragging the 64-dim vector through
+    // that window's exchange multiplies the shuffle by k; the vector
+    // rejoins AFTER the top-probeCells cut, when the frame is back to
+    // O(batch × probeCells).
     val pw = Window.partitionBy(col("bn")).orderBy(col("score"), col("cell"))
-    val probes = buildSide(
+    val ranked =
       batch.crossJoin(broadcast(coarse))
-        .select(col("vec_id").as("bn"), col("v").as("bv"),
-          col("nrm").as("bnrm"), col("cell"),
+        .select(col("vec_id").as("bn"), col("cell"),
           (graft.functions.ArrayDot(col("cv"), col("cv")) -
            lit(2.0) * graft.functions.ArrayDot(col("v"), col("cv")))
             .as("score"))
         .withColumn("crank", row_number().over(pw))
         .filter(col("crank") <= probeCells)
-        .select(col("bn"), col("bv"), col("bnrm"),
-                col("cell").as("ivf_cell")))
+        .select(col("bn"), col("cell").as("ivf_cell"))
+    val probes = buildSide(
+      batch.select(col("vec_id").as("bn"), col("v").as("bv"),
+          col("nrm").as("bnrm"))
+        .join(ranked, "bn")
+        .select(col("bn"), col("bv"), col("bnrm"), col("ivf_cell")))
     // THE cell restriction: history lists join the broadcast probe set
     // on ivf_cell — only probed cells' vectors reach the exact cosine
     val ver = vectors.join(probes, "ivf_cell")
