@@ -242,7 +242,12 @@ object StreamBench {
     // probed cells' exact-cosine verify (only the planted 5% cross the
     // 0.8 bar — the mostly-novel crawl regime), the PQ encode of the
     // kept ~95%, and the two parquet appends.
-    val vdBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECDEDUP_BATCH", "50000").toLong
+    // 10k default (r20 ADVICE): at 50k a batch ran ~40 s, so a 75 s leg
+    // measured 2 batches and published warmup-dominated "percentiles"
+    // (p50 == p95 == max). At 10k the leg collects enough batches for
+    // p50/p95 to be real order statistics while each batch still
+    // exercises the full probe+verify+encode+write shape.
+    val vdBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECDEDUP_BATCH", "10000").toLong
     val vdHist  = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECDEDUP_HIST", "100000").toLong
     val vdDir = java.nio.file.Files.createTempDirectory("graft-vecdedup").toString
     graft.ext.EmbHistory.write(

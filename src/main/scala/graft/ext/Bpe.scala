@@ -53,16 +53,19 @@ object Bpe {
 
   private[ext] val NumMerges = 16
 
-  /** (word, n, syms) — the word-frequency dictionary with per-code-point
-    * initial symbols. */
+  /** (word, n) — the word-frequency dictionary. */
   private def wordDict(in: DataFrame): DataFrame =
     in
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .withColumn("syms",
-        transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1))))
+
+  /** Per-code-point initial symbols for the distributed loop (the local
+    * solver segments code points natively). */
+  private def withSyms(dict: DataFrame): DataFrame =
+    dict.withColumn("syms",
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
 
   /** One left-to-right non-overlapping merge pass as a codegen'd fold;
     * null pair (exhausted pair space) is the identity. */
@@ -85,14 +88,20 @@ object Bpe {
   /** Frame-level trainer: `in` needs a `text` column. */
   def trainBpeFrame(in: DataFrame,
                     numMerges: Int = NumMerges): DataFrame = {
-    var dict = wordDict(in).localCheckpoint()
+    val dict0 = wordDict(in).localCheckpoint()
     // two-regime split, the [[Cluster.connectedComponents]] pattern
-    // (counted, not guessed): a gate-scale VOCABULARY fits one task, so
-    // the K rounds run 1-task jobs instead of paying the session's
-    // shuffle width per round (measured: 3.4 s → the dominant cost was
-    // 48 multi-task job launches over ~200 dictionary rows); a web-
-    // scale vocabulary keeps the distributed width
-    if (dict.count() <= 1000000L) dict = dict.coalesce(1)
+    // (counted, not guessed): a gate-scale VOCABULARY fits one task —
+    // there the K rounds now run INSIDE one task ([[LocalTrain
+    // .bpeLocal]], r21: even as coalesce(1) 1-task jobs the loop paid
+    // ~33 job launches ≈ 1.8 s of its 2.0 s); a web-scale vocabulary
+    // keeps the distributed width, and [[Iterate.LocalSolveConf]] keeps
+    // that path spec-covered
+    val small = dict0.count() <= 1000000L
+    if (small && Iterate.localSolveEnabled(in.sparkSession))
+      return LocalTrain.bpeLocal(dict0, numMerges)
+    var dict = withSyms(dict0).localCheckpoint()
+    Graph.freeCheckpoint(dict0)
+    if (small) dict = dict.coalesce(1)
     val winners = Seq.newBuilder[DataFrame]
     for (k <- 1 to numMerges) {
       // size guard: Spark's sequence(1, 0) DESCENDS, so a fully-merged

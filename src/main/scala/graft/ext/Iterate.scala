@@ -57,6 +57,18 @@ private[graft] object Iterate {
   def localSolveMaxRows(spark: SparkSession): Long =
     spark.conf.get(LocalSolveMaxRowsConf, "200000").toLong
 
+  /** Row ceiling for the VECTOR local regime ([[LocalTrain.lloydLocal]]):
+    * distinct from the graph bound because each row carries a dense
+    * double array, not two scalars — at the 65536 default with the gate
+    * fixtures' 64-dim vectors the one-task state is ≤ ~34 MB of primitive
+    * doubles (the solver parses rows into unboxed Array[Double]), the
+    * same order as the graph regime's ~35 MB budget. Above the bound the
+    * distributed Lloyd loop amortizes its round jobs fine. */
+  val LocalSolveMaxVecRowsConf = "spark.graft.iterative.localSolveMaxVecRows"
+
+  def localSolveMaxVecRows(spark: SparkSession): Long =
+    spark.conf.get(LocalSolveMaxVecRowsConf, "65536").toLong
+
   /** External-row values of orderable Spark SQL types (numerics, Decimal,
     * Date, Timestamp) implement Comparable with the natural order Spark's
     * `min` uses — EXCEPT String: `java.lang.String.compareTo` orders by

@@ -97,6 +97,20 @@ object KMeans {
   /** [[loop]] from an explicit seed codebook (cell, cv). */
   private[ext] def loopFrom(vecs: DataFrame, codebook0: DataFrame,
                             rounds: Int): (DataFrame, DataFrame) = {
+    // counted local regime ([[LocalTrain.lloydLocal]], r21): each round
+    // is 2 eager checkpoint jobs; below the vector bound one task runs
+    // every round. KMeans is the one-group instance of [[Pq]]'s grouped
+    // Lloyd loop, so both share the solver (sub pinned to 0 here).
+    val spark = vecs.sparkSession
+    if (Iterate.localSolveEnabled(spark) &&
+        vecs.count() <= Iterate.localSolveMaxVecRows(spark)) {
+      val (cb, upd) = LocalTrain.lloydLocal(
+        vecs.select(lit(0L).as("sub"), col("v").as("sv")),
+        codebook0.select(lit(0L).as("sub"), col("cell"), col("cv")),
+        rounds)
+      return (cb.select(col("cell"), col("cv")),
+              upd.select(col("cell"), col("dim"), col("qsum"), col("n")))
+    }
     var codebook = codebook0.localCheckpoint()
     var lastUpdate: DataFrame = null
     for (_ <- 1 to rounds) {

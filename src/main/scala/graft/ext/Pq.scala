@@ -50,6 +50,18 @@ object Pq {
     * update table (sub, cell, dim, qsum, n)). */
   private[ext] def loop(subVecs: DataFrame, k: Int,
                         rounds: Int): (DataFrame, DataFrame) = {
+    // counted local regime ([[LocalTrain.lloydLocal]], r21) — the
+    // grouped Lloyd loop's rounds collapse into one task below the
+    // vector bound; [[KMeans.loopFrom]] shares the same solver.
+    val spark = subVecs.sparkSession
+    if (Iterate.localSolveEnabled(spark) &&
+        subVecs.count() <= Iterate.localSolveMaxVecRows(spark))
+      return LocalTrain.lloydLocal(
+        subVecs.select(col("sub"), col("sv")),
+        subVecs.filter(col("vec_id") < k)
+          .select(col("sub"), col("vec_id").cast(LongType).as("cell"),
+                  col("sv").as("cv")),
+        rounds)
     var codebook = subVecs.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").cast(LongType).as("cell"),
               col("sv").as("cv"))

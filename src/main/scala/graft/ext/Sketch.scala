@@ -221,6 +221,15 @@ object Sketch {
     * economics. Output: one row per k with the sketch summary, the
     * estimate, the exact distinct (the audit column) and the error in
     * ppm — the table an operator reads k off. */
+  // NON-EMPTY-corpus assumption (r20 ADVICE, documented rather than
+  // guarded): on an empty `documents` table this emits |SweepKs| rows
+  // with kth = −1 and a divide-by-zero err_ppm, while the oracle's
+  // inner join yields zero rows. The gate fixtures guarantee a
+  // non-empty corpus at every SF, and the standing `distinct_kmv`
+  // shares the same est/exact division — changing either side's
+  // empty-corpus behavior would change what the query computes, which
+  // an optimization round must not do; the assumption is recorded here
+  // instead.
   def distinctKmvSweep(spark: SparkSession, dir: String): DataFrame = {
     val kMax = SweepKs.max
     val kmv = udaf(new KmvArrayAgg(kMax))

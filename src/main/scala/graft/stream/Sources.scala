@@ -130,25 +130,6 @@ object Sources {
       (0 until 5).map(i => h.substr(lit(1 + i * 6), lit(6)))
     }: _*)
 
-  /** Near-dup bench corpus over any id frame: ~5% of docs draw their
-    * body from one of 1000 shared keys (NEAR-dups — a trailing
-    * per-doc variant token keeps them off exact-dup, Jaccard ≈ 0.8),
-    * the rest are novel under `novelOffset` (history passes 0, the
-    * stream a disjoint offset, so a novel stream doc can never collide
-    * with a novel history doc — only the planted 5% cross-match, ~5
-    * history partners each: the mostly-novel crawl regime where the
-    * bloom pre-filter ends the funnel for 95% of rows).
-    *
-    * The planted key is derived from the id's HUNDREDS block,
-    * `(id / 100) % 1000`, NOT from `id % 1000` — the latter is
-    * determined by the `id % 100 < 5` gate and collapses to 50 keys
-    * (each planted doc then finds ~100 partners in a 100k history,
-    * a 20× heavier verify stage than the crawl regime this corpus
-    * claims). The block key takes all 1000 values, and with a 100k
-    * history each block contributes exactly 5 planted ids → ~5
-    * partners per stream doc. Keys are negated (−1…−1000) so they
-    * can never collide with a novel key, which is always a
-    * non-negative id (+ offset). */
   /** Near-dup bench VECTORS over any id frame — [[nearDupDocs]]'
     * planting scheme for the embedding modality: ~5% of vectors draw
     * their 64 dims from one of 1000 shared block keys (NEAR-dups — a
@@ -174,6 +155,25 @@ object Sources {
              when(i === 0, jitter).otherwise(lit(0.0))).as("v"))
   }
 
+  /** Near-dup bench corpus over any id frame: ~5% of docs draw their
+    * body from one of 1000 shared keys (NEAR-dups — a trailing
+    * per-doc variant token keeps them off exact-dup, Jaccard ≈ 0.8),
+    * the rest are novel under `novelOffset` (history passes 0, the
+    * stream a disjoint offset, so a novel stream doc can never collide
+    * with a novel history doc — only the planted 5% cross-match, ~5
+    * history partners each: the mostly-novel crawl regime where the
+    * bloom pre-filter ends the funnel for 95% of rows).
+    *
+    * The planted key is derived from the id's HUNDREDS block,
+    * `(id / 100) % 1000`, NOT from `id % 1000` — the latter is
+    * determined by the `id % 100 < 5` gate and collapses to 50 keys
+    * (each planted doc then finds ~100 partners in a 100k history,
+    * a 20× heavier verify stage than the crawl regime this corpus
+    * claims). The block key takes all 1000 values, and with a 100k
+    * history each block contributes exactly 5 planted ids → ~5
+    * partners per stream doc. Keys are negated (−1…−1000) so they
+    * can never collide with a novel key, which is always a
+    * non-negative id (+ offset). */
   def nearDupDocs(ids: DataFrame, idCol: Column,
                   novelOffset: Long): DataFrame =
     ids.select(idCol.as("doc_id"),
