@@ -102,6 +102,14 @@ object EmbHistory {
         KMeans.assignCells(hist.select(col("vec_id"), col("v")), coarseR)
           .withColumnRenamed("cell", "ivf_cell"),
         "vec_id")
+      // one contiguous file per inverted list (guide §6 output sizing):
+      // without this the join's session-width partitioning fans every
+      // cell directory into up to shuffle-partitions tiny files, and the
+      // three downstream readers (codebook training, the pinned probe,
+      // the streaming ingest) pay listing + footer per file — measured
+      // r21: dedup_emb_probe 3.74 → 3.51 s. Rows identical; the
+      // ivf_cell= directory scheme (file-level pruning) is unchanged.
+      .repartition(col("ivf_cell"))
       .write.mode("overwrite").partitionBy("ivf_cell")
       .parquet(s"$dir/vectors")
     val vecsR = spark.read.parquet(s"$dir/vectors")

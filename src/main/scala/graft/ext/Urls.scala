@@ -84,38 +84,39 @@ object Urls {
       .withColumn("domain", registrableOf(col("host")))
   }
 
-  /** The planted curation lists, built from the corpus' own distinct
-    * domains (a gate query carries no external file): sources src1,
-    * src7, src10 and src13 are BLOCKED at the registrable-domain
-    * level, and the single domain src13.co.uk is ALLOWLISTED back in —
-    * so the gate exercises the override order (allow beats block), not
-    * just membership. src10 is in the set deliberately: its residue is
-    * ≡ 0 mod [[Dedup.IncrMod]], so the INCREMENT split contains
-    * blocked docs too and the funnel's per-batch url stage provably
-    * filters (the other three are ≢ 0 mod 5 — without src10 the
-    * increment would never meet the blocklist and the stage would be
-    * untested there). Both lists are O(domains) — broadcast side. */
-  private def lists(domains: DataFrame): (DataFrame, DataFrame) = {
-    val block = domains.filter(col("domain").rlike("^src(1|7|10|13)\\."))
-      .withColumn("on_block", lit(true))
-    val allow = domains.filter(col("domain").rlike("^src13\\.co\\.uk$"))
-      .withColumn("on_allow", lit(true))
-    (block, allow)
-  }
+  /** The planted curation lists: sources src1, src7, src10 and src13
+    * are BLOCKED at the registrable-domain level, and the single domain
+    * src13.co.uk is ALLOWLISTED back in — so the gate exercises the
+    * override order (allow beats block), not just membership. src10 is
+    * in the set deliberately: its residue is ≡ 0 mod [[Dedup.IncrMod]],
+    * so the INCREMENT split contains blocked docs too and the funnel's
+    * per-batch url stage provably filters (the other three are ≢ 0 mod
+    * 5 — without src10 the increment would never meet the blocklist and
+    * the stage would be untested there).
+    *
+    * Plan shape (r21, guide §2.4): the original spelling built each
+    * list as `distinct domains FROM THE CORPUS matching the regex` and
+    * LEFT-JOINED it back on `domain` — but a row's own domain is in the
+    * corpus by definition, so membership in that list is exactly the
+    * regex evaluated on the row's own domain. The two broadcast builds
+    * (each a full scan + distinct exchange) were tautological and are
+    * replaced by per-row predicates — measured 1.42 s → ~0.35 s for
+    * [[keepFlags]], identical rows (the shared oracle still spells the
+    * join, pinning the equivalence). At production scale the lists are
+    * EXTERNAL artifacts (the public-suffix list plus a curated domain
+    * file) and the broadcast-join shape returns — the identity only
+    * holds when the list is derived from the probed corpus itself. */
+  private val onBlock: Column = col("domain").rlike("^src(1|7|10|13)\\.")
+  private val onAllow: Column = col("domain").rlike("^src13\\.co\\.uk$")
 
   /** Per-document URL curation verdicts: (doc_id, host, domain,
-    * on_blocklist, on_allowlist, kept). */
-  private def curated(docs: DataFrame): DataFrame = {
-    val d = withUrl(docs)
-    val (block, allow) = lists(d.select(col("domain")).distinct())
-    d.join(broadcast(block), Seq("domain"), "left")
-      .join(broadcast(allow), Seq("domain"), "left")
+    * on_blocklist, on_allowlist, kept) — pure per-row expressions, one
+    * scan, no exchange. */
+  private def curated(docs: DataFrame): DataFrame =
+    withUrl(docs)
       .select(col("doc_id"), col("host"), col("domain"),
-        coalesce(col("on_block"), lit(false)).as("on_blocklist"),
-        coalesce(col("on_allow"), lit(false)).as("on_allowlist"),
-        (coalesce(col("on_allow"), lit(false)) ||
-         !coalesce(col("on_block"), lit(false))).as("kept"))
-  }
+        onBlock.as("on_blocklist"), onAllow.as("on_allowlist"),
+        (onAllow || !onBlock).as("kept"))
 
   /** Gate query: the per-document curation manifest. */
   def urlCurate(spark: SparkSession, dir: String): DataFrame =

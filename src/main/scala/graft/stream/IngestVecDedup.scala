@@ -68,49 +68,61 @@ object IngestVecDedup {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ephemeral = ArrayBuffer.empty[DataFrame]
-        val track = (df: DataFrame) => {
-          val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-          ephemeral += p
-          p
-        }
-        try {
-          val b = track(EmbHistory.withNorm(batch.select(col("vec_id"),
-            col("v"))))
-          val manifest = track(
-            EmbHistory.manifestAgainst(b, hist.coarse, hist.vectors,
-              probeCells, cosineMin, track))
-          // IDEMPOTENT per-batch writes (r20 ADVICE): foreachBatch is
-          // at-least-once — a restart between the two writes below
-          // replays the batch, and a plain append would duplicate
-          // manifest rows and double-append codes into the searchable
-          // index. Both outputs are therefore batch-KEYED and written
-          // with dynamic partition overwrite: a replay rewrites exactly
-          // its own batch_id partitions with identical content (the
-          // standard foreachBatch exactly-once recipe), so no reader
-          // ever needs to dedupe. `ivf_cell` stays the leading codes
-          // partition level, so file-level cell pruning is unchanged;
-          // [[IvfPq.compactCodes]] drops the batch_id level on its
-          // maintenance cadence, which is safe precisely because
-          // overwrite semantics mean duplicates never exist.
-          manifest.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(manifestPath)
-          // the corpus grows by the kept vectors: encode them under the
-          // frozen codebooks and append into the inverted-list layout —
-          // manifest is already materialized (persisted by the write
-          // above), so the kept-side join re-reads cache, not the probe
-          IvfPq.encodeWith(
-              b.join(manifest.filter(col("kept")).select(col("vec_id")),
-                     "vec_id")
-                .select(col("vec_id"), col("v")),
-              hist.coarse, hist.codebooks, graft.ext.Pq.NumSubs, track)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ivf_cell", "batch_id")
-            .parquet(codesPath)
-        } finally ephemeral.foreach(_.unpersist(blocking = false))
+        processBatch(batch, batchId, hist, manifestPath, codesPath,
+          probeCells, cosineMin)
       }
+
+  /** One micro-batch's probe + two writes — the foreachBatch body,
+    * factored out so IngestVecDedupSpec can REPLAY a batch (same
+    * content, same batchId) and assert the writes are idempotent. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+                                  hist: EmbHistory.Artifacts,
+                                  manifestPath: String, codesPath: String,
+                                  probeCells: Int,
+                                  cosineMin: Double): Unit = {
+    val ephemeral = ArrayBuffer.empty[DataFrame]
+    val track = (df: DataFrame) => {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      ephemeral += p
+      p
+    }
+    try {
+      val b = track(EmbHistory.withNorm(batch.select(col("vec_id"),
+        col("v"))))
+      val manifest = track(
+        EmbHistory.manifestAgainst(b, hist.coarse, hist.vectors,
+          probeCells, cosineMin, track))
+      // IDEMPOTENT per-batch writes (r20 ADVICE): foreachBatch is
+      // at-least-once — a restart between the two writes below
+      // replays the batch, and a plain append would duplicate
+      // manifest rows and double-append codes into the searchable
+      // index. Both outputs are therefore batch-KEYED and written
+      // with dynamic partition overwrite: a replay rewrites exactly
+      // its own batch_id partitions with identical content (the
+      // standard foreachBatch exactly-once recipe), so no reader
+      // ever needs to dedupe. `ivf_cell` stays the leading codes
+      // partition level, so file-level cell pruning is unchanged;
+      // [[IvfPq.compactCodes]] drops the batch_id level on its
+      // maintenance cadence, which is safe precisely because
+      // overwrite semantics mean duplicates never exist.
+      manifest.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(manifestPath)
+      // the corpus grows by the kept vectors: encode them under the
+      // frozen codebooks and append into the inverted-list layout —
+      // manifest is already materialized (persisted by the write
+      // above), so the kept-side join re-reads cache, not the probe
+      IvfPq.encodeWith(
+          b.join(manifest.filter(col("kept")).select(col("vec_id")),
+                 "vec_id")
+            .select(col("vec_id"), col("v")),
+          hist.coarse, hist.codebooks, graft.ext.Pq.NumSubs, track)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ivf_cell", "batch_id")
+        .parquet(codesPath)
+    } finally ephemeral.foreach(_.unpersist(blocking = false))
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -165,6 +166,42 @@ class IngestVecDedupSpec extends AnyFunSuite {
              "history side re-shuffled through a sort-merge join")
       assert(!plan.contains("CartesianProduct"),
              "probe plan cartesian-exploded")
+    }
+  }
+
+  test("replayed micro-batch is idempotent: manifest and codes unchanged") {
+    // foreachBatch is at-least-once — a restart between the manifest and
+    // codes writes replays the batch. The r21 batch-keyed dynamic
+    // partition overwrites must make that replay a no-op (r20 ADVICE:
+    // the old append duplicated manifest rows and double-appended codes
+    // into the searchable index).
+    val artDir = tmp("graft-veh-replay-art")
+    run { ext.EmbHistory.write(vecs().filter(!isNew), artDir) }
+    val outDir = tmp("graft-veh-replay-out")
+    run {
+      val hist = ext.EmbHistory.read(spark, artDir)
+      val batch = vecs().filter(isNew)
+      def snap(): (Seq[Row], Seq[Row]) = (
+        spark.read.parquet(s"$outDir/manifest")
+          .select("vec_id", "n_dups", "dup_of", "kept", "batch_id")
+          .collect().toSeq.sortBy(_.getLong(0)),
+        spark.read.parquet(s"$outDir/index/codes")
+          .select(col("vec_id"), col("sub"), col("code"),
+                  col("ivf_cell").cast("long"), col("batch_id").cast("long"))
+          .collect().toSeq
+          .sortBy(r => (r.getLong(0), r.getLong(1))))
+      stream.IngestVecDedup.processBatch(batch, 7L, hist,
+        s"$outDir/manifest", s"$outDir/index/codes", 2, 0.3)
+      val first = snap()
+      assert(first._1.nonEmpty && first._2.nonEmpty, "batch wrote nothing")
+      // the replay: same content, same batch id — the at-least-once case
+      stream.IngestVecDedup.processBatch(batch, 7L, hist,
+        s"$outDir/manifest", s"$outDir/index/codes", 2, 0.3)
+      val second = snap()
+      assert(second._1 == first._1,
+             "replayed batch duplicated or changed manifest rows")
+      assert(second._2 == first._2,
+             "replayed batch duplicated or changed code rows")
     }
   }
 }
