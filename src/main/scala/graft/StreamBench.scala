@@ -249,10 +249,19 @@ object StreamBench {
     // exercises the full probe+verify+encode+write shape.
     val vdBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECDEDUP_BATCH", "10000").toLong
     val vdHist  = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECDEDUP_HIST", "100000").toLong
+    // Codebook sized cells ∝ √history, the engine's own sizing rule
+    // (EmbHistory/IvfPq docs): r21 decomposition showed the verify
+    // stage's pair count is |cell vectors| × |cell probes| per probed
+    // cell, so the gate-sized k=8 default over a 100k history made one
+    // 10k-row batch compute ~250M cosine pairs (~19 s/batch — the whole
+    // leg was 2 warmup-dominated batches). At √100k ≈ 316 cells the
+    // same batch verifies ~6M pairs. Build cost is pre-clock.
+    val vdCells = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECDEDUP_CELLS",
+      math.max(8L, math.round(math.sqrt(vdHist.toDouble))).toString).toInt
     val vdDir = java.nio.file.Files.createTempDirectory("graft-vecdedup").toString
     graft.ext.EmbHistory.write(
       Sources.nearDupVecs(spark.range(vdHist).toDF(), col("id"), 0L),
-      s"$vdDir/art")
+      s"$vdDir/art", k = vdCells)
     val vdArt = graft.ext.EmbHistory.pinned(
       graft.ext.EmbHistory.read(spark, s"$vdDir/art"))
     val vdQ = graft.stream.IngestVecDedup.manifestSink(

@@ -229,12 +229,16 @@ object StreamSoak {
     // can make: the cell-partitioned codes append stays healthy over
     // hundreds of small per-batch files (the fragmentation
     // compactCodes exists to absorb).
-    val vdBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECDEDUP_BATCH", "50000").toLong
+    val vdBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECDEDUP_BATCH", "10000").toLong
     val vdHist  = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECDEDUP_HIST", "100000").toLong
+    // cells ∝ √history — StreamBench's r21 sizing rationale (the k=8
+    // default over 100k history made each batch verify ~250M pairs)
+    val vdCells = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECDEDUP_CELLS",
+      math.max(8L, math.round(math.sqrt(vdHist.toDouble))).toString).toInt
     val vdDir = java.nio.file.Files.createTempDirectory("graft-soak-vd").toString
     graft.ext.EmbHistory.write(
       graft.stream.Sources.nearDupVecs(spark.range(vdHist).toDF(), col("id"), 0L),
-      s"$vdDir/art")
+      s"$vdDir/art", k = vdCells)
     val vdArt = graft.ext.EmbHistory.pinned(
       graft.ext.EmbHistory.read(spark, s"$vdDir/art"))
     val vdSink = graft.stream.IngestVecDedup.manifestSink(
