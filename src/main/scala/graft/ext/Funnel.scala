@@ -46,12 +46,14 @@ object Funnel {
     * definition, two aggregation scopes). */
   private def flaggedDocs(spark: SparkSession,
                           dir: String): (DataFrame, Seq[Column]) = {
-    // Five flag pipelines read this projection; pinning it was
-    // MEASURED SLOWER (4.7 → 5.5 s at sf0.1: the cache-materialization
-    // job costs more than the parquet rescans it saves — the scan is
-    // column-pruned and the per-pipeline work, not the scan, dominates
-    // each flag). At a corpus scale where the scan dominates, wrap the
-    // call in CacheScope.pin at the call site instead.
+    // Seven flag pipelines read this projection; pinning it was
+    // MEASURED SLOWER (r17: 4.7 → 5.5 s at sf0.1; RE-measured r21 after
+    // the flag count grew to seven: 4.9 → 5.7/5.9 s — still slower: the
+    // cache-materialization job costs more than the parquet rescans it
+    // saves, because the scan is column-pruned and the per-pipeline
+    // work, not the scan, dominates each flag). At a corpus scale where
+    // the scan dominates, wrap the call in CacheScope.pin at the call
+    // site instead.
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"),
         size(split(col("text"), " ")).cast(LongType).as("wc"),
