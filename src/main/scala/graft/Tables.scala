@@ -55,8 +55,19 @@ object Tables {
     * — results are identical either way (downstream work is per-row or
     * re-keyed later). `toRdd.getNumPartitions` plans the scan but runs
     * no job. */
+  /** The width is pinned EXPLICITLY (not left to the session default):
+    * a keyed repartition without a partition count is an
+    * AQE-coalescable exchange, and under size-first coalescing
+    * ([[Sessions]] sets coalescePartitions.parallelismFirst=false, r22)
+    * the KB-sized document/event tables would collapse back to one
+    * post-shuffle partition — re-serializing exactly the CPU-heavy
+    * per-row work this spread exists to parallelize. An explicit count
+    * is never coalesced; the value is the context's defaultParallelism,
+    * i.e. derived from the machine, not a constant. */
   def spreadForCpu(df: DataFrame, by: Column): DataFrame =
-    if (underParallelized(df)) df.repartition(by) else df
+    if (underParallelized(df))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, by)
+    else df
 
   /** Round-robin variant for purely per-row chains with no natural key. */
   def spreadForCpu(df: DataFrame): DataFrame =

@@ -204,8 +204,9 @@ object Curation {
   private def spanGramsAndDups(spark: SparkSession, dir: String,
                                w: Int): (DataFrame, DataFrame) = {
     val grams = graft.CacheScope.pin(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"),
+      Tables.spreadForCpu( // the window-md5 walk is the dominant per-row
+        Tables.documents(spark, dir), col("doc_id")) // cost; one split at
+        .select(col("doc_id"),                       // test SF (r22)
           (size(split(col("text"), " "))).cast(LongType).as("n_tokens"),
           posexplode(graft.functions.WordWindowMd5(col("text"), lit(w)))
             .as(Seq("pos", "digest"))))

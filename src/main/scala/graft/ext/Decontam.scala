@@ -48,9 +48,20 @@ object Decontam {
     * mid-plan ([[Funnel.corpusFunnel]] joins it as one stage flag).
     * Only docs with ≥ 1 shared shingle appear; absent = clean. */
   private[ext] def contaminationFrame(spark: SparkSession,
-                                      dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Dedup.shingles).as("shingle"))
+                                      dir: String): DataFrame =
+    contaminationFromShingles(
+      Tables.spreadForCpu( // tokenize+shingle across cores on a
+        Tables.documents(spark, dir), col("doc_id")) // single-split scan
+        .select(col("doc_id"), explode(Dedup.shingles).as("shingle")))
+
+  /** [[contaminationFrame]] over a caller-supplied exploded shingle
+    * frame (doc_id, shingle) — the seam that lets [[Funnel]] feed this
+    * probe from the SAME pinned shingle pass the LSH stage already pays
+    * for (guide §2.3), instead of re-tokenizing the corpus. Shingle
+    * values must be [[Dedup.shingles]]' (the funnel passes
+    * `explode(ss)` of [[Dedup.pinnedShingles]] — the identical native
+    * expression, so the overlap evidence cannot drift). */
+  private[ext] def contaminationFromShingles(sh: DataFrame): DataFrame = {
     val bench = sh.filter(col("doc_id") % BenchMod === BenchRem)
       .select(col("doc_id").as("bench_id"), col("shingle"))
     sh.filter(col("doc_id") % BenchMod =!= BenchRem)

@@ -264,9 +264,30 @@ object Dedup {
   private def lshVerifiedPairs(spark: SparkSession, dir: String,
                                jaccardMin: Double,
                                extra: Seq[String] = Nil): DataFrame = {
-    val sh = graft.CacheScope.pin(shingleSets(spark, dir, extra))
+    val sh = pinnedShingles(spark, dir, extra)
     val bands = graft.CacheScope.pin(bandsOf(signaturesFrom(sh)))
     verifyPairs(sh, bands, jaccardMin, extra)
+  }
+
+  /** The pinned corpus shingle frame (doc_id, ss) — the seam that lets a
+    * COMPOSED consumer ([[Funnel.flaggedDocs]]) tokenize+shingle the
+    * corpus ONCE and feed both the LSH pair graph ([[lshPairsFrom]] /
+    * [[incrementalManifestFrom]]) and [[Decontam]]'s n-gram probe from
+    * the same cached pass (guide §2.3: don't compute the same O(tokens)
+    * projection twice in one plan). Pin lifecycle is the session ledger,
+    * as for every internal pin. */
+  private[ext] def pinnedShingles(spark: SparkSession, dir: String,
+                                  extra: Seq[String] = Nil): DataFrame =
+    graft.CacheScope.pin(shingleSets(spark, dir, extra))
+
+  /** [[lshPairs]] over an ALREADY-PINNED shingle frame — identical
+    * pipeline from the shingles down (signatures, bands, banded
+    * candidates, Jaccard verify); only the shingle pass is shared with
+    * the caller's other consumers. */
+  private[ext] def lshPairsFrom(sh: DataFrame,
+                                jaccardMin: Double = 0.5): DataFrame = {
+    val bands = graft.CacheScope.pin(bandsOf(signaturesFrom(sh)))
+    verifyPairs(sh, bands, jaccardMin).select(col("doc_a"), col("doc_b"))
   }
 
   /** The verify stage over PINNED shingle/band frames: banded
@@ -345,9 +366,17 @@ object Dedup {
   /** [[dedupIncremental]]'s manifest without the gate sort — the
     * composable form [[Funnel.incrementalFunnel]] joins on. */
   private[ext] def incrementalManifest(spark: SparkSession, dir: String,
-                                       jaccardMin: Double = 0.5): DataFrame = {
+                                       jaccardMin: Double = 0.5): DataFrame =
+    incrementalManifestFrom(spark, dir, pinnedShingles(spark, dir),
+      jaccardMin)
+
+  /** [[incrementalManifest]] over an ALREADY-PINNED shingle frame —
+    * the [[lshPairsFrom]] seam for the increment path
+    * ([[Funnel.incrementalFlags]] shares the pass with [[Decontam]]). */
+  private[ext] def incrementalManifestFrom(spark: SparkSession, dir: String,
+                                           sh: DataFrame,
+                                           jaccardMin: Double = 0.5): DataFrame = {
     val isNew = col("doc_id") % IncrMod === 0
-    val sh = graft.CacheScope.pin(shingleSets(spark, dir))
     val bands = graft.CacheScope.pin(bandsOf(signaturesFrom(sh)))
     bands.count()
     val histBands = bands.filter(!isNew)

@@ -46,47 +46,64 @@ object Funnel {
     * definition, two aggregation scopes). */
   private def flaggedDocs(spark: SparkSession,
                           dir: String): (DataFrame, Seq[Column]) = {
-    // Seven flag pipelines read this projection; pinning it was
-    // MEASURED SLOWER (r17: 4.7 → 5.5 s at sf0.1; RE-measured r21 after
-    // the flag count grew to seven: 4.9 → 5.7/5.9 s — still slower: the
+    // Flag pipelines read this projection; pinning it was MEASURED
+    // SLOWER (r17: 4.7 → 5.5 s at sf0.1; RE-measured r21 after the flag
+    // count grew to seven: 4.9 → 5.7/5.9 s — still slower: the
     // cache-materialization job costs more than the parquet rescans it
     // saves, because the scan is column-pruned and the per-pipeline
     // work, not the scan, dominates each flag). At a corpus scale where
     // the scan dominates, wrap the call in CacheScope.pin at the call
     // site instead.
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("lang"),
+    //
+    // PER-ROW stages ride the spine as COLUMNS, not joins (r22, guide
+    // §2.4): the URL verdict, the Gopher pass, and the classifier band
+    // are pure per-row expressions of (doc_id, source, text) — the
+    // previous shape computed each over a second scan of the same table
+    // and joined it back on doc_id, three provably-1:1 self-joins.
+    // Inlining them drops three joins (and their exchanges/sorts) from
+    // the spine; only the genuinely AGGREGATED stages (digest keeper,
+    // cluster rep, contamination, perplexity bucket) remain joins.
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val docs = Scoring.scoredKeeping(Text.gopherFlags(base))
+      .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast(LongType).as("wc"),
-        md5(col("text")).as("digest"))
+        md5(col("text")).as("digest"),
+        Urls.keptExpr.as("url_kept"), col("pass"), col("band"))
     // exact-dedup keeper: min-AGGREGATE per digest (the paragraphDedup
     // rationale — partial agg collapses hot digests map-side; never a
     // digest window)
-    val exactKeep = docs.groupBy(col("digest"))
+    val exactKeep = base
+      .select(md5(col("text")).as("digest"), col("doc_id"))
+      .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("keeper"))
-    // near-dup cluster representative (min reachable id — the
-    // dedupClusters keep rule)
-    val lbl = Cluster.connectedComponents(
-      docs.select(col("doc_id").as("id")),
-      Dedup.lshPairs(spark, dir)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      .select(col("id").as("doc_id"), col("label"))
-    val gopher = Text.gopherFlags(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("pass"))
-    val cont = Decontam.contaminationFrame(spark, dir)
-      .select(col("doc_id"), col("contaminated"))
-    // CCNet keep rule: head+middle survive, tail (and unscorable
-    // sub-bigram docs, absent from the scored frame) drop
-    val ppl = LangModel.bucketsOf(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("bucket"))
-    // classifier bands: keep/review survive, drop drops
-    val cls = Scoring.scored(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("band"))
-    // stage 2, URL curation (RefinedWeb §G.1): the first decision a
-    // real crawl pipeline makes, and the cheapest — a per-row verdict
-    // off the URL alone, before any text is read. One more doc_id-keyed
-    // flag join; the broadcast blocklist lives inside [[Urls.keepFlags]]
-    val urlf = Urls.keepFlags(
-      Tables.documents(spark, dir).select(col("doc_id"), col("source")))
+    // The two EAGER pipelines (the LSH+CC chain's cache fills and
+    // checkpoints; the LM model pin's count) share no data — construct
+    // them from two driver threads so their materialization jobs
+    // overlap instead of serializing (guide §2.6; the funnel profile is
+    // job-latency-bound: 8-vs-32-core ratio ≈ 1.0). Plans unchanged.
+    val ((lbl, cont), ppl) = graft.Par.together(
+      {
+        // ONE corpus tokenize+shingle pass feeds BOTH the near-dup pair
+        // graph and the contamination probe (guide §2.3) — previously
+        // Decontam re-derived the identical shingles from the texts.
+        val sh = Dedup.pinnedShingles(spark, dir)
+        // near-dup cluster representative (min reachable id — the
+        // dedupClusters keep rule)
+        val lbl = Cluster.connectedComponents(
+          base.select(col("doc_id").as("id")),
+          Dedup.lshPairsFrom(sh)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+          .select(col("id").as("doc_id"), col("label"))
+        val cont = Decontam.contaminationFromShingles(
+            sh.select(col("doc_id"), explode(col("ss")).as("shingle")))
+          .select(col("doc_id"), col("contaminated"))
+        (lbl, cont)
+      },
+      // CCNet keep rule: head+middle survive, tail (and unscorable
+      // sub-bigram docs, absent from the scored frame) drop
+      LangModel.bucketsOf(base.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("bucket")))
     val s2 = col("url_kept")
     val s3 = s2 && col("doc_id") === col("keeper")
     val s4 = s3 && col("doc_id") === col("label")
@@ -95,13 +112,10 @@ object Funnel {
     val s7 = s6 && col("bucket").isNotNull && col("bucket") =!= "tail"
     val s8 = s7 && col("band") =!= "drop"
     (docs
-      .join(urlf, "doc_id")
       .join(exactKeep, "digest")
       .join(lbl, "doc_id")
-      .join(gopher, "doc_id")
       .join(cont, Seq("doc_id"), "left")
-      .join(ppl, Seq("doc_id"), "left")
-      .join(cls, "doc_id"),
+      .join(ppl, Seq("doc_id"), "left"),
      Seq(s2, s3, s4, s5, s6, s7, s8))
   }
 
@@ -219,40 +233,54 @@ object Funnel {
   private def incrementalFlags(spark: SparkSession,
                                dir: String): (DataFrame, Seq[Column]) = {
     val isNew = col("doc_id") % Dedup.IncrMod === 0
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("lang"),
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val batchBase = base.filter(isNew)
+    val histBase = base.filter(!isNew)
+    // PER-ROW stages (URL verdict, Gopher pass, classifier band) ride
+    // the batch spine as COLUMNS — same three tautological-self-join
+    // eliminations as [[flaggedDocs]] (r22, guide §2.4); restricting
+    // the corpus-wide per-row flag to the batch via a doc_id join is
+    // the identity, since the flag is a function of the row itself.
+    val batch = Scoring.scoredKeeping(Text.gopherFlags(batchBase))
+      .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast(LongType).as("wc"),
-        md5(col("text")).as("digest"))
-    val batch = docs.filter(isNew)
-    val hist = docs.filter(!isNew)
+        md5(col("text")).as("digest"),
+        Urls.keptExpr.as("url_kept"), col("pass"), col("band"))
     // batch-internal exact keeper (same min-aggregate rule as X85)
-    val exKeep = batch.groupBy(col("digest"))
+    val exKeep = batchBase
+      .select(md5(col("text")).as("digest"), col("doc_id"))
+      .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("keeper"))
     // frozen digest artifact, probed by the broadcast batch digest set:
     // hits are O(batch ∩ history) ≤ O(batch) — broadcastable back, and
     // the history side never shuffles
-    val dupDigests = hist.select(col("digest"))
-      .join(broadcast(batch.select(col("digest")).distinct()), "digest")
+    val dupDigests = histBase.select(md5(col("text")).as("digest"))
+      .join(broadcast(batchBase.select(md5(col("text")).as("digest"))
+        .distinct()), "digest")
       .distinct()
       .withColumn("in_hist", lit(1))
-    val man = Dedup.incrementalManifest(spark, dir)
-      .select(col("doc_id"), col("kept"))
-    val gopher = Text.gopherFlags(batch.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("pass"))
-    val cont = Decontam.contaminationFrame(spark, dir)
-      .select(col("doc_id"), col("contaminated"))
-    val model = LangModel.trainBigramModel(
-      hist.select(col("doc_id"), col("text")))
-    val ppl = LangModel.bucketsWith(
-        batch.select(col("doc_id"), col("text")), model)
-      .select(col("doc_id"), col("bucket"))
-    val cls = Scoring.scored(batch.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("band"))
-    // URL curation is per-doc and history-free — the increment runs
-    // the same stage-2 verdict the corpus funnel does (the join below
-    // restricts the corpus-wide flag frame to the batch)
-    val urlf = Urls.keepFlags(
-      Tables.documents(spark, dir).select(col("doc_id"), col("source")))
+    // The two EAGER pipelines overlap from two driver threads (guide
+    // §2.6, the [[flaggedDocs]] rationale): the manifest chain's cache
+    // fills + bloom build, and the history-model pin's count. The
+    // shingle pass is shared with the contamination probe (§2.3).
+    val ((man, cont), ppl) = graft.Par.together(
+      {
+        val sh = Dedup.pinnedShingles(spark, dir)
+        val man = Dedup.incrementalManifestFrom(spark, dir, sh)
+          .select(col("doc_id"), col("kept"))
+        val cont = Decontam.contaminationFromShingles(
+            sh.select(col("doc_id"), explode(col("ss")).as("shingle")))
+          .select(col("doc_id"), col("contaminated"))
+        (man, cont)
+      },
+      {
+        val model = LangModel.trainBigramModel(
+          histBase.select(col("doc_id"), col("text")))
+        LangModel.bucketsWith(
+            batchBase.select(col("doc_id"), col("text")), model)
+          .select(col("doc_id"), col("bucket"))
+      })
     val s2 = col("url_kept")
     val s3 = s2 && col("doc_id") === col("keeper") && col("in_hist").isNull
     val s4 = s3 && col("kept")
@@ -261,14 +289,11 @@ object Funnel {
     val s7 = s6 && col("bucket").isNotNull && col("bucket") =!= "tail"
     val s8 = s7 && col("band") =!= "drop"
     (batch
-      .join(urlf, "doc_id")
       .join(exKeep, "digest")
       .join(broadcast(dupDigests), Seq("digest"), "left")
       .join(man, "doc_id")
-      .join(gopher, "doc_id")
       .join(cont, Seq("doc_id"), "left")
-      .join(ppl, Seq("doc_id"), "left")
-      .join(cls, "doc_id"),
+      .join(ppl, Seq("doc_id"), "left"),
      Seq(s2, s3, s4, s5, s6, s7, s8))
   }
 

@@ -37,6 +37,94 @@ object ProfileFunnel {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
 
+    // --- per-JOB trace of one query (r22): job wall-clock + stage/task
+    // counts, cold-cache, after one warmup — attributes a composed
+    // gate's time to its eager materialization jobs vs the final action
+    if (args.headOption.contains("jobs")) {
+      val qname = args(1)
+      val fn = graft.SparkEntry.queries(qname)
+      val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val d = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .getOrElse("")
+            starts.put(js.jobId, (System.nanoTime(), d)); ()
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val (t0, d) = starts.getOrDefault(je.jobId, (0L, ""))
+            jobs.add(f"job ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $d")
+            ()
+          }
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            jobs.add(f"  stage ${i.stageId}%3d tasks=${i.numTasks}%3d " +
+              f"${(i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3}%6.3f s " +
+              i.name.take(60))
+            ()
+          }
+        })
+      // warmup (codegen/JIT), then one traced cold-cache run
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      graft.CacheScope.release(spark); spark.catalog.clearCache(); System.gc()
+      jobs.clear()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val el = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      jobs.forEach(s => println(s"[jobs] $s"))
+      println(f"[jobs] TOTAL $qname $el%.3f s, ${jobs.size} jobs")
+      spark.stop()
+      return
+    }
+
+    // --- funnel per-stage decomposition (r22: VERDICT item 1) — each
+    // flag pipeline in isolation, then the composed funnels
+    if (args.contains("funnel")) {
+      val full = graft.Tables.documents(spark, sfDir)
+      time("urls_keepFlags") {
+        Urls.keepFlags(full.select(col("doc_id"), col("source")))
+      }
+      time("exact_keep_agg") {
+        full.select(md5(col("text")).as("digest"), col("doc_id"))
+          .groupBy(col("digest")).agg(min(col("doc_id")).as("keeper"))
+      }
+      time("lsh_pairs") {
+        Dedup.lshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      }
+      time("cc_labels") {
+        Cluster.connectedComponents(
+          full.select(col("doc_id").as("id")),
+          Dedup.lshPairs(spark, sfDir)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      }
+      time("gopher_flags") { Text.gopherFlags(docs) }
+      time("contamination") { Decontam.contaminationFrame(spark, sfDir) }
+      time("lm_buckets_of") { LangModel.bucketsOf(docs) }
+      time("scoring_scored") { Scoring.scored(docs) }
+      time("corpus_funnel_full") { Funnel.corpusFunnel(spark, sfDir) }
+      time("funnel_by_lang_full") { Funnel.corpusFunnelByLang(spark, sfDir) }
+      // incremental components
+      val isNewDoc = col("doc_id") % Dedup.IncrMod === 0
+      time("incr_manifest") { Dedup.incrementalManifest(spark, sfDir) }
+      time("incr_lm_train_hist") {
+        LangModel.trainBigramModel(docs.filter(!isNewDoc))
+      }
+      time("incr_lm_buckets_with") {
+        LangModel.bucketsWith(docs.filter(isNewDoc),
+          LangModel.trainBigramModel(docs.filter(!isNewDoc)))
+      }
+      time("incremental_funnel_full") { Funnel.incrementalFunnel(spark, sfDir) }
+      spark.stop()
+      return
+    }
+
     if (!args.contains("stream")) {
     // --- LangModel decomposition
     time("lm_train_model") { LangModel.trainBigramModel(docs) }

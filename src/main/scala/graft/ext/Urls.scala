@@ -106,8 +106,23 @@ object Urls {
     * EXTERNAL artifacts (the public-suffix list plus a curated domain
     * file) and the broadcast-join shape returns — the identity only
     * holds when the list is derived from the probed corpus itself. */
-  private val onBlock: Column = col("domain").rlike("^src(1|7|10|13)\\.")
-  private val onAllow: Column = col("domain").rlike("^src13\\.co\\.uk$")
+  private def blockOf(domain: Column): Column =
+    domain.rlike("^src(1|7|10|13)\\.")
+  private def allowOf(domain: Column): Column =
+    domain.rlike("^src13\\.co\\.uk$")
+  private val onBlock: Column = blockOf(col("domain"))
+  private val onAllow: Column = allowOf(col("domain"))
+
+  /** The stage-2 verdict as ONE per-row expression over (doc_id, source)
+    * — no join, no second scan (r22, guide §2.4): [[Funnel.flaggedDocs]]
+    * previously joined [[keepFlags]] back on doc_id, but the flag frame
+    * derives 1:1 from the same documents scan it was probed against, so
+    * the join was a provable identity (the r21 list-join elimination one
+    * level up). Exactly [[curated]]'s `kept` column, inlined. */
+  private[ext] def keptExpr: Column = {
+    val dom = registrableOf(hostOf(urlOf))
+    allowOf(dom) || !blockOf(dom)
+  }
 
   /** Per-document URL curation verdicts: (doc_id, host, domain,
     * on_blocklist, on_allowlist, kept) — pure per-row expressions, one
